@@ -1,0 +1,20 @@
+from phys_autodiff_tpu.ops.stencil import FieldSnapshots, residuals, shift, central_diff
+from phys_autodiff_tpu.ops.loss import (
+    loss_forward,
+    loss_forward_f64,
+    loss_backward,
+    loss_terms,
+    total_loss,
+)
+
+__all__ = [
+    "FieldSnapshots",
+    "residuals",
+    "shift",
+    "central_diff",
+    "loss_forward",
+    "loss_forward_f64",
+    "loss_backward",
+    "loss_terms",
+    "total_loss",
+]

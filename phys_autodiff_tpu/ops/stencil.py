@@ -1,0 +1,112 @@
+"""XLA-staged transport residuals — the framework's "non-fused" arm.
+
+Plays the role of the reference's non-fused CUDA chain
+(src/phys_cuda_nonfused.cu:51-158: k_dt -> k_grad_sigma -> k_grad_u ->
+k_residuals) but is expressed as jnp stencil ops and left to XLA to fuse or
+stage. Float32 arithmetic end to end, matching the reference's in-kernel
+float math. Fully differentiable: `jax.grad` through this path yields the
+true field adjoint (the stencil transpose) that the reference never
+implemented (its backward stops at the residual-space VJP,
+include/phys.h:54).
+
+Layout: scalar fields [nz, ny, nx]; vector fields [3, nz, ny, nx]; x rides
+the TPU lane dimension.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from phys_autodiff_tpu.utils.config import GridSpec
+
+
+class FieldSnapshots(NamedTuple):
+    """The six physics input fields at t-dt, t, t+dt
+    (reference: include/phys.h:26-36)."""
+
+    sigma_tm1: jnp.ndarray  # [nz, ny, nx]
+    sigma_t: jnp.ndarray  # [nz, ny, nx]
+    sigma_tp1: jnp.ndarray  # [nz, ny, nx]
+    u_tm1: jnp.ndarray  # [3, nz, ny, nx]
+    u_t: jnp.ndarray  # [3, nz, ny, nx]
+    u_tp1: jnp.ndarray  # [3, nz, ny, nx]
+
+
+def shift(f: jnp.ndarray, delta: int, axis: int, periodic: bool) -> jnp.ndarray:
+    """f at index i+delta along `axis`, periodic wrap or edge clamp.
+
+    Clamp semantics match the reference's clampi (src/phys_cpu.cpp:8-10):
+    out-of-range neighbors read the edge plane, so the edge "central"
+    difference degenerates to (f[1]-f[0])/(2h).
+    """
+    if periodic:
+        return jnp.roll(f, -delta, axis=axis)
+    n = f.shape[axis]
+    if delta > 0:
+        body = jnp.take(f, jnp.arange(delta, n), axis=axis)
+        edge = jnp.take(f, jnp.arange(n - 1, n), axis=axis)
+        reps = [1] * f.ndim
+        reps[axis] = delta
+        return jnp.concatenate([body, jnp.tile(edge, reps)], axis=axis)
+    elif delta < 0:
+        d = -delta
+        body = jnp.take(f, jnp.arange(0, n - d), axis=axis)
+        edge = jnp.take(f, jnp.arange(0, 1), axis=axis)
+        reps = [1] * f.ndim
+        reps[axis] = d
+        return jnp.concatenate([jnp.tile(edge, reps), body], axis=axis)
+    return f
+
+
+def central_diff(
+    f: jnp.ndarray, axis: int, inv2h: float, periodic: bool
+) -> jnp.ndarray:
+    """(f[i+1] - f[i-1]) * inv2h along `axis`."""
+    return (shift(f, +1, axis, periodic) - shift(f, -1, axis, periodic)) * inv2h
+
+
+def residuals(g: GridSpec, fields: FieldSnapshots):
+    """Transport residuals (reference math: src/phys_cpu.cpp:66-106,
+    REQUIREMENT.md:18-26):
+
+        R_sigma = d sigma/dt + u . grad(sigma) + sigma * div(u)
+        R_u     = d u/dt + (u . grad) u
+
+    Returns (R_sigma [nz,ny,nx], R_u [3,nz,ny,nx]) in float32.
+    """
+    s_t = fields.sigma_t
+    u_t = fields.u_t
+    ndim = s_t.ndim
+    ax_z, ax_y, ax_x = ndim - 3, ndim - 2, ndim - 1
+
+    inv2dt = np.float32(1.0 / (2.0 * float(np.float32(g.dt))))
+    inv2hx = np.float32(1.0 / (2.0 * float(np.float32(g.hx))))
+    inv2hy = np.float32(1.0 / (2.0 * float(np.float32(g.hy))))
+    inv2hz = np.float32(1.0 / (2.0 * float(np.float32(g.hz))))
+    per = g.periodic
+
+    dt_sigma = (fields.sigma_tp1 - fields.sigma_tm1) * inv2dt
+    du_dt = (fields.u_tp1 - fields.u_tm1) * inv2dt
+
+    ds_dx = central_diff(s_t, ax_x, inv2hx, per)
+    ds_dy = central_diff(s_t, ax_y, inv2hy, per)
+    ds_dz = central_diff(s_t, ax_z, inv2hz, per)
+
+    # Gradient of every u channel along every axis: du[c, a] = d u_c / d a,
+    # a in (x, y, z). Batched over the channel axis.
+    du_dx = central_diff(u_t, ax_x + 1, inv2hx, per)
+    du_dy = central_diff(u_t, ax_y + 1, inv2hy, per)
+    du_dz = central_diff(u_t, ax_z + 1, inv2hz, per)
+
+    ux, uy, uz = u_t[0], u_t[1], u_t[2]
+    div_u = du_dx[0] + du_dy[1] + du_dz[2]
+    adv_sigma = ux * ds_dx + uy * ds_dy + uz * ds_dz
+    # (u . grad) u, vectorized over channels: ux*d/dx + uy*d/dy + uz*d/dz
+    adv_u = ux[None] * du_dx + uy[None] * du_dy + uz[None] * du_dz
+
+    r_sigma = dt_sigma + adv_sigma + s_t * div_u
+    r_u = du_dt + adv_u
+    return r_sigma, r_u

@@ -1,0 +1,3 @@
+from phys_autodiff_tpu.ref import oracle, manufactured, mlp_oracle
+
+__all__ = ["oracle", "manufactured", "mlp_oracle"]

@@ -1,0 +1,20 @@
+from phys_autodiff_tpu.utils.config import (
+    GridSpec,
+    PhysWeights,
+    MLPDims,
+    CoordNorm,
+    MLPGridConfig,
+)
+from phys_autodiff_tpu.utils.metrics import rel_l2_err, max_abs_err
+from phys_autodiff_tpu.utils import tolerances
+
+__all__ = [
+    "GridSpec",
+    "PhysWeights",
+    "MLPDims",
+    "CoordNorm",
+    "MLPGridConfig",
+    "rel_l2_err",
+    "max_abs_err",
+    "tolerances",
+]
