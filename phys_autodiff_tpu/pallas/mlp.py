@@ -1,0 +1,232 @@
+"""Fused Pallas MLP grid-inference kernel.
+
+TPU-native replacement for the reference's MLP inference path
+(k_linear_relu / k_linear, src/mlp_cuda.cu:14-37, driven by
+mlp_grid_infer_* / mlp_generate_fields_*, src/mlp_grid.cpp:53-106), which
+re-uploads the weights on every call and evaluates the three time slices in
+three separate passes. Here:
+
+  * Coordinates are never materialized. Grid coordinates are separable
+    (channel x depends only on ix, etc.), so the first layer
+    z1 = W1 . [x,y,z,t] + b1 — an In=4 contraction that would waste the
+    MXU — is factored into rank-1 tables folded to
+        AB[h, y, x] = W1[x,h]*cx[x] + W1[y,h]*cy[y]          (H*ny*nx, ~MBs)
+        CD[z, h, s] = W1[z,h]*cz[z] + W1[t,h]*t_s + b1[h]    (tiny)
+    and layer 1 becomes ONE VPU add per (hidden, cell, slice).
+  * Only the second layer contracts (K = H on the MXU), with W2/b2
+    VMEM-resident across the whole sweep; the AB block is fetched once per
+    y-block (z is the inner grid dimension, so its index map is constant
+    along the sweep).
+  * All three time slices (t-dt, t, t+dt) are produced in one kernel pass —
+    per-slice work shares everything except the CD column.
+  * Outputs are written channel-major directly as physics fields
+    (sigma [3,nz,ny,nx], u [3,3,nz,ny,nx]) — the split_outputs_to_fields
+    host de-interleave of the reference (src/mlp_grid.cpp:69-80) does not
+    exist here.
+
+The op carries a custom_vjp whose backward runs through the plain
+differentiable XLA path, so the fused forward can sit inside the jitted
+training step.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from phys_autodiff_tpu.models import fields as fields_mod
+from phys_autodiff_tpu.models import mlp
+from phys_autodiff_tpu.models.coords import _axis_coord
+from phys_autodiff_tpu.ops.stencil import FieldSnapshots
+from phys_autodiff_tpu.utils.config import CoordNorm, GridSpec, MLPGridConfig
+
+
+def _default_interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def _pick_yb(ny: int, h: int, nx: int, budget=4 * 1024 * 1024) -> int:
+    """Largest divisor of ny <= 32 keeping the AB block + z1 under budget."""
+    best = 1
+    for yb in range(1, 33):
+        if ny % yb != 0:
+            continue
+        if h * yb * nx * 4 * 2 <= budget:
+            best = yb
+    return best
+
+
+def fold_tables(g: GridSpec, cfg: MLPGridConfig, params: mlp.Params, ts, yb: int):
+    """Fold layer 1 over the separable grid coordinates.
+
+    Returns (AB [ny//yb, H, yb, nx], CD [nz, H, S], W2T [Out, H], b2 [1, Out]).
+    ts: [S] slice times (traced values are fine).
+    """
+    w1 = params["W1"]  # [In, H]
+    h = w1.shape[1]
+    cx = _axis_coord(g.nx, cfg.norm)
+    cy = _axis_coord(g.ny, cfg.norm)
+    cz = _axis_coord(g.nz, cfg.norm)
+    t_off = jnp.float32(0.0 if cfg.norm == CoordNorm.MinusOneToOne else 0.5)
+
+    a = w1[0][:, None] * cx[None, :]  # [H, nx]
+    b = w1[1][:, None] * cy[None, :]  # [H, ny]
+    ab = a[:, None, :] + b[:, :, None]  # [H, ny, nx]
+    ab = jnp.moveaxis(ab, 1, 0).reshape(g.ny // yb, yb, h, g.nx)
+    ab = jnp.moveaxis(ab, 1, 2)  # [ny//yb, H, yb, nx]
+
+    c = cz[:, None] * w1[2][None, :]  # [nz, H]
+    d = (jnp.asarray(ts, jnp.float32) + t_off)[:, None] * w1[3][None, :] + params[
+        "b1"
+    ][None, :]  # [S, H]
+    cd = c[:, :, None] + d.T[None, :, :]  # [nz, H, S]
+    return ab, cd, params["W2"].T, params["b2"].reshape(1, -1)
+
+
+def _build_call(g: GridSpec, h: int, yb: int, n_slices: int, precision, interpret):
+    nz, ny, nx = g.shape
+    dot_prec = (
+        jax.lax.Precision.HIGHEST if precision == "f32" else jax.lax.Precision.DEFAULT
+    )
+
+    def kernel(ab_ref, cd_ref, w2_ref, b2_ref, sigma_ref, u_ref):
+        ab = ab_ref[0]  # [H, YB, nx]
+        cd = cd_ref[0]  # [H, S]
+        w2 = w2_ref[...]  # [Out, H]
+        if precision == "bf16":
+            w2 = w2.astype(jnp.bfloat16)
+        b2 = b2_ref[...]  # [1, Out]
+        for s in range(n_slices):
+            z1 = ab + cd[:, s][:, None, None]
+            a1 = jnp.maximum(z1, 0.0)
+            if precision == "bf16":
+                a1 = a1.astype(jnp.bfloat16)
+            y = jax.lax.dot_general(
+                w2,
+                a1,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=dot_prec,
+            )  # [Out, YB, nx]
+            sigma_ref[s, 0] = y[0] + b2[0, 0]
+            u_ref[s, 0, 0] = y[1] + b2[0, 1]
+            u_ref[s, 1, 0] = y[2] + b2[0, 2]
+            u_ref[s, 2, 0] = y[3] + b2[0, 3]
+
+    # grid = (y-blocks, z): z innermost so the AB block index is constant
+    # along the inner sweep and gets fetched once per y-block.
+    in_specs = [
+        pl.BlockSpec((1, h, yb, nx), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, h, n_slices), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((4, h), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 4), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    out_specs = (
+        pl.BlockSpec(
+            (n_slices, 1, yb, nx), lambda i, j: (0, j, i, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (n_slices, 3, 1, yb, nx),
+            lambda i, j: (0, 0, j, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((n_slices, nz, ny, nx), jnp.float32),
+        jax.ShapeDtypeStruct((n_slices, 3, nz, ny, nx), jnp.float32),
+    )
+    flops = (2 * h * 4 + h) * g.num_cells * n_slices
+    return pl.pallas_call(
+        kernel,
+        grid=(ny // yb, nz),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=4 * 4 * g.num_cells * n_slices + h * ny * nx * 4,
+            transcendentals=0,
+        ),
+    )
+
+
+def _grid_infer_fused_fields(g, cfg, params, ts, precision, interpret):
+    if interpret is None:
+        interpret = _default_interpret()
+    h = params["W1"].shape[1]
+    yb = _pick_yb(g.ny, h, g.nx)
+    ab, cd, w2t, b2 = fold_tables(g, cfg, params, ts, yb)
+    call = _build_call(g, h, yb, len(ts), precision, interpret)
+    return call(ab, cd, w2t, b2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 4, 5))
+def generate_fields_fused(
+    g: GridSpec,
+    cfg: MLPGridConfig,
+    params: mlp.Params,
+    t,
+    precision: str = "f32",
+    interpret=None,
+) -> FieldSnapshots:
+    """MLP -> physics fields at t-dt, t, t+dt in one fused kernel pass.
+
+    Functional equivalent of models.fields.generate_fields (reference:
+    mlp_generate_fields_*, src/mlp_grid.cpp:82-106) with a Pallas forward.
+    precision: "f32" (parity-exact, default) or "bf16" (layer-2 MXU in
+    bfloat16 with f32 accumulation — REQUIREMENT.md:124-130's planned
+    mixed-precision mode, tolerance 1e-3).
+    """
+    if g.nx % 128 != 0:
+        # Mosaic's (sublane, lane) reshape inside the layer-2 dot needs the
+        # lane dim to be a 128 multiple; fall back to the XLA path otherwise.
+        return fields_mod.generate_fields(g, cfg, params, t, g.dt)
+    t = jnp.float32(t)
+    dt = jnp.float32(g.dt)
+    ts = jnp.stack([t - dt, t, t + dt])
+    sigma, u = _grid_infer_fused_fields(g, cfg, params, ts, precision, interpret)
+    return FieldSnapshots(
+        sigma_tm1=sigma[0],
+        sigma_t=sigma[1],
+        sigma_tp1=sigma[2],
+        u_tm1=u[0],
+        u_t=u[1],
+        u_tp1=u[2],
+    )
+
+
+def _gff_fwd(g, cfg, params, t, precision, interpret):
+    out = generate_fields_fused(g, cfg, params, t, precision, interpret)
+    return out, (params, t)
+
+
+def _gff_bwd(g, cfg, precision, interpret, res, cot):
+    params, t = res
+    _, vjp = jax.vjp(
+        lambda p, tt: fields_mod.generate_fields(g, cfg, p, tt, g.dt), params, t
+    )
+    d_params, d_t = vjp(cot)
+    return (d_params, d_t)
+
+
+generate_fields_fused.defvjp(_gff_fwd, _gff_bwd)
+
+
+def grid_infer_fused(
+    g: GridSpec,
+    cfg: MLPGridConfig,
+    params: mlp.Params,
+    t,
+    precision: str = "f32",
+    interpret=None,
+):
+    """Single-time grid inference -> [nz, ny, nx, 4] (reference
+    mlp_grid_infer_* shape contract, src/mlp_grid.cpp:53-67)."""
+    ts = jnp.stack([jnp.float32(t)])
+    sigma, u = _grid_infer_fused_fields(g, cfg, params, ts, precision, interpret)
+    return jnp.concatenate([sigma[0][..., None], jnp.moveaxis(u[0], 0, -1)], axis=-1)

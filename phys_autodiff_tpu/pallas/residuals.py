@@ -1,0 +1,509 @@
+"""Fused Pallas TPU kernels for the transport residual operator.
+
+The TPU-native equivalent of the reference's flagship fused CUDA kernels:
+  * k_residuals_fused (src/phys_cuda_fused.cu:33-100) — one pass over the six
+    input fields computing all derivatives in registers and writing only the
+    residuals, zero intermediates.
+  * k_backward_fused (src/phys_cuda_fused.cu:102-172) — recomputes the entire
+    residual pipeline and applies g = scale * R in the same kernel; backward
+    never reads stored residuals.
+  * plus the fused *loss forward* with in-kernel reduction that the reference
+    planned but never implemented (docs/PLAN_FUSED_PHYS_LOSS.md:59).
+
+Kernel design (TPU-first, not a CUDA translation):
+  * Grid over z-slabs of SZ planes. Within a program, the whole [SZ, ny, nx]
+    slab is computed as vector ops (VPU) — ny on sublanes, nx on lanes.
+  * Only sigma_t and u_t need spatial halos (the t-/t+ slices enter through
+    the time derivative alone), so those four fields live in HBM
+    (memory_space=ANY) and are staged into VMEM scratch with explicit async
+    DMAs: one SZ-plane main copy plus two single-plane halo copies whose
+    source indices implement periodic wrap or clamp. The other eight field
+    slabs use plain BlockSpec pipelining.
+  * Manual copies are double-buffered across grid steps: program i kicks off
+    slab i+1's DMAs before waiting on its own, overlapping halo traffic with
+    compute (the analogue of the reference's "next step" shared-memory tiling
+    plan, docs/PLAN_FUSED_PHYS_LOSS.md:38-41, which was never built).
+  * In-plane +-1 shifts: pltpu.roll (periodic) or edge-duplicating
+    concatenation (clamp), matching src/phys_cpu.cpp:8-15 semantics exactly.
+
+`residuals_fused` carries a jax.custom_vjp whose backward is the TRUE field
+adjoint (stencil transpose) obtained from the differentiable ops/ path — the
+capability gap called out in the survey (the reference's backward stops at
+the residual-space VJP, include/phys.h:54).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from phys_autodiff_tpu.ops import stencil as ops_stencil
+from phys_autodiff_tpu.ops.stencil import FieldSnapshots
+from phys_autodiff_tpu.utils.config import GridSpec, PhysWeights
+
+# VMEM working-set budget used to pick the slab size (bytes). v5e has ~16 MB
+# more headroom is left for the compiler's own buffers.
+_VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def pick_slab_size(g: GridSpec, max_sz: int = 16) -> int:
+    """Largest divisor of nz <= max_sz whose working set fits the budget.
+
+    Working set (planes of ny*nx f32):
+      BlockSpec ins  : 8 fields * SZ planes * 2 pipeline buffers
+      outs           : 4 fields * SZ * 2
+      manual scratch : 4 fields * (SZ+2) * 2 slots
+    """
+    plane_bytes = g.ny * g.nx * 4
+    best = 1
+    for sz in range(1, max_sz + 1):
+        if g.nz % sz != 0:
+            continue
+        planes = 16 * sz + 8 * sz + 8 * (sz + 2)
+        if planes * plane_bytes <= _VMEM_BUDGET:
+            best = sz
+    return best
+
+
+def _default_interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+# ---------------------------------------------------------------------------
+# In-plane shift helpers (value-level, inside the kernel)
+# ---------------------------------------------------------------------------
+
+
+def _shift_last(v, delta: int, periodic: bool):
+    """v at index i+delta along the last (nx, lane) axis."""
+    n = v.shape[-1]
+    if periodic:
+        # np.roll(v, -delta) == pltpu.roll(v, n - delta); shifts must be >= 0
+        return pltpu.roll(v, (n - delta) % n, axis=v.ndim - 1)
+    if delta > 0:
+        return jnp.concatenate([v[..., delta:], v[..., -1:].repeat(delta, -1)], -1)
+    d = -delta
+    return jnp.concatenate([v[..., :1].repeat(d, -1), v[..., : n - d]], -1)
+
+
+def _shift_sub(v, delta: int, periodic: bool):
+    """v at index i+delta along the second-to-last (ny, sublane) axis."""
+    n = v.shape[-2]
+    ax = v.ndim - 2
+    if periodic:
+        return pltpu.roll(v, (n - delta) % n, axis=ax)
+    if delta > 0:
+        edge = v[..., -1:, :]
+        reps = [1] * v.ndim
+        reps[ax] = delta
+        return jnp.concatenate([v[..., delta:, :], jnp.tile(edge, reps)], ax)
+    d = -delta
+    edge = v[..., :1, :]
+    reps = [1] * v.ndim
+    reps[ax] = d
+    return jnp.concatenate([jnp.tile(edge, reps), v[..., : n - d, :]], ax)
+
+
+# ---------------------------------------------------------------------------
+# Shared kernel body: residuals of one z-slab
+# ---------------------------------------------------------------------------
+
+
+def _slab_residuals(g: GridSpec, s, u3, s_tm1, s_tp1, u_tm1, u_tp1):
+    """Residuals for one slab.
+
+    s       : sigma_t slab with z halo, [SZ+2, ny, nx]
+    u3      : (ux, uy, uz) slabs with z halo, each [SZ+2, ny, nx]
+    s_tm1.. : center slabs [SZ, ny, nx] / [3, SZ, ny, nx]
+    Returns (r_sigma [SZ,ny,nx], r_ux, r_uy, r_uz).
+    """
+    inv2dt = np.float32(1.0 / (2.0 * float(np.float32(g.dt))))
+    inv2hx = np.float32(1.0 / (2.0 * float(np.float32(g.hx))))
+    inv2hy = np.float32(1.0 / (2.0 * float(np.float32(g.hy))))
+    inv2hz = np.float32(1.0 / (2.0 * float(np.float32(g.hz))))
+    per = g.periodic
+
+    def ddx(c):
+        return (_shift_last(c, 1, per) - _shift_last(c, -1, per)) * inv2hx
+
+    def ddy(c):
+        return (_shift_sub(c, 1, per) - _shift_sub(c, -1, per)) * inv2hy
+
+    def ddz(halo):  # halo: [SZ+2, ny, nx]
+        return (halo[2:] - halo[:-2]) * inv2hz
+
+    sc = s[1:-1]
+    ux, uy, uz = u3[0][1:-1], u3[1][1:-1], u3[2][1:-1]
+
+    dt_sigma = (s_tp1 - s_tm1) * inv2dt
+    ds_dx, ds_dy, ds_dz = ddx(sc), ddy(sc), ddz(s)
+
+    dux_dx, dux_dy, dux_dz = ddx(ux), ddy(ux), ddz(u3[0])
+    duy_dx, duy_dy, duy_dz = ddx(uy), ddy(uy), ddz(u3[1])
+    duz_dx, duz_dy, duz_dz = ddx(uz), ddy(uz), ddz(u3[2])
+
+    div_u = dux_dx + duy_dy + duz_dz
+    r_sigma = dt_sigma + (ux * ds_dx + uy * ds_dy + uz * ds_dz) + sc * div_u
+    r_ux = (u_tp1[0] - u_tm1[0]) * inv2dt + ux * dux_dx + uy * dux_dy + uz * dux_dz
+    r_uy = (u_tp1[1] - u_tm1[1]) * inv2dt + ux * duy_dx + uy * duy_dy + uz * duy_dz
+    r_uz = (u_tp1[2] - u_tm1[2]) * inv2dt + ux * duz_dx + uy * duz_dy + uz * duz_dz
+    return r_sigma, r_ux, r_uy, r_uz
+
+
+# ---------------------------------------------------------------------------
+# The pallas_call builder
+# ---------------------------------------------------------------------------
+
+
+def _halo_copies(g: GridSpec, sz: int, slab, hbm_refs, bufs, sems, slot):
+    """The 3 DMAs per manually-staged field: main slab + two halo planes.
+
+    Source indices implement wrap (periodic) or clamp at the z edges.
+    Returns the list of copy descriptors (callers .start() or .wait() them).
+    """
+    nz = g.nz
+    z0 = slab * sz
+    if g.periodic:
+        zlo = jax.lax.rem(z0 - 1 + nz, nz)
+        zhi = jax.lax.rem(z0 + sz, nz)
+    else:
+        zlo = jnp.maximum(z0 - 1, 0)
+        zhi = jnp.minimum(z0 + sz, nz - 1)
+    copies = []
+    for k, (src, dst) in enumerate(zip(hbm_refs, bufs)):
+        copies.append(
+            pltpu.make_async_copy(
+                src.at[pl.ds(z0, sz)], dst.at[slot, pl.ds(1, sz)], sems.at[slot, k, 0]
+            )
+        )
+        copies.append(
+            pltpu.make_async_copy(
+                src.at[pl.ds(zlo, 1)], dst.at[slot, pl.ds(0, 1)], sems.at[slot, k, 1]
+            )
+        )
+        copies.append(
+            pltpu.make_async_copy(
+                src.at[pl.ds(zhi, 1)],
+                dst.at[slot, pl.ds(sz + 1, 1)],
+                sems.at[slot, k, 2],
+            )
+        )
+    return copies
+
+
+def _build_fused_call(g: GridSpec, scales, reduce_loss: bool, interpret: bool):
+    """Builds the pallas_call for residuals (scales=None), the reference-shaped
+    fused backward (scales=(ss, su)), or the fused loss forward
+    (reduce_loss=True: in-kernel partial reduction, no residual writes)."""
+    nz, ny, nx = g.shape
+    sz = pick_slab_size(g)
+    n_slabs = nz // sz
+
+    def kernel(
+        s_tm1_ref,
+        s_tp1_ref,
+        u_tm1_ref,
+        u_tp1_ref,
+        s_t_hbm,
+        ux_t_hbm,
+        uy_t_hbm,
+        uz_t_hbm,
+        *out_and_scratch,
+    ):
+        if reduce_loss:
+            (part_ref, s_buf, ux_buf, uy_buf, uz_buf, sems) = out_and_scratch
+        else:
+            (rs_ref, ru_ref, s_buf, ux_buf, uy_buf, uz_buf, sems) = out_and_scratch
+
+        hbm_refs = (s_t_hbm, ux_t_hbm, uy_t_hbm, uz_t_hbm)
+        bufs = (s_buf, ux_buf, uy_buf, uz_buf)
+        i = pl.program_id(0)
+        slot = jax.lax.rem(i, 2)
+        next_slot = jax.lax.rem(i + 1, 2)
+
+        @pl.when(i == 0)
+        def _():
+            for c in _halo_copies(g, sz, i, hbm_refs, bufs, sems, slot):
+                c.start()
+
+        @pl.when(i + 1 < n_slabs)
+        def _():
+            for c in _halo_copies(g, sz, i + 1, hbm_refs, bufs, sems, next_slot):
+                c.start()
+
+        for c in _halo_copies(g, sz, i, hbm_refs, bufs, sems, slot):
+            c.wait()
+
+        s = s_buf[slot]
+        u3 = (ux_buf[slot], uy_buf[slot], uz_buf[slot])
+        r_sigma, r_ux, r_uy, r_uz = _slab_residuals(
+            g, s, u3, s_tm1_ref[...], s_tp1_ref[...], u_tm1_ref[...], u_tp1_ref[...]
+        )
+        if scales is not None:
+            ss, su = scales
+            r_sigma = r_sigma * np.float32(ss)
+            r_ux = r_ux * np.float32(su)
+            r_uy = r_uy * np.float32(su)
+            r_uz = r_uz * np.float32(su)
+        if reduce_loss:
+            # Per-PLANE partials keep the f32 accumulation segments short
+            # enough to hold the 1e-7 loss doctrine (the final [2, nz] sum is
+            # pairwise in XLA).
+            for k in range(sz):
+                part_ref[0, i * sz + k] = jnp.sum(r_sigma[k] * r_sigma[k])
+                part_ref[1, i * sz + k] = (
+                    jnp.sum(r_ux[k] * r_ux[k])
+                    + jnp.sum(r_uy[k] * r_uy[k])
+                    + jnp.sum(r_uz[k] * r_uz[k])
+                )
+        else:
+            rs_ref[...] = r_sigma
+            ru_ref[0] = r_ux
+            ru_ref[1] = r_uy
+            ru_ref[2] = r_uz
+
+    slab3 = pl.BlockSpec((sz, ny, nx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    slab4 = pl.BlockSpec(
+        (3, sz, ny, nx), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+    )
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
+    in_specs = [slab3, slab3, slab4, slab4, hbm, hbm, hbm, hbm]
+
+    if reduce_loss:
+        # Mosaic requires the last-two block dims to equal the array dims (or
+        # be (8,128)-aligned), so partials are a [2, nz] SMEM block with a
+        # constant index map; each program writes its own columns.
+        out_shape = jax.ShapeDtypeStruct((2, nz), jnp.float32)
+        out_specs = pl.BlockSpec((2, nz), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    else:
+        out_shape = (
+            jax.ShapeDtypeStruct((nz, ny, nx), jnp.float32),
+            jax.ShapeDtypeStruct((3, nz, ny, nx), jnp.float32),
+        )
+        out_specs = (slab3, slab4)
+
+    scratch = [
+        pltpu.VMEM((2, sz + 2, ny, nx), jnp.float32),  # sigma_t
+        pltpu.VMEM((2, sz + 2, ny, nx), jnp.float32),  # ux_t
+        pltpu.VMEM((2, sz + 2, ny, nx), jnp.float32),  # uy_t
+        pltpu.VMEM((2, sz + 2, ny, nx), jnp.float32),  # uz_t
+        pltpu.SemaphoreType.DMA((2, 4, 3)),
+    ]
+
+    flops_per_cell = 60
+    return pl.pallas_call(
+        kernel,
+        grid=(n_slabs,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_cell * g.num_cells,
+            bytes_accessed=(12 + 4) * 4 * g.num_cells,
+            transcendentals=0,
+        ),
+    )
+
+
+def _build_plane_call(g: GridSpec, scales, reduce_loss: bool, interpret: bool):
+    """Per-z-plane variant, BlockSpec-only (no manual DMA): works for any
+    grid shape. The z halo is expressed by passing sigma_t / u_t channels
+    three times with z index maps shifted by -1/0/+1 (wrap or clamp), at the
+    cost of re-fetching the t-center fields 3x (~96 B/cell vs the slab
+    kernel's ~70). Mosaic requires 128-aligned lane slices for manual HBM
+    DMAs, so this is the fallback when nx % 128 != 0."""
+    nz, ny, nx = g.shape
+
+    def imap_z(dz):
+        if dz == 0:
+            return lambda i: (i, 0, 0)
+        if g.periodic:
+            return lambda i: (jax.lax.rem(i + dz + nz, nz), 0, 0)
+        return lambda i: (jnp.clip(i + dz, 0, nz - 1), 0, 0)
+
+    def plane(dz):
+        return pl.BlockSpec((1, ny, nx), imap_z(dz), memory_space=pltpu.VMEM)
+
+    vec_plane = pl.BlockSpec(
+        (3, 1, ny, nx), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+    )
+
+    def kernel(
+        s_tm1_ref,
+        s_tp1_ref,
+        u_tm1_ref,
+        u_tp1_ref,
+        s_m,
+        s_c,
+        s_p,
+        uxm,
+        uxc,
+        uxp,
+        uym,
+        uyc,
+        uyp,
+        uzm,
+        uzc,
+        uzp,
+        *outs,
+    ):
+        s = jnp.concatenate([s_m[...], s_c[...], s_p[...]], axis=0)
+        u3 = (
+            jnp.concatenate([uxm[...], uxc[...], uxp[...]], axis=0),
+            jnp.concatenate([uym[...], uyc[...], uyp[...]], axis=0),
+            jnp.concatenate([uzm[...], uzc[...], uzp[...]], axis=0),
+        )
+        r_sigma, r_ux, r_uy, r_uz = _slab_residuals(
+            g, s, u3, s_tm1_ref[...], s_tp1_ref[...], u_tm1_ref[...], u_tp1_ref[...]
+        )
+        if scales is not None:
+            ss, su = scales
+            r_sigma = r_sigma * np.float32(ss)
+            r_ux = r_ux * np.float32(su)
+            r_uy = r_uy * np.float32(su)
+            r_uz = r_uz * np.float32(su)
+        if reduce_loss:
+            part_ref = outs[0]
+            i = pl.program_id(0)
+            part_ref[0, i] = jnp.sum(r_sigma * r_sigma)
+            part_ref[1, i] = (
+                jnp.sum(r_ux * r_ux) + jnp.sum(r_uy * r_uy) + jnp.sum(r_uz * r_uz)
+            )
+        else:
+            rs_ref, ru_ref = outs
+            rs_ref[...] = r_sigma
+            ru_ref[0] = r_ux
+            ru_ref[1] = r_uy
+            ru_ref[2] = r_uz
+
+    in_specs = [plane(0), plane(0), vec_plane, vec_plane]
+    in_specs += [plane(-1), plane(0), plane(+1)] * 4
+
+    if reduce_loss:
+        out_shape = jax.ShapeDtypeStruct((2, nz), jnp.float32)
+        out_specs = pl.BlockSpec((2, nz), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    else:
+        out_shape = (
+            jax.ShapeDtypeStruct((nz, ny, nx), jnp.float32),
+            jax.ShapeDtypeStruct((3, nz, ny, nx), jnp.float32),
+        )
+        out_specs = (plane(0), vec_plane)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(nz,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=60 * g.num_cells,
+            bytes_accessed=(20 + 4) * 4 * g.num_cells,
+            transcendentals=0,
+        ),
+    )
+
+
+def _run_fused(g, fields: FieldSnapshots, scales, reduce_loss, interpret):
+    if interpret is None:
+        interpret = _default_interpret()
+    # The slab kernel's manual HBM DMAs need 128-aligned lane slices.
+    use_slab = g.nx % 128 == 0
+    common = (fields.sigma_tm1, fields.sigma_tp1, fields.u_tm1, fields.u_tp1)
+    ux, uy, uz = fields.u_t[0], fields.u_t[1], fields.u_t[2]
+    if use_slab:
+        call = _build_fused_call(g, scales, reduce_loss, interpret)
+        return call(*common, fields.sigma_t, ux, uy, uz)
+    call = _build_plane_call(g, scales, reduce_loss, interpret)
+    # The -1/0/+1 z-shifted specs each receive the same array.
+    return call(
+        *common,
+        fields.sigma_t,
+        fields.sigma_t,
+        fields.sigma_t,
+        ux,
+        ux,
+        ux,
+        uy,
+        uy,
+        uy,
+        uz,
+        uz,
+        uz,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 2))
+def residuals_fused(g: GridSpec, fields: FieldSnapshots, interpret=None):
+    """Fused residuals: (R_sigma [nz,ny,nx], R_u [3,nz,ny,nx]).
+
+    Forward = one-pass Pallas kernel (the analogue of k_residuals_fused,
+    src/phys_cuda_fused.cu:33-100). Backward = the true field adjoint taken
+    from the differentiable ops/ path, so gradients flow to whatever produced
+    the fields (e.g. MLP weights) — beyond the reference's residual-space VJP.
+    """
+    rs, ru = _run_fused(g, fields, None, False, interpret)
+    return rs, ru
+
+
+def _residuals_fused_fwd(g, fields, interpret):
+    out = residuals_fused(g, fields, interpret)
+    return out, fields
+
+
+def _residuals_fused_bwd(g, interpret, fields, cotangents):
+    _, vjp = jax.vjp(lambda f: ops_stencil.residuals(g, f), fields)
+    (grads,) = vjp(cotangents)
+    return (grads,)
+
+
+residuals_fused.defvjp(_residuals_fused_fwd, _residuals_fused_bwd)
+
+
+def loss_backward_fused(
+    g: GridSpec, w: PhysWeights, fields: FieldSnapshots, interpret=None
+):
+    """Reference-shaped fused backward: recompute residuals from raw fields
+    and scale by 2w/N in one kernel, never materializing R (the analogue of
+    k_backward_fused, src/phys_cuda_fused.cu:102-172).
+
+    Returns (g_sigma [nz,ny,nx], g_u [3,nz,ny,nx]) — gradients w.r.t. the
+    residuals, matching include/phys.h:54 semantics.
+    """
+    n = np.float32(g.num_cells)
+    ss = float(np.float32(2.0) * np.float32(w.w_sigma) / n)
+    su = float(np.float32(2.0) * np.float32(w.w_u) / n)
+    return _run_fused(g, fields, (ss, su), False, interpret)
+
+
+def loss_forward_fused(
+    g: GridSpec, w: PhysWeights, fields: FieldSnapshots, interpret=None
+):
+    """Fused loss forward with in-kernel partial reduction — the kernel the
+    reference planned but never built (docs/PLAN_FUSED_PHYS_LOSS.md:59).
+
+    Each slab reduces its residual squares to two partials; the tiny
+    [n_slabs, 2] array is summed outside (deterministic order). Residuals are
+    never written to HBM: 16 bytes/cell of write traffic saved vs the staged
+    loss path. Returns (L_sigma, L_u).
+    """
+    parts = _run_fused(g, fields, None, True, interpret)
+    sums = jnp.sum(parts, axis=1)
+    inv_n = np.float32(1.0 / g.num_cells)
+    return (
+        np.float32(w.w_sigma) * sums[0] * inv_n,
+        np.float32(w.w_u) * sums[1] * inv_n,
+    )

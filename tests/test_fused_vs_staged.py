@@ -1,0 +1,119 @@
+"""Tier-3 parity: Pallas fused kernels vs the XLA-staged ops path.
+
+Port of test/test_phys_cuda_fused_vs_nonfused.cpp — both arms are f32, so the
+tolerances are tight: rel_l2 <= 1e-7, max_abs <= 1e-6 on residuals and
+backward (:74-108). Runs the kernels in interpreter mode on the CPU backend
+(grids kept small; the real-TPU arm is exercised by bench.py and
+scripts/tpu_parity.py on hardware).
+
+Both kernel variants are covered: the manual-DMA slab kernel (nx % 128 == 0)
+and the BlockSpec plane kernel (any nx).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from phys_autodiff_tpu import ops
+from phys_autodiff_tpu.ops.stencil import FieldSnapshots
+from phys_autodiff_tpu.pallas import (
+    loss_backward_fused,
+    loss_forward_fused,
+    residuals_fused,
+)
+from phys_autodiff_tpu.ref import manufactured
+from phys_autodiff_tpu.utils import tolerances as tol
+from phys_autodiff_tpu.utils.config import GridSpec, PhysWeights
+from phys_autodiff_tpu.utils.metrics import max_abs_err, rel_l2_err
+
+L = 2 * np.pi
+
+# Small grids (interpret mode is slow on the 1-core CI host).
+SLAB_GRID = dict(nx=128, ny=16, nz=8)  # nx%128==0 -> manual-DMA slab kernel
+PLANE_GRID = dict(nx=24, ny=16, nz=6)  # nx%128!=0 -> BlockSpec plane kernel
+
+
+def _spec(periodic=True, **dims):
+    return GridSpec(
+        **dims,
+        hx=L / dims["nx"],
+        hy=L / dims["ny"],
+        hz=L / dims["nz"],
+        dt=1e-3,
+        periodic=periodic,
+    )
+
+
+def _snapshots(g):
+    """Manufactured solution 2 (divergence-free u), like the reference fused
+    parity test (test/test_phys_cuda_fused_vs_nonfused.cpp:30-51)."""
+    f = manufactured.solution2_fields(g, 0.7)
+    return FieldSnapshots(**{k: jnp.asarray(v) for k, v in f.items()})
+
+
+@pytest.mark.parametrize("dims", [SLAB_GRID, PLANE_GRID], ids=["slab", "plane"])
+@pytest.mark.parametrize("periodic", [True, False], ids=["periodic", "clamp"])
+def test_residuals_fused_vs_staged(dims, periodic):
+    g = _spec(periodic=periodic, **dims)
+    fs = _snapshots(g)
+    rs_s, ru_s = jax.jit(lambda x: ops.residuals(g, x))(fs)
+    rs_f, ru_f = residuals_fused(g, fs)
+    assert rel_l2_err(rs_f, rs_s) <= tol.FUSED_VS_STAGED_REL
+    assert max_abs_err(rs_f, rs_s) <= tol.FUSED_VS_STAGED_MAX
+    assert rel_l2_err(ru_f, ru_s) <= tol.FUSED_VS_STAGED_REL
+    assert max_abs_err(ru_f, ru_s) <= tol.FUSED_VS_STAGED_MAX
+
+
+@pytest.mark.parametrize("dims", [SLAB_GRID, PLANE_GRID], ids=["slab", "plane"])
+def test_loss_backward_fused_vs_staged(dims):
+    g = _spec(**dims)
+    fs = _snapshots(g)
+    w = PhysWeights(w_sigma=1.3, w_u=0.7)
+    rs_s, ru_s = ops.residuals(g, fs)
+    gs_s, gu_s = ops.loss_backward(g, w, rs_s, ru_s)
+    gs_f, gu_f = loss_backward_fused(g, w, fs)
+    assert rel_l2_err(gs_f, gs_s) <= tol.FUSED_VS_STAGED_REL
+    assert max_abs_err(gs_f, gs_s) <= tol.FUSED_VS_STAGED_MAX
+    assert rel_l2_err(gu_f, gu_s) <= tol.FUSED_VS_STAGED_REL
+    assert max_abs_err(gu_f, gu_s) <= tol.FUSED_VS_STAGED_MAX
+
+
+@pytest.mark.parametrize("dims", [SLAB_GRID, PLANE_GRID], ids=["slab", "plane"])
+def test_loss_forward_fused_vs_f64(dims):
+    """The in-kernel-reduced loss vs the f64 host reduction (1e-7 doctrine).
+
+    Capability beyond the reference: its fused loss forward was planned but
+    never implemented (docs/PLAN_FUSED_PHYS_LOSS.md:59)."""
+    g = _spec(**dims)
+    fs = _snapshots(g)
+    w = PhysWeights(w_sigma=1.7, w_u=0.9)
+    ls64, lu64 = ops.loss_forward_f64(g, w, fs)
+    ls_f, lu_f = loss_forward_fused(g, w, fs)
+    assert abs(float(ls_f) - float(ls64)) / abs(float(ls64)) <= 1e-6
+    assert abs(float(lu_f) - float(lu64)) / abs(float(lu64)) <= 1e-6
+
+
+def test_fused_custom_vjp_matches_staged_grad():
+    """Gradients THROUGH the fused op (custom_vjp field adjoint) must match
+    jax.grad through the staged path — this is what lets the fused kernel sit
+    inside the training loop."""
+    g = _spec(**PLANE_GRID)
+    fs = _snapshots(g)
+    w = PhysWeights(w_sigma=1.1, w_u=0.9)
+
+    def loss_via(res_fn):
+        def f(x):
+            rs, ru = res_fn(g, x)
+            ls, lu = ops.loss_terms(g, w, rs, ru)
+            return ls + lu
+
+        return f
+
+    gr_f = jax.jit(jax.grad(loss_via(residuals_fused)))(fs)
+    gr_s = jax.jit(jax.grad(loss_via(ops.residuals)))(fs)
+    for name in fs._fields:
+        assert (
+            rel_l2_err(getattr(gr_f, name), getattr(gr_s, name))
+            <= tol.FUSED_VS_STAGED_REL
+        ), name
