@@ -1,0 +1,27 @@
+from phys_autodiff_tpu.parallel.mesh import (
+    Z_AXIS,
+    make_mesh,
+    field_shardings,
+    shard_fields,
+    replicated,
+    scalar_spec,
+    vector_spec,
+)
+from phys_autodiff_tpu.parallel.sharded import (
+    residuals_sharded,
+    residuals_fused_sharded,
+    make_sharded_train_step,
+)
+
+__all__ = [
+    "Z_AXIS",
+    "make_mesh",
+    "field_shardings",
+    "shard_fields",
+    "replicated",
+    "scalar_spec",
+    "vector_spec",
+    "residuals_sharded",
+    "residuals_fused_sharded",
+    "make_sharded_train_step",
+]

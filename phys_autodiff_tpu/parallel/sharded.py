@@ -1,0 +1,236 @@
+"""Multi-chip execution paths.
+
+Two arms, mirroring the single-chip staged/fused split:
+
+  * GSPMD path (`residuals_sharded`, `make_sharded_train_step`): jit with
+    NamedSharding constraints over the staged ops. XLA's partitioner turns
+    the z-axis jnp.roll stencils into collective-permutes over ICI and the
+    loss mean into a psum — the idiomatic "annotate and let XLA insert
+    collectives" recipe. Fully differentiable, so the sharded training step
+    is just value_and_grad of the sharded loss (weight-gradient all-reduce
+    falls out of the partitioner).
+
+  * shard_map path (`residuals_fused_sharded`): explicit spatial domain
+    decomposition — each device runs the fused Pallas kernel on its local
+    z-slab extended by halo planes exchanged with lax.ppermute. This is the
+    TPU-native analogue of multi-GPU stencil halo exchange, and the arm that
+    keeps the Pallas kernels in play on a mesh.
+
+Both are validated against the single-device results by tests/test_sharding
+on a CPU mesh (the standard JAX way to test multi-chip without a cluster).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from phys_autodiff_tpu import ops
+from phys_autodiff_tpu.models import fields as fields_mod
+from phys_autodiff_tpu.ops.stencil import FieldSnapshots
+from phys_autodiff_tpu.parallel.mesh import (
+    Z_AXIS,
+    field_shardings,
+    make_mesh,
+    replicated,
+    scalar_spec,
+    vector_spec,
+)
+from phys_autodiff_tpu.utils.config import GridSpec, MLPGridConfig, PhysWeights
+
+
+# ---------------------------------------------------------------------------
+# GSPMD arm
+# ---------------------------------------------------------------------------
+
+
+def residuals_sharded(g: GridSpec, mesh, fields: FieldSnapshots):
+    """Staged residuals under z-sharding constraints. XLA inserts the halo
+    collectives for the rolled z-stencil."""
+    s = NamedSharding(mesh, scalar_spec())
+    v = NamedSharding(mesh, vector_spec())
+    fields = FieldSnapshots(
+        sigma_tm1=jax.lax.with_sharding_constraint(fields.sigma_tm1, s),
+        sigma_t=jax.lax.with_sharding_constraint(fields.sigma_t, s),
+        sigma_tp1=jax.lax.with_sharding_constraint(fields.sigma_tp1, s),
+        u_tm1=jax.lax.with_sharding_constraint(fields.u_tm1, v),
+        u_t=jax.lax.with_sharding_constraint(fields.u_t, v),
+        u_tp1=jax.lax.with_sharding_constraint(fields.u_tp1, v),
+    )
+    return ops.residuals(g, fields)
+
+
+def make_sharded_train_step(
+    g: GridSpec,
+    w: PhysWeights,
+    mcfg: MLPGridConfig,
+    mesh,
+    learning_rate: float = 1e-3,
+):
+    """Jitted sharded training step: params replicated, fields z-sharded,
+    loss psum'd, gradient all-reduce inserted by the partitioner.
+
+    Returns (step_fn, init_fn): step(params, opt_state, t) ->
+    (params', opt_state', loss).
+    """
+    import optax
+
+    opt = optax.adam(learning_rate)
+    rep = replicated(mesh)
+
+    def loss_of(params, t):
+        fs = fields_mod.generate_fields(g, mcfg, params, t, g.dt)
+        fs = jax.tree_util.tree_map(
+            jax.lax.with_sharding_constraint, fs, field_shardings(mesh)
+        )
+        return ops.total_loss(g, w, fs)
+
+    @partial(
+        jax.jit,
+        in_shardings=(rep, rep, rep),
+        out_shardings=(rep, rep, rep),
+    )
+    def step(params, opt_state, t):
+        loss, grads = jax.value_and_grad(loss_of)(params, t)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    def init(params):
+        params = jax.device_put(params, rep)
+        return params, jax.device_put(opt.init(params), rep)
+
+    return step, init
+
+
+# ---------------------------------------------------------------------------
+# shard_map + explicit halo arm (keeps the fused Pallas kernel on the mesh)
+# ---------------------------------------------------------------------------
+
+
+def _halo_extend_z(f, periodic: bool, axis: int = 0):
+    """Extend a local z-slab with one halo plane per side via ppermute.
+
+    f: local [nz_local, ny, nx] (or [3, nz_local, ...] with axis=1).
+    For non-periodic grids the global edge shards duplicate their own edge
+    plane (clamp semantics, src/phys_cpu.cpp:8-10).
+    """
+    n = jax.lax.psum(1, Z_AXIS)
+    idx = jax.lax.axis_index(Z_AXIS)
+
+    top = jax.lax.index_in_dim(f, f.shape[axis] - 1, axis=axis, keepdims=True)
+    bot = jax.lax.index_in_dim(f, 0, axis=axis, keepdims=True)
+
+    # halo from the previous shard (its top plane becomes our lower halo)
+    fwd = [(i, (i + 1) % n) for i in range(n)]
+    lower = jax.lax.ppermute(top, Z_AXIS, fwd)
+    # halo from the next shard (its bottom plane becomes our upper halo)
+    bwd = [(i, (i - 1) % n) for i in range(n)]
+    upper = jax.lax.ppermute(bot, Z_AXIS, bwd)
+
+    if not periodic:
+        lower = jnp.where(idx == 0, bot, lower)  # clamp at global z=0
+        upper = jnp.where(idx == n - 1, top, upper)  # clamp at global z=max
+    return jnp.concatenate([lower, f, upper], axis=axis)
+
+
+def residuals_fused_sharded(g: GridSpec, mesh, fields: FieldSnapshots, interpret=None):
+    """Fused Pallas residuals under explicit z-domain decomposition.
+
+    Each device extends its local slab with exchanged halo planes, then runs
+    the single-chip fused kernel in CLAMP mode on the extended slab (the
+    halos make clamp-at-local-edges produce exactly the interior/wrap global
+    stencil) and drops the halo rows of the result.
+    """
+    from phys_autodiff_tpu.pallas.residuals import residuals_fused
+
+    n_shards = mesh.devices.size
+    nz_local = g.nz // n_shards
+    # The local kernel runs on the halo-extended slab with the global
+    # periodic flag: the kept rows ext[1:-1] only ever read ext[0:-2] and
+    # ext[2:], so the z boundary mode never triggers for them — x/y keep the
+    # global wrap/clamp behavior, and z neighbors come from the halos.
+    g_local = GridSpec(
+        nx=g.nx, ny=g.ny, nz=nz_local + 2,
+        hx=g.hx, hy=g.hy, hz=g.hz, dt=g.dt, periodic=g.periodic,
+    )
+
+    def local(fs_local: FieldSnapshots):
+        ext = FieldSnapshots(
+            sigma_tm1=_halo_extend_z(fs_local.sigma_tm1, g.periodic),
+            sigma_t=_halo_extend_z(fs_local.sigma_t, g.periodic),
+            sigma_tp1=_halo_extend_z(fs_local.sigma_tp1, g.periodic),
+            u_tm1=_halo_extend_z(fs_local.u_tm1, g.periodic, axis=1),
+            u_t=_halo_extend_z(fs_local.u_t, g.periodic, axis=1),
+            u_tp1=_halo_extend_z(fs_local.u_tp1, g.periodic, axis=1),
+        )
+        rs, ru = residuals_fused(g_local, ext, interpret)
+        return rs[1:-1], ru[:, 1:-1]
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        check_vma=False,  # pallas_call outputs carry no vma metadata
+        in_specs=(FieldSnapshots(
+            sigma_tm1=scalar_spec(), sigma_t=scalar_spec(), sigma_tp1=scalar_spec(),
+            u_tm1=vector_spec(), u_t=vector_spec(), u_tp1=vector_spec(),
+        ),),
+        out_specs=(scalar_spec(), vector_spec()),
+    )(fields)
+
+
+def make_sharded_train_step_2d(
+    g: GridSpec,
+    w: PhysWeights,
+    mcfg: MLPGridConfig,
+    mesh,
+    learning_rate: float = 1e-3,
+):
+    """Sharded training step over a 2-D ("z", "h") mesh: spatial data
+    parallelism on the grid's z axis PLUS tensor parallelism on the MLP
+    hidden dimension (W1 column-sharded, W2 row-sharded — the contraction
+    over H becomes a partial-sum + psum inserted by the partitioner).
+
+    Returns (step_fn, init_fn) like make_sharded_train_step.
+    """
+    import optax
+
+    opt = optax.adam(learning_rate)
+    rep = NamedSharding(mesh, P())
+    param_sh = {
+        "W1": NamedSharding(mesh, P(None, "h")),
+        "b1": NamedSharding(mesh, P("h")),
+        "W2": NamedSharding(mesh, P("h", None)),
+        "b2": NamedSharding(mesh, P()),
+    }
+    s = NamedSharding(mesh, P("z", None, None))
+    v = NamedSharding(mesh, P(None, "z", None, None))
+
+    def loss_of(params, t):
+        fs = fields_mod.generate_fields(g, mcfg, params, t, g.dt)
+        fs = FieldSnapshots(
+            sigma_tm1=jax.lax.with_sharding_constraint(fs.sigma_tm1, s),
+            sigma_t=jax.lax.with_sharding_constraint(fs.sigma_t, s),
+            sigma_tp1=jax.lax.with_sharding_constraint(fs.sigma_tp1, s),
+            u_tm1=jax.lax.with_sharding_constraint(fs.u_tm1, v),
+            u_t=jax.lax.with_sharding_constraint(fs.u_t, v),
+            u_tp1=jax.lax.with_sharding_constraint(fs.u_tp1, v),
+        )
+        return ops.total_loss(g, w, fs)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, t):
+        loss, grads = jax.value_and_grad(loss_of)(params, t)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    def init(params):
+        params = {k: jax.device_put(v_, param_sh[k]) for k, v_ in params.items()}
+        opt_state = opt.init(params)
+        return params, opt_state
+
+    return step, init

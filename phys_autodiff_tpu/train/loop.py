@@ -1,0 +1,136 @@
+"""The closed training loop: MLP weights optimized against the physics loss.
+
+The reference planned this as Goal B / milestone M6 (REQUIREMENT.md:11,
+155-169: "physics-only training", loss must drop >= 90% in K steps) but never
+built it — its MLP backward hard-codes an MSE-vs-target head with no way to
+inject the physics VJP (src/mlp_cuda.cu:123-184, survey §3.5). Here the whole
+chain MLP -> fields -> residuals -> loss is differentiable, so the loop is
+one jax.value_and_grad plus an optax update, jitted end to end.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from phys_autodiff_tpu import ops
+from phys_autodiff_tpu.models import fields as fields_mod
+from phys_autodiff_tpu.models import mlp
+from phys_autodiff_tpu.utils.config import GridSpec, MLPGridConfig, PhysWeights
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    steps: int = 200
+    learning_rate: float = 1e-3
+    optimizer: str = "adam"  # "adam" | "sgd"
+    t: float = 0.25  # snapshot time ("fixed") or sampling base
+    t_sampling: str = "fixed"  # "fixed" | "uniform" (t ~ U(0,1) per step)
+    seed: int = 0
+    log_every: int = 10
+    use_fused: bool = False  # route field generation through the Pallas kernel
+
+
+class TrainState(NamedTuple):
+    params: mlp.Params
+    opt_state: Any
+    step: jnp.ndarray  # scalar int32
+    key: jnp.ndarray
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    if cfg.optimizer == "adam":
+        return optax.adam(cfg.learning_rate)
+    if cfg.optimizer == "sgd":
+        return optax.sgd(cfg.learning_rate)
+    raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+
+
+def init_state(
+    cfg: TrainConfig, mcfg: MLPGridConfig, seed: int | None = None
+) -> TrainState:
+    params = mlp.init_params(mcfg.dims, seed=cfg.seed if seed is None else seed)
+    opt = make_optimizer(cfg)
+    return TrainState(
+        params=params,
+        opt_state=opt.init(params),
+        step=jnp.int32(0),
+        key=jax.random.PRNGKey(cfg.seed),
+    )
+
+
+def loss_fn(
+    g: GridSpec,
+    w: PhysWeights,
+    mcfg: MLPGridConfig,
+    params: mlp.Params,
+    t,
+    use_fused: bool = False,
+):
+    """Scalar physics loss of the MLP-generated fields at time t."""
+    if use_fused:
+        from phys_autodiff_tpu.pallas.mlp import generate_fields_fused
+
+        fs = generate_fields_fused(g, mcfg, params, t)
+    else:
+        fs = fields_mod.generate_fields(g, mcfg, params, t, g.dt)
+    return ops.total_loss(g, w, fs)
+
+
+def make_train_step(
+    g: GridSpec, w: PhysWeights, mcfg: MLPGridConfig, cfg: TrainConfig
+) -> Callable[[TrainState], tuple[TrainState, jnp.ndarray]]:
+    """Returns the jitted (state) -> (state', loss) step."""
+    opt = make_optimizer(cfg)
+
+    def step(state: TrainState):
+        key, sub = jax.random.split(state.key)
+        if cfg.t_sampling == "uniform":
+            t = jax.random.uniform(sub, ())
+        else:
+            t = jnp.float32(cfg.t)
+        loss, grads = jax.value_and_grad(
+            lambda p: loss_fn(g, w, mcfg, p, t, cfg.use_fused)
+        )(state.params)
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(params, opt_state, state.step + 1, key),
+            loss,
+        )
+
+    return jax.jit(step)
+
+
+def fit(
+    g: GridSpec,
+    w: PhysWeights,
+    mcfg: MLPGridConfig,
+    cfg: TrainConfig,
+    state: TrainState | None = None,
+    callback: Callable[[int, float], None] | None = None,
+):
+    """Run the loop; returns (final_state, loss_history list[float]).
+
+    The reference's acceptance criterion (REQUIREMENT.md:164-169): the loss
+    should drop >= 90% within the configured number of steps.
+    """
+    if state is None:
+        state = init_state(cfg, mcfg)
+    step = make_train_step(g, w, mcfg, cfg)
+    history = []
+    t0 = time.perf_counter()
+    for i in range(cfg.steps):
+        state, loss = step(state)
+        if i % cfg.log_every == 0 or i == cfg.steps - 1:
+            loss_f = float(loss)
+            history.append((int(state.step), loss_f))
+            if callback:
+                callback(int(state.step), loss_f)
+    elapsed = time.perf_counter() - t0
+    return state, history, elapsed

@@ -1,0 +1,92 @@
+"""On-hardware parity sweep: runs the fused-vs-staged ladder compiled on the
+real TPU (the pytest suite runs these in interpret mode on CPU; this script
+is the hardware arm). Run from the repo root:
+
+    PYTHONPATH=.:$PYTHONPATH python scripts/tpu_parity.py
+"""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from phys_autodiff_tpu import ops
+from phys_autodiff_tpu.ops.stencil import FieldSnapshots
+from phys_autodiff_tpu.pallas import (
+    loss_backward_fused,
+    loss_forward_fused,
+    residuals_fused,
+)
+from phys_autodiff_tpu.pallas.mlp import generate_fields_fused
+from phys_autodiff_tpu.models import fields as fields_mod
+from phys_autodiff_tpu.models import mlp
+from phys_autodiff_tpu.ref import manufactured
+from phys_autodiff_tpu.utils import tolerances as tol
+from phys_autodiff_tpu.utils.config import (
+    GridSpec,
+    MLPDims,
+    MLPGridConfig,
+    PhysWeights,
+)
+from phys_autodiff_tpu.utils.metrics import max_abs_err, rel_l2_err
+
+L = 2 * np.pi
+FAILURES = []
+
+
+def check(name, err, bound):
+    ok = err <= bound
+    print(f"  {'PASS' if ok else 'FAIL'} {name}: {err:.3e} (<= {bound:.0e})")
+    if not ok:
+        FAILURES.append(name)
+
+
+def run(nx, ny, nz, periodic):
+    g = GridSpec(nx=nx, ny=ny, nz=nz, hx=L / nx, hy=L / ny, hz=L / nz,
+                 dt=1e-3, periodic=periodic)
+    print(f"grid {nx}x{ny}x{nz} periodic={periodic}")
+    f = manufactured.solution2_fields(g, 0.7)
+    fs = FieldSnapshots(**{k: jnp.asarray(v) for k, v in f.items()})
+    w = PhysWeights(w_sigma=1.3, w_u=0.7)
+
+    rs_s, ru_s = jax.jit(lambda x: ops.residuals(g, x))(fs)
+    rs_f, ru_f = jax.jit(lambda x: residuals_fused(g, x))(fs)
+    check("residuals R_sigma rel", rel_l2_err(rs_f, rs_s), tol.FUSED_VS_STAGED_REL)
+    check("residuals R_u max", max_abs_err(ru_f, ru_s), tol.FUSED_VS_STAGED_MAX)
+
+    gs_f, gu_f = jax.jit(lambda x: loss_backward_fused(g, w, x))(fs)
+    gs_s, gu_s = ops.loss_backward(g, w, rs_s, ru_s)
+    check("fused backward rel", rel_l2_err(gs_f, gs_s), tol.FUSED_VS_STAGED_REL)
+
+    ls64, lu64 = ops.loss_forward_f64(g, w, fs)
+    ls_f, lu_f = jax.jit(lambda x: loss_forward_fused(g, w, x))(fs)
+    check("fused loss L_sigma rel",
+          abs(float(ls_f) - float(ls64)) / abs(float(ls64)), 1e-6)
+    check("fused loss L_u rel",
+          abs(float(lu_f) - float(lu64)) / abs(float(lu64)), 1e-6)
+
+
+def run_mlp(nx, ny, nz):
+    g = GridSpec(nx=nx, ny=ny, nz=nz, dt=1e-3)
+    cfg = MLPGridConfig(dims=MLPDims(H=128))
+    params = mlp.init_params(cfg.dims, seed=777)
+    print(f"mlp grid {nx}x{ny}x{nz} H=128")
+    fs_p = jax.jit(lambda p: fields_mod.generate_fields(g, cfg, p, 0.25, g.dt))(params)
+    fs_f = jax.jit(lambda p: generate_fields_fused(g, cfg, p, 0.25))(params)
+    check("mlp fused sigma rel", rel_l2_err(fs_f.sigma_t, fs_p.sigma_t),
+          tol.MLP_INFER_REL)
+    check("mlp fused u rel", rel_l2_err(fs_f.u_t, fs_p.u_t), tol.MLP_INFER_REL)
+
+
+if __name__ == "__main__":
+    print("devices:", jax.devices())
+    run(128, 96, 96, True)   # slab kernel
+    run(128, 96, 96, False)
+    run(96, 96, 64, True)    # plane kernel
+    run(64, 64, 64, False)
+    run_mlp(128, 96, 96)
+    if FAILURES:
+        print("FAILURES:", FAILURES)
+        sys.exit(1)
+    print("ALL PASS")

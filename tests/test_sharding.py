@@ -1,0 +1,119 @@
+"""Multi-chip == single-chip parity on an 8-device CPU mesh.
+
+New capability relative to the reference (strictly single-GPU, survey §2).
+Covers both arms: the GSPMD-partitioned staged path (XLA inserts the halo
+collectives) and the shard_map + ppermute explicit-halo path running the
+fused Pallas kernel per shard.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from phys_autodiff_tpu import ops
+from phys_autodiff_tpu.models import mlp
+from phys_autodiff_tpu.ops.stencil import FieldSnapshots
+from phys_autodiff_tpu.parallel import (
+    make_mesh,
+    make_sharded_train_step,
+    residuals_fused_sharded,
+    residuals_sharded,
+    shard_fields,
+)
+from phys_autodiff_tpu.ref import manufactured
+from phys_autodiff_tpu.train import TrainConfig, init_state, make_train_step
+from phys_autodiff_tpu.utils.config import (
+    GridSpec,
+    MLPDims,
+    MLPGridConfig,
+    PhysWeights,
+)
+from phys_autodiff_tpu.utils.metrics import max_abs_err, rel_l2_err
+
+L = 2 * np.pi
+N_DEV = 8
+
+
+def _grid(periodic=True, nx=32):
+    # nz = 16 -> 2 planes per device on the 8-device mesh
+    return GridSpec(
+        nx=nx, ny=16, nz=16, hx=L / nx, hy=L / 16, hz=L / 16, dt=1e-3,
+        periodic=periodic,
+    )
+
+
+def _snapshots(g):
+    f = manufactured.solution2_fields(g, 0.7)
+    return FieldSnapshots(**{k: jnp.asarray(v) for k, v in f.items()})
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= N_DEV, "conftest must provide 8 CPU devices"
+    return make_mesh(N_DEV)
+
+
+@pytest.mark.parametrize("periodic", [True, False], ids=["periodic", "clamp"])
+def test_gspmd_residuals_match_single_device(mesh, periodic):
+    g = _grid(periodic)
+    fs = _snapshots(g)
+    rs_1, ru_1 = jax.jit(lambda x: ops.residuals(g, x))(fs)
+    fs_sharded = shard_fields(mesh, fs)
+    rs_n, ru_n = jax.jit(lambda x: residuals_sharded(g, mesh, x))(fs_sharded)
+    assert rel_l2_err(rs_n, rs_1) <= 1e-7
+    assert max_abs_err(rs_n, rs_1) <= 1e-6
+    assert rel_l2_err(ru_n, ru_1) <= 1e-7
+
+
+@pytest.mark.parametrize("periodic", [True, False], ids=["periodic", "clamp"])
+def test_shard_map_fused_residuals_match_single_device(mesh, periodic):
+    g = _grid(periodic)
+    fs = _snapshots(g)
+    rs_1, ru_1 = jax.jit(lambda x: ops.residuals(g, x))(fs)
+    rs_n, ru_n = jax.jit(
+        lambda x: residuals_fused_sharded(g, mesh, x, interpret=True)
+    )(shard_fields(mesh, fs))
+    assert rel_l2_err(rs_n, rs_1) <= 1e-7
+    assert max_abs_err(rs_n, rs_1) <= 1e-6
+    assert rel_l2_err(ru_n, ru_1) <= 1e-7
+
+
+def test_sharded_loss_matches_single_device(mesh):
+    g = _grid()
+    fs = _snapshots(g)
+    w = PhysWeights(w_sigma=1.7, w_u=0.9)
+    ls_1, lu_1 = jax.jit(lambda x: ops.loss_forward(g, w, x))(fs)
+
+    def sharded_loss(x):
+        rs, ru = residuals_sharded(g, mesh, x)
+        return ops.loss_terms(g, w, rs, ru)
+
+    ls_n, lu_n = jax.jit(sharded_loss)(shard_fields(mesh, fs))
+    # f32 reduction order differs between the partitioned (per-shard + psum)
+    # and single-device sums; the 1e-7 doctrine is carried by the f64 arm.
+    assert abs(float(ls_n) - float(ls_1)) / abs(float(ls_1)) <= 1e-4
+    assert abs(float(lu_n) - float(lu_1)) / abs(float(lu_1)) <= 1e-4
+
+
+def test_sharded_train_step_matches_single_device(mesh):
+    """One full sharded train step (replicated params, z-sharded fields,
+    all-reduced gradients) vs the single-device step."""
+    g = _grid()
+    w = PhysWeights()
+    mcfg = MLPGridConfig(dims=MLPDims(H=32))
+    cfg = TrainConfig(steps=1, learning_rate=1e-3, t=0.25, seed=5)
+
+    # single-device
+    state = init_state(cfg, mcfg)
+    step1 = make_train_step(g, w, mcfg, cfg)
+    state1, loss1 = step1(state)
+
+    # sharded
+    step_n, init_n = make_sharded_train_step(g, w, mcfg, mesh, cfg.learning_rate)
+    params_n, opt_n = init_n(mlp.init_params(mcfg.dims, seed=cfg.seed))
+    params_n, opt_n, loss_n = step_n(params_n, opt_n, jnp.float32(cfg.t))
+
+    assert abs(float(loss_n) - float(loss1)) / abs(float(loss1)) <= 1e-6
+    for k in state1.params:
+        assert rel_l2_err(params_n[k], state1.params[k]) <= 1e-6, k
