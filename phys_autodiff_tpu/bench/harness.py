@@ -203,14 +203,24 @@ def bench_pipeline(g: GridSpec, h=128, iters=DEFAULT_ITERS, seed=777) -> list:
     w = PhysWeights()
     fs = random_fields(g)
 
+    staged_res = lambda x: ops.residuals(g, x)
+    fused_res = lambda x: residuals_fused(g, x)
+    ms_phys = {
+        "nonfused": time_residual_op(staged_res, fs),
+        "fused": time_residual_op(fused_res, fs),
+    }
+    ms_phys["fused_bf16"] = ms_phys["fused"]  # same residual kernel
+
+    gens = {
+        "nonfused": lambda p: fields_mod.generate_fields(g, cfg, p, 0.25, g.dt),
+        "fused": lambda p: generate_fields_fused(g, cfg, p, 0.25),
+        # REQUIREMENT.md:124-130's mixed-precision milestone: bf16 MXU inputs
+        # with f32 accumulation (tolerance class 1e-3).
+        "fused_bf16": lambda p: generate_fields_fused(g, cfg, p, 0.25, "bf16"),
+    }
     rows = []
-    for variant in ("nonfused", "fused"):
-        if variant == "fused":
-            res_fn = lambda x: residuals_fused(g, x)
-            gen_fn = lambda p: generate_fields_fused(g, cfg, p, 0.25)
-        else:
-            res_fn = lambda x: ops.residuals(g, x)
-            gen_fn = lambda p: fields_mod.generate_fields(g, cfg, p, 0.25, g.dt)
+    for variant, gen_fn in gens.items():
+        res_fn = staged_res if variant == "nonfused" else fused_res
 
         def total(p, res_fn=res_fn, gen_fn=gen_fn):
             f2 = gen_fn(p)
@@ -218,13 +228,12 @@ def bench_pipeline(g: GridSpec, h=128, iters=DEFAULT_ITERS, seed=777) -> list:
             ls, lu = ops.loss_terms(g, w, rs, ru)
             return ls + lu
 
-        ms_phys = time_residual_op(res_fn, fs)
         ms_mlp = time_fieldgen(gen_fn, params)
         ms_total = time_scalar_pipeline(total, params)
         rows.append(
             PipelineRow(
                 variant, g.nx, g.ny, g.nz, iters,
-                ms_kernel=ms_phys, ms_phys_e2e=ms_phys,
+                ms_kernel=ms_phys[variant], ms_phys_e2e=ms_phys[variant],
                 ms_mlp=ms_mlp, ms_total=ms_total,
             )
         )

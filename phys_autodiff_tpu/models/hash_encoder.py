@@ -1,0 +1,127 @@
+"""Multiresolution hash encoding (Instant-NGP style) — framework extension.
+
+The reference has NO hash grid (SURVEY.md §0: its "mlp_grid" is a dense
+coordinate MLP), but the project's north star frames it as an NGP-style
+system, and the retrieved papers (PAPERS.md: Instant-NGP, hash-encoded
+PINNs) point this way. This module adds the encoder as an extension on top
+of the same field-generation API, so the physics loss can train either the
+plain coordinate MLP or a hash-encoded field.
+
+Technique (public, from the Instant-NGP paper): L resolution levels with
+per-level feature tables of T entries x F features; a 3D coordinate is
+scaled to the level resolution, its 8 surrounding corners are hashed into
+the table (xor of per-dimension primes, mod T), and the gathered features
+are trilinearly interpolated; level outputs concatenate into the encoding.
+
+TPU-first notes:
+  * Implemented as batched jnp gathers (jnp.take) over [T, F] tables —
+    XLA lowers these to dynamic-gathers and the backward to scatter-adds.
+  * Levels are stacked into one [L, T, F] parameter so a single gather per
+    corner serves all levels.
+  * Feature dim F is kept on the last axis (lanes).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Per-dimension hashing primes from the Instant-NGP paper; dim 0 is left
+# unmultiplied (prime 1) like the original.
+_PRIMES = (1, 2654435761, 805459861)
+
+
+@dataclasses.dataclass(frozen=True)
+class HashEncodingConfig:
+    num_levels: int = 8  # L
+    features_per_level: int = 2  # F
+    log2_table_size: int = 14  # T = 2^14 entries per level
+    base_resolution: int = 4  # N_min
+    max_resolution: int = 128  # N_max (sets the growth factor)
+
+    @property
+    def table_size(self) -> int:
+        return 1 << self.log2_table_size
+
+    @property
+    def out_dim(self) -> int:
+        return self.num_levels * self.features_per_level
+
+    def level_resolutions(self) -> np.ndarray:
+        """Geometric schedule N_l = floor(N_min * b^l)."""
+        if self.num_levels == 1:
+            return np.asarray([self.base_resolution])
+        b = np.exp(
+            (np.log(self.max_resolution) - np.log(self.base_resolution))
+            / (self.num_levels - 1)
+        )
+        return np.floor(
+            self.base_resolution * b ** np.arange(self.num_levels)
+        ).astype(np.int64)
+
+
+def init_hash_params(
+    cfg: HashEncodingConfig, seed: int = 0, scale: float = 1e-4
+) -> jnp.ndarray:
+    """Uniform(-scale, scale) table init (the paper's initialization).
+    Shape [L, T, F]."""
+    rng = np.random.Generator(np.random.MT19937(seed))
+    return jnp.asarray(
+        rng.uniform(
+            -scale,
+            scale,
+            size=(cfg.num_levels, cfg.table_size, cfg.features_per_level),
+        ).astype(np.float32)
+    )
+
+
+def _hash_corner(ix, iy, iz, table_size: int):
+    """Spatial hash of integer corner coords -> table index. uint32 xor of
+    per-dimension primes, mod table size (a power of two)."""
+    h = (
+        ix.astype(jnp.uint32) * np.uint32(_PRIMES[0])
+        ^ iy.astype(jnp.uint32) * np.uint32(_PRIMES[1])
+        ^ iz.astype(jnp.uint32) * np.uint32(_PRIMES[2])
+    )
+    return (h & np.uint32(table_size - 1)).astype(jnp.int32)
+
+
+def encode(cfg: HashEncodingConfig, tables: jnp.ndarray, coords: jnp.ndarray):
+    """Encode 3D coordinates in [0, 1].
+
+    tables: [L, T, F]; coords: [..., 3] -> [..., L*F].
+    Differentiable in `tables` (and in `coords` through the interpolation
+    weights).
+    """
+    batch_shape = coords.shape[:-1]
+    x = coords.reshape(-1, 3)  # [N, 3]
+    n = x.shape[0]
+    res = jnp.asarray(cfg.level_resolutions(), jnp.float32)  # [L]
+
+    # Scaled coordinates per level: [L, N, 3]
+    xs = x[None, :, :] * (res[:, None, None] - 1.0)
+    x0 = jnp.floor(xs)
+    frac = xs - x0  # [L, N, 3]
+    x0 = x0.astype(jnp.int32)
+
+    feats = []
+    for corner in range(8):
+        dx, dy, dz = corner & 1, (corner >> 1) & 1, (corner >> 2) & 1
+        cx = x0[..., 0] + dx
+        cy = x0[..., 1] + dy
+        cz = x0[..., 2] + dz
+        idx = _hash_corner(cx, cy, cz, cfg.table_size)  # [L, N]
+        # gather per level: tables [L, T, F] indexed along T
+        f = jnp.take_along_axis(
+            tables, idx[:, :, None].astype(jnp.int32), axis=1
+        )  # [L, N, F]
+        wx = jnp.where(dx == 1, frac[..., 0], 1.0 - frac[..., 0])
+        wy = jnp.where(dy == 1, frac[..., 1], 1.0 - frac[..., 1])
+        wz = jnp.where(dz == 1, frac[..., 2], 1.0 - frac[..., 2])
+        feats.append(f * (wx * wy * wz)[:, :, None])
+    out = sum(feats)  # [L, N, F]
+    out = jnp.moveaxis(out, 0, 1).reshape(n, cfg.out_dim)
+    return out.reshape(*batch_shape, cfg.out_dim)

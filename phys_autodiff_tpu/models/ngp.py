@@ -1,0 +1,127 @@
+"""NGP-style field model: multiresolution hash encoding + small MLP head.
+
+Extension beyond the reference (which only has the dense coordinate MLP —
+SURVEY.md §0): the hash-encoded field maps (x, y, z) through the
+multiresolution hash tables, concatenates normalized time, and decodes with
+a small MLP into the four physics channels [sigma, ux, uy, uz]. It plugs
+into the same FieldSnapshots / physics-loss pipeline and is trainable end to
+end through jax.grad (tables and head together).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from phys_autodiff_tpu.models import hash_encoder
+from phys_autodiff_tpu.models.hash_encoder import HashEncodingConfig
+from phys_autodiff_tpu.ops.stencil import FieldSnapshots
+from phys_autodiff_tpu.utils.config import GridSpec
+
+
+@dataclasses.dataclass(frozen=True)
+class NGPFieldConfig:
+    encoding: HashEncodingConfig = dataclasses.field(
+        default_factory=HashEncodingConfig
+    )
+    hidden: int = 64
+    out: int = 4  # [sigma, ux, uy, uz]
+
+    @property
+    def head_in(self) -> int:
+        return self.encoding.out_dim + 1  # + normalized time channel
+
+
+def init_ngp_params(cfg: NGPFieldConfig, seed: int = 0) -> dict:
+    rng = np.random.Generator(np.random.MT19937(seed + 1))
+    lim1 = float(np.sqrt(6.0 / (cfg.head_in + cfg.hidden)))
+    lim2 = float(np.sqrt(6.0 / (cfg.hidden + cfg.out)))
+    return {
+        "tables": hash_encoder.init_hash_params(cfg.encoding, seed=seed),
+        "W1": jnp.asarray(
+            rng.uniform(-lim1, lim1, (cfg.head_in, cfg.hidden)).astype(np.float32)
+        ),
+        "b1": jnp.zeros((cfg.hidden,), jnp.float32),
+        "W2": jnp.asarray(
+            rng.uniform(-lim2, lim2, (cfg.hidden, cfg.out)).astype(np.float32)
+        ),
+        "b2": jnp.zeros((cfg.out,), jnp.float32),
+    }
+
+
+def forward(cfg: NGPFieldConfig, params: dict, coords: jnp.ndarray, t):
+    """coords: [..., 3] spatial in [0, 1]; t: scalar. Returns [..., out]."""
+    enc = hash_encoder.encode(cfg.encoding, params["tables"], coords)
+    t_chan = jnp.broadcast_to(jnp.float32(t), enc.shape[:-1] + (1,))
+    h = jnp.concatenate([enc, t_chan], axis=-1)
+    z1 = (
+        jnp.dot(h, params["W1"], preferred_element_type=jnp.float32)
+        + params["b1"]
+    )
+    a1 = jnp.maximum(z1, 0.0)
+    return (
+        jnp.dot(a1, params["W2"], preferred_element_type=jnp.float32)
+        + params["b2"]
+    )
+
+
+def _unit_coords(g: GridSpec) -> jnp.ndarray:
+    """Spatial grid coordinates in [0, 1], [nz, ny, nx, 3]."""
+
+    def axis(n):
+        if n <= 1:
+            return jnp.zeros((max(n, 1),), jnp.float32)
+        return jnp.arange(n, dtype=jnp.float32) / jnp.float32(n - 1)
+
+    cx, cy, cz = axis(g.nx), axis(g.ny), axis(g.nz)
+    shape = g.shape
+    return jnp.stack(
+        [
+            jnp.broadcast_to(cx[None, None, :], shape),
+            jnp.broadcast_to(cy[None, :, None], shape),
+            jnp.broadcast_to(cz[:, None, None], shape),
+        ],
+        axis=-1,
+    )
+
+
+def grid_infer(g: GridSpec, cfg: NGPFieldConfig, params: dict, t):
+    """[nz, ny, nx, out] — hash-encoded analogue of models.fields.grid_infer."""
+    return forward(cfg, params, _unit_coords(g), t)
+
+
+def generate_fields(
+    g: GridSpec, cfg: NGPFieldConfig, params: dict, t, dt
+) -> FieldSnapshots:
+    """Fields at t-dt, t, t+dt; the hash encoding is shared across the three
+    slices (time enters only through the head), so it is computed once."""
+    coords = _unit_coords(g)
+    enc = hash_encoder.encode(cfg.encoding, params["tables"], coords)
+
+    def head(tt):
+        t_chan = jnp.broadcast_to(jnp.float32(tt), enc.shape[:-1] + (1,))
+        h = jnp.concatenate([enc, t_chan], axis=-1)
+        a1 = jnp.maximum(
+            jnp.dot(h, params["W1"], preferred_element_type=jnp.float32)
+            + params["b1"],
+            0.0,
+        )
+        return (
+            jnp.dot(a1, params["W2"], preferred_element_type=jnp.float32)
+            + params["b2"]
+        )
+
+    ys = [head(jnp.float32(t) - jnp.float32(dt)), head(t), head(jnp.float32(t) + jnp.float32(dt))]
+    sigmas = [y[..., 0] for y in ys]
+    us = [jnp.moveaxis(y[..., 1:4], -1, -4) for y in ys]
+    return FieldSnapshots(
+        sigma_tm1=sigmas[0],
+        sigma_t=sigmas[1],
+        sigma_tp1=sigmas[2],
+        u_tm1=us[0],
+        u_t=us[1],
+        u_tp1=us[2],
+    )

@@ -93,25 +93,48 @@ def _build_call(g: GridSpec, h: int, yb: int, n_slices: int, precision, interpre
         jax.lax.Precision.HIGHEST if precision == "f32" else jax.lax.Precision.DEFAULT
     )
 
+    dims = (((1,), (0,)), ((), ()))
+
     def kernel(ab_ref, cd_ref, w2_ref, b2_ref, sigma_ref, u_ref):
         ab = ab_ref[0]  # [H, YB, nx]
         cd = cd_ref[0]  # [H, S]
         w2 = w2_ref[...]  # [Out, H]
         if precision == "bf16":
             w2 = w2.astype(jnp.bfloat16)
+        elif precision == "bf16x3":
+            w_hi = w2.astype(jnp.bfloat16)
+            w_lo = (w2 - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         b2 = b2_ref[...]  # [1, Out]
         for s in range(n_slices):
             z1 = ab + cd[:, s][:, None, None]
             a1 = jnp.maximum(z1, 0.0)
             if precision == "bf16":
                 a1 = a1.astype(jnp.bfloat16)
-            y = jax.lax.dot_general(
-                w2,
-                a1,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=dot_prec,
-            )  # [Out, YB, nx]
+            if precision == "bf16x3":
+                # Split-precision product: (w_hi + w_lo)(a_hi + a_lo) without
+                # the lo*lo term — three bf16 MXU passes with f32
+                # accumulation, ~f32 accuracy at a fraction of the cost.
+                a_hi = a1.astype(jnp.bfloat16)
+                a_lo = (a1 - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                y = (
+                    jax.lax.dot_general(
+                        w_hi, a_hi, dims, preferred_element_type=jnp.float32
+                    )
+                    + jax.lax.dot_general(
+                        w_hi, a_lo, dims, preferred_element_type=jnp.float32
+                    )
+                    + jax.lax.dot_general(
+                        w_lo, a_hi, dims, preferred_element_type=jnp.float32
+                    )
+                )
+            else:
+                y = jax.lax.dot_general(
+                    w2,
+                    a1,
+                    dimension_numbers=dims,
+                    preferred_element_type=jnp.float32,
+                    precision=dot_prec,
+                )  # [Out, YB, nx]
             sigma_ref[s, 0] = y[0] + b2[0, 0]
             u_ref[s, 0, 0] = y[1] + b2[0, 1]
             u_ref[s, 1, 0] = y[2] + b2[0, 2]

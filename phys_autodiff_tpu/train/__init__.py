@@ -4,7 +4,10 @@ from phys_autodiff_tpu.train.loop import (
     init_state,
     loss_fn,
     make_train_step,
+    make_train_epoch,
     fit,
+    fit_scan,
+    make_generic_train_step,
 )
 from phys_autodiff_tpu.train import checkpoint
 
@@ -14,6 +17,9 @@ __all__ = [
     "init_state",
     "loss_fn",
     "make_train_step",
+    "make_train_epoch",
     "fit",
+    "fit_scan",
+    "make_generic_train_step",
     "checkpoint",
 ]

@@ -86,6 +86,38 @@ def make_train_step(
     g: GridSpec, w: PhysWeights, mcfg: MLPGridConfig, cfg: TrainConfig
 ) -> Callable[[TrainState], tuple[TrainState, jnp.ndarray]]:
     """Returns the jitted (state) -> (state', loss) step."""
+    return jax.jit(_make_step_fn(g, w, mcfg, cfg))
+
+
+def make_train_epoch(
+    g: GridSpec,
+    w: PhysWeights,
+    mcfg: MLPGridConfig,
+    cfg: TrainConfig,
+    steps_per_call: int,
+):
+    """Scan-based multi-step trainer: runs `steps_per_call` optimizer steps
+    inside ONE jitted program (lax.scan), returning the per-step loss trace.
+
+    This is the production shape of the loop — one dispatch per epoch rather
+    than per step — and on dispatch-latency-bound setups it is orders of
+    magnitude faster wall-clock than the step-at-a-time loop.
+    """
+    step = _make_step_fn(g, w, mcfg, cfg)
+
+    @jax.jit
+    def epoch(state: TrainState):
+        def body(state, _):
+            state, loss = step(state)
+            return state, loss
+
+        return jax.lax.scan(body, state, None, length=steps_per_call)
+
+    return epoch
+
+
+def _make_step_fn(g, w, mcfg, cfg):
+    """Unjitted single step (shared by make_train_step and make_train_epoch)."""
     opt = make_optimizer(cfg)
 
     def step(state: TrainState):
@@ -99,12 +131,9 @@ def make_train_step(
         )(state.params)
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        return (
-            TrainState(params, opt_state, state.step + 1, key),
-            loss,
-        )
+        return TrainState(params, opt_state, state.step + 1, key), loss
 
-    return jax.jit(step)
+    return step
 
 
 def fit(
@@ -134,3 +163,70 @@ def fit(
                 callback(int(state.step), loss_f)
     elapsed = time.perf_counter() - t0
     return state, history, elapsed
+
+
+def fit_scan(
+    g: GridSpec,
+    w: PhysWeights,
+    mcfg: MLPGridConfig,
+    cfg: TrainConfig,
+    state: TrainState | None = None,
+    callback: Callable[[int, float], None] | None = None,
+    steps_per_call: int | None = None,
+):
+    """Like fit(), but runs the loop on-device with lax.scan: one dispatch
+    per `steps_per_call` steps (default: log_every). Returns the same
+    (state, history, elapsed) with the full per-step loss trace folded into
+    history at log_every granularity."""
+    if state is None:
+        state = init_state(cfg, mcfg)
+    chunk = steps_per_call or max(1, cfg.log_every)
+    epoch = make_train_epoch(g, w, mcfg, cfg, chunk)
+    history = []
+    t0 = time.perf_counter()
+    done = 0
+    while done < cfg.steps:
+        state, losses = epoch(state)
+        done += chunk
+        loss_f = float(losses[-1])
+        history.append((int(state.step), loss_f))
+        if callback:
+            callback(int(state.step), loss_f)
+    elapsed = time.perf_counter() - t0
+    return state, history, elapsed
+
+
+def make_generic_train_step(
+    g: GridSpec,
+    w: PhysWeights,
+    generate_fn,
+    cfg: TrainConfig,
+    params0,
+):
+    """Model-agnostic training step for any differentiable field generator
+    `generate_fn(params, t) -> FieldSnapshots` (plain MLP, fused-MLP, NGP
+    hash field, ...). Returns (jitted_step, initial TrainState)."""
+    opt = make_optimizer(cfg)
+
+    def step(state: TrainState):
+        key, sub = jax.random.split(state.key)
+        if cfg.t_sampling == "uniform":
+            t = jax.random.uniform(sub, ())
+        else:
+            t = jnp.float32(cfg.t)
+
+        def loss_of(p):
+            return ops.total_loss(g, w, generate_fn(p, t))
+
+        loss, grads = jax.value_and_grad(loss_of)(state.params)
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1, key), loss
+
+    state0 = TrainState(
+        params=params0,
+        opt_state=opt.init(params0),
+        step=jnp.int32(0),
+        key=jax.random.PRNGKey(cfg.seed),
+    )
+    return jax.jit(step), state0

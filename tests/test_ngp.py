@@ -1,0 +1,103 @@
+"""Hash-encoder / NGP field model tests (framework extension; no reference
+analogue — SURVEY.md §0 notes the reference has no hash grid)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from phys_autodiff_tpu.models import hash_encoder, ngp
+from phys_autodiff_tpu.models.hash_encoder import HashEncodingConfig
+from phys_autodiff_tpu.train import TrainConfig, make_generic_train_step
+from phys_autodiff_tpu.utils.config import GridSpec, PhysWeights
+
+CFG = HashEncodingConfig(
+    num_levels=4, features_per_level=2, log2_table_size=10,
+    base_resolution=4, max_resolution=32,
+)
+
+
+def test_encode_shapes_and_determinism():
+    tables = hash_encoder.init_hash_params(CFG, seed=3)
+    coords = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 1, (17, 3)), jnp.float32
+    )
+    out1 = hash_encoder.encode(CFG, tables, coords)
+    out2 = hash_encoder.encode(CFG, tables, coords)
+    assert out1.shape == (17, CFG.out_dim)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+    # batched shapes
+    out3 = hash_encoder.encode(CFG, tables, coords.reshape(1, 17, 3))
+    assert out3.shape == (1, 17, CFG.out_dim)
+
+
+def test_trilinear_interpolation_at_corners():
+    """At exact level-grid corner points the encoding must equal the single
+    hashed corner feature (all interpolation weight on one corner)."""
+    cfg = HashEncodingConfig(
+        num_levels=1, features_per_level=2, log2_table_size=8,
+        base_resolution=5, max_resolution=5,
+    )
+    tables = hash_encoder.init_hash_params(cfg, seed=1, scale=0.5)
+    # grid point (2, 3, 1) of a resolution-5 level: coord = idx / (res-1)
+    coord = jnp.asarray([[2 / 4, 3 / 4, 1 / 4]], jnp.float32)
+    out = hash_encoder.encode(cfg, tables, coord)
+    idx = hash_encoder._hash_corner(
+        jnp.asarray([2]), jnp.asarray([3]), jnp.asarray([1]), cfg.table_size
+    )
+    expected = np.asarray(tables)[0, int(idx[0])]
+    np.testing.assert_allclose(np.asarray(out)[0], expected, rtol=1e-5)
+
+
+def test_encode_midpoint_is_average():
+    """Halfway between corners along x, the encoding is the mean of the two
+    corner features (all other dims on-corner)."""
+    cfg = HashEncodingConfig(
+        num_levels=1, features_per_level=2, log2_table_size=8,
+        base_resolution=3, max_resolution=3,
+    )
+    tables = hash_encoder.init_hash_params(cfg, seed=2, scale=0.5)
+    t = np.asarray(tables)[0]
+    coord = jnp.asarray([[0.25, 0.0, 0.0]], jnp.float32)  # x=0.5 in level units
+    out = hash_encoder.encode(cfg, tables, coord)
+    i0 = int(hash_encoder._hash_corner(jnp.asarray([0]), jnp.asarray([0]), jnp.asarray([0]), cfg.table_size)[0])
+    i1 = int(hash_encoder._hash_corner(jnp.asarray([1]), jnp.asarray([0]), jnp.asarray([0]), cfg.table_size)[0])
+    np.testing.assert_allclose(np.asarray(out)[0], 0.5 * (t[i0] + t[i1]), rtol=1e-5)
+
+
+def test_encoding_differentiable_in_tables():
+    tables = hash_encoder.init_hash_params(CFG, seed=5)
+    coords = jnp.asarray(
+        np.random.default_rng(1).uniform(0, 1, (32, 3)), jnp.float32
+    )
+
+    def loss(t):
+        return jnp.sum(hash_encoder.encode(CFG, t, coords) ** 2)
+
+    g = jax.jit(jax.grad(loss))(tables)
+    assert g.shape == tables.shape
+    assert float(jnp.sum(jnp.abs(g))) > 0.0
+    assert bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_ngp_generate_fields_and_training():
+    """NGP field model plugs into the physics pipeline and trains: loss must
+    drop substantially in a short run."""
+    g = GridSpec(nx=16, ny=16, nz=8, hx=0.4, hy=0.4, hz=0.8, dt=1e-2)
+    ncfg = ngp.NGPFieldConfig(encoding=CFG, hidden=32)
+    params = ngp.init_ngp_params(ncfg, seed=0)
+
+    fs = jax.jit(lambda p: ngp.generate_fields(g, ncfg, p, 0.25, g.dt))(params)
+    assert fs.sigma_t.shape == g.shape
+    assert fs.u_t.shape == (3,) + g.shape
+    for arr in fs:
+        assert bool(jnp.all(jnp.isfinite(arr)))
+
+    cfg = TrainConfig(steps=150, learning_rate=5e-3, seed=0)
+    step, state = make_generic_train_step(
+        g, PhysWeights(), lambda p, t: ngp.generate_fields(g, ncfg, p, t, g.dt),
+        cfg, params,
+    )
+    state, loss0 = step(state)
+    for _ in range(cfg.steps - 1):
+        state, loss = step(state)
+    assert float(loss) < 0.2 * float(loss0), (float(loss0), float(loss))

@@ -78,3 +78,18 @@ def test_checkpoint_roundtrip_npz(tmp_path):
     s1, l1 = step(state)
     s2, l2 = step(restored)
     assert float(l1) == float(l2)
+
+
+def test_fit_scan_matches_fit():
+    """The scan-based trainer must produce the same trajectory as the
+    host-driven loop (same seed, fixed t)."""
+    from phys_autodiff_tpu.train import fit_scan
+
+    cfg = TrainConfig(steps=20, learning_rate=1e-3, seed=4, log_every=5)
+    s1, h1, _ = fit(G, W, MCFG, cfg)
+    s2, h2, _ = fit_scan(G, W, MCFG, cfg)
+    for k in s1.params:
+        np.testing.assert_allclose(
+            np.asarray(s1.params[k]), np.asarray(s2.params[k]), rtol=1e-6
+        )
+    assert abs(h1[-1][1] - h2[-1][1]) <= 1e-6 * max(1.0, abs(h1[-1][1]))
