@@ -218,15 +218,26 @@ def bench_pipeline(g: GridSpec, h=128, iters=DEFAULT_ITERS, seed=777) -> list:
         # with f32 accumulation (tolerance class 1e-3).
         "fused_bf16": lambda p: generate_fields_fused(g, cfg, p, 0.25, "bf16"),
     }
+    from phys_autodiff_tpu.pallas.mlp import fused_loss_pipeline
+
     rows = []
     for variant, gen_fn in gens.items():
         res_fn = staged_res if variant == "nonfused" else fused_res
 
-        def total(p, res_fn=res_fn, gen_fn=gen_fn):
-            f2 = gen_fn(p)
-            rs, ru = res_fn(f2)
-            ls, lu = ops.loss_terms(g, w, rs, ru)
-            return ls + lu
+        if variant == "nonfused":
+
+            def total(p, res_fn=res_fn, gen_fn=gen_fn):
+                f2 = gen_fn(p)
+                rs, ru = res_fn(f2)
+                ls, lu = ops.loss_terms(g, w, rs, ru)
+                return ls + lu
+
+        else:
+            prec = "bf16" if variant == "fused_bf16" else "f32"
+
+            def total(p, prec=prec):
+                ls, lu = fused_loss_pipeline(g, w, cfg, p, 0.25, prec)
+                return ls + lu
 
         ms_mlp = time_fieldgen(gen_fn, params)
         ms_total = time_scalar_pipeline(total, params)

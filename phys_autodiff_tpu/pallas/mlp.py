@@ -87,7 +87,7 @@ def fold_tables(g: GridSpec, cfg: MLPGridConfig, params: mlp.Params, ts, yb: int
     return ab, cd, params["W2"].T, params["b2"].reshape(1, -1)
 
 
-def _build_call(g: GridSpec, h: int, yb: int, n_slices: int, precision, interpret):
+def _build_call(g: GridSpec, h: int, yb: int, n_slices: int, precision, interpret, packed_out: bool = False):
     nz, ny, nx = g.shape
     dot_prec = (
         jax.lax.Precision.HIGHEST if precision == "f32" else jax.lax.Precision.DEFAULT
@@ -95,7 +95,11 @@ def _build_call(g: GridSpec, h: int, yb: int, n_slices: int, precision, interpre
 
     dims = (((1,), (0,)), ((), ()))
 
-    def kernel(ab_ref, cd_ref, w2_ref, b2_ref, sigma_ref, u_ref):
+    def kernel(ab_ref, cd_ref, w2_ref, b2_ref, *outs):
+        if packed_out:
+            (packed_ref,) = outs
+        else:
+            sigma_ref, u_ref = outs
         ab = ab_ref[0]  # [H, YB, nx]
         cd = cd_ref[0]  # [H, S]
         w2 = w2_ref[...]  # [Out, H]
@@ -135,10 +139,17 @@ def _build_call(g: GridSpec, h: int, yb: int, n_slices: int, precision, interpre
                     preferred_element_type=jnp.float32,
                     precision=dot_prec,
                 )  # [Out, YB, nx]
-            sigma_ref[s, 0] = y[0] + b2[0, 0]
-            u_ref[s, 0, 0] = y[1] + b2[0, 1]
-            u_ref[s, 1, 0] = y[2] + b2[0, 2]
-            u_ref[s, 2, 0] = y[3] + b2[0, 3]
+            if packed_out:
+                # PACKED_ORDER: sigma slices first (chan s), then u channel o
+                # of slice s at chan 3 + s*3 + (o-1).
+                packed_ref[s, 0] = y[0] + b2[0, 0]
+                for o in range(1, 4):
+                    packed_ref[3 + s * 3 + (o - 1), 0] = y[o] + b2[0, o]
+            else:
+                sigma_ref[s, 0] = y[0] + b2[0, 0]
+                u_ref[s, 0, 0] = y[1] + b2[0, 1]
+                u_ref[s, 1, 0] = y[2] + b2[0, 2]
+                u_ref[s, 2, 0] = y[3] + b2[0, 3]
 
     # grid = (y-blocks, z): z innermost so the AB block index is constant
     # along the inner sweep and gets fetched once per y-block.
@@ -148,20 +159,28 @@ def _build_call(g: GridSpec, h: int, yb: int, n_slices: int, precision, interpre
         pl.BlockSpec((4, h), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 4), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
     ]
-    out_specs = (
-        pl.BlockSpec(
-            (n_slices, 1, yb, nx), lambda i, j: (0, j, i, 0), memory_space=pltpu.VMEM
-        ),
-        pl.BlockSpec(
-            (n_slices, 3, 1, yb, nx),
-            lambda i, j: (0, 0, j, i, 0),
+    if packed_out:
+        out_specs = pl.BlockSpec(
+            (4 * n_slices, 1, yb, nx),
+            lambda i, j: (0, j, i, 0),
             memory_space=pltpu.VMEM,
-        ),
-    )
-    out_shape = (
-        jax.ShapeDtypeStruct((n_slices, nz, ny, nx), jnp.float32),
-        jax.ShapeDtypeStruct((n_slices, 3, nz, ny, nx), jnp.float32),
-    )
+        )
+        out_shape = jax.ShapeDtypeStruct((4 * n_slices, nz, ny, nx), jnp.float32)
+    else:
+        out_specs = (
+            pl.BlockSpec(
+                (n_slices, 1, yb, nx), lambda i, j: (0, j, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (n_slices, 3, 1, yb, nx),
+                lambda i, j: (0, 0, j, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        )
+        out_shape = (
+            jax.ShapeDtypeStruct((n_slices, nz, ny, nx), jnp.float32),
+            jax.ShapeDtypeStruct((n_slices, 3, nz, ny, nx), jnp.float32),
+        )
     flops = (2 * h * 4 + h) * g.num_cells * n_slices
     return pl.pallas_call(
         kernel,
@@ -253,3 +272,73 @@ def grid_infer_fused(
     ts = jnp.stack([jnp.float32(t)])
     sigma, u = _grid_infer_fused_fields(g, cfg, params, ts, precision, interpret)
     return jnp.concatenate([sigma[0][..., None], jnp.moveaxis(u[0], 0, -1)], axis=-1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 4, 5))
+def generate_fields_fused_packed(
+    g: GridSpec,
+    cfg: MLPGridConfig,
+    params: mlp.Params,
+    t,
+    precision: str = "f32",
+    interpret=None,
+) -> jnp.ndarray:
+    """Like generate_fields_fused but emits the packed [12, nz, ny, nx]
+    layout (pallas.residuals.PACKED_ORDER) directly from the kernel, so the
+    packed residual/loss kernels compose with zero re-layout cost — the
+    fastest full pipeline. Requires nx % 128 == 0."""
+    if interpret is None:
+        interpret = _default_interpret()
+    if g.nx % 128 != 0:
+        from phys_autodiff_tpu.pallas.residuals import pack_fields
+
+        return pack_fields(fields_mod.generate_fields(g, cfg, params, t, g.dt))
+    t = jnp.float32(t)
+    dt = jnp.float32(g.dt)
+    ts = jnp.stack([t - dt, t, t + dt])
+    h = params["W1"].shape[1]
+    yb = _pick_yb(g.ny, h, g.nx)
+    ab, cd, w2t, b2 = fold_tables(g, cfg, params, ts, yb)
+    call = _build_call(g, h, yb, 3, precision, interpret, packed_out=True)
+    return call(ab, cd, w2t, b2)
+
+
+def _gffp_fwd(g, cfg, params, t, precision, interpret):
+    return generate_fields_fused_packed(g, cfg, params, t, precision, interpret), (
+        params,
+        t,
+    )
+
+
+def _gffp_bwd(g, cfg, precision, interpret, res, cot):
+    from phys_autodiff_tpu.pallas.residuals import pack_fields
+
+    params, t = res
+    _, vjp = jax.vjp(
+        lambda p, tt: pack_fields(fields_mod.generate_fields(g, cfg, p, tt, g.dt)),
+        params,
+        t,
+    )
+    d_params, d_t = vjp(cot)
+    return (d_params, d_t)
+
+
+generate_fields_fused_packed.defvjp(_gffp_fwd, _gffp_bwd)
+
+
+def fused_loss_pipeline(
+    g: GridSpec,
+    w,
+    cfg: MLPGridConfig,
+    params: mlp.Params,
+    t,
+    precision: str = "f32",
+    interpret=None,
+):
+    """The fastest full forward: packed fused MLP generation -> packed fused
+    loss kernel (in-kernel reduction; fields never re-laid-out, residuals
+    never written to HBM). Returns (L_sigma, L_u). Differentiable."""
+    from phys_autodiff_tpu.pallas.residuals import loss_forward_fused_packed
+
+    packed = generate_fields_fused_packed(g, cfg, params, t, precision, interpret)
+    return loss_forward_fused_packed(g, w, packed, interpret)

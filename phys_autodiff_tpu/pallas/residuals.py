@@ -161,12 +161,9 @@ def _slab_residuals(g: GridSpec, s, u3, s_tm1, s_tp1, u_tm1, u_tp1):
 # ---------------------------------------------------------------------------
 
 
-def _halo_copies(g: GridSpec, sz: int, slab, hbm_refs, bufs, sems, slot):
-    """The 3 DMAs per manually-staged field: main slab + two halo planes.
-
-    Source indices implement wrap (periodic) or clamp at the z edges.
-    Returns the list of copy descriptors (callers .start() or .wait() them).
-    """
+def _edge_copies(g: GridSpec, sz: int, slab, hbm_refs, bufs, sems, slot):
+    """Edge-slab staging: 3 DMAs per field — main slab + two single-plane
+    halos whose source indices implement wrap (periodic) or clamp."""
     nz = g.nz
     z0 = slab * sz
     if g.periodic:
@@ -195,6 +192,55 @@ def _halo_copies(g: GridSpec, sz: int, slab, hbm_refs, bufs, sems, slot):
             )
         )
     return copies
+
+
+def _interior_copies(g: GridSpec, sz: int, slab, hbm_refs, bufs, sems, slot):
+    """Interior-slab staging: the halo-extended range [z0-1, z0+sz] is one
+    contiguous block, so each field needs exactly ONE DMA (vs 3 at edges) —
+    per-DMA issue/wait latency dominates these small transfers."""
+    z0 = slab * sz
+    return [
+        pltpu.make_async_copy(
+            src.at[pl.ds(z0 - 1, sz + 2)], dst.at[slot], sems.at[slot, k, 0]
+        )
+        for k, (src, dst) in enumerate(zip(hbm_refs, bufs))
+    ]
+
+
+def _start_slab(g, sz, n_slabs, slab, hbm_refs, bufs, sems, slot):
+    if n_slabs <= 2:  # every slab touches a boundary; sz+2 may exceed nz
+        for c in _edge_copies(g, sz, slab, hbm_refs, bufs, sems, slot):
+            c.start()
+        return
+    is_edge = jnp.logical_or(slab == 0, slab == n_slabs - 1)
+
+    @pl.when(jnp.logical_not(is_edge))
+    def _():
+        for c in _interior_copies(g, sz, slab, hbm_refs, bufs, sems, slot):
+            c.start()
+
+    @pl.when(is_edge)
+    def _():
+        for c in _edge_copies(g, sz, slab, hbm_refs, bufs, sems, slot):
+            c.start()
+
+
+def _wait_slab(g, sz, n_slabs, slab, hbm_refs, bufs, sems, slot):
+    if n_slabs <= 2:
+        for c in _edge_copies(g, sz, slab, hbm_refs, bufs, sems, slot):
+            c.wait()
+        return
+    is_edge = jnp.logical_or(slab == 0, slab == n_slabs - 1)
+
+    @pl.when(jnp.logical_not(is_edge))
+    def _():
+        for c in _interior_copies(g, sz, slab, hbm_refs, bufs, sems, slot):
+            c.wait()
+
+    @pl.when(is_edge)
+    def _():
+        for c in _edge_copies(g, sz, slab, hbm_refs, bufs, sems, slot):
+            c.wait()
 
 
 def _build_fused_call(g: GridSpec, scales, reduce_loss: bool, interpret: bool):
@@ -229,16 +275,13 @@ def _build_fused_call(g: GridSpec, scales, reduce_loss: bool, interpret: bool):
 
         @pl.when(i == 0)
         def _():
-            for c in _halo_copies(g, sz, i, hbm_refs, bufs, sems, slot):
-                c.start()
+            _start_slab(g, sz, n_slabs, i, hbm_refs, bufs, sems, slot)
 
         @pl.when(i + 1 < n_slabs)
         def _():
-            for c in _halo_copies(g, sz, i + 1, hbm_refs, bufs, sems, next_slot):
-                c.start()
+            _start_slab(g, sz, n_slabs, i + 1, hbm_refs, bufs, sems, next_slot)
 
-        for c in _halo_copies(g, sz, i, hbm_refs, bufs, sems, slot):
-            c.wait()
+        _wait_slab(g, sz, n_slabs, i, hbm_refs, bufs, sems, slot)
 
         s = s_buf[slot]
         u3 = (ux_buf[slot], uy_buf[slot], uz_buf[slot])
@@ -420,6 +463,10 @@ def _run_fused(g, fields: FieldSnapshots, scales, reduce_loss, interpret):
     common = (fields.sigma_tm1, fields.sigma_tp1, fields.u_tm1, fields.u_tp1)
     ux, uy, uz = fields.u_t[0], fields.u_t[1], fields.u_t[2]
     if use_slab:
+        # NOTE: the packed kernel (residuals_fused_packed) is ~2x faster than
+        # this multi-stream kernel, but packing separate FieldSnapshots costs
+        # more than it saves; it pays off when the producer already emits the
+        # packed layout (pallas.mlp generate_fields_fused_packed).
         call = _build_fused_call(g, scales, reduce_loss, interpret)
         return call(*common, fields.sigma_t, ux, uy, uz)
     call = _build_plane_call(g, scales, reduce_loss, interpret)
@@ -507,3 +554,282 @@ def loss_forward_fused(
         np.float32(w.w_sigma) * sums[0] * inv_n,
         np.float32(w.w_u) * sums[1] * inv_n,
     )
+
+
+# ---------------------------------------------------------------------------
+# Packed-layout kernel (the fast path)
+# ---------------------------------------------------------------------------
+#
+# Probing this hardware showed the BlockSpec pipeline tops out near ~850 GB/s
+# when a kernel streams many separate arrays (12 inputs + 4 outputs), while a
+# single-stream pipeline reaches multi-TB/s. The packed kernel therefore
+# carries ALL six input fields as one [12, nz, ny, nx] array (channel order
+# below) staged with ONE manual DMA per interior slab, and emits the packed
+# [4, nz, ny, nx] residual block.
+
+#: Channel order of the packed input array.
+PACKED_ORDER = (
+    "sigma_tm1", "sigma_t", "sigma_tp1",
+    "ux_tm1", "uy_tm1", "uz_tm1",
+    "ux_t", "uy_t", "uz_t",
+    "ux_tp1", "uy_tp1", "uz_tp1",
+)
+
+
+def pack_fields(fields: FieldSnapshots) -> jnp.ndarray:
+    """FieldSnapshots -> packed [12, nz, ny, nx] (PACKED_ORDER)."""
+    return jnp.concatenate(
+        [
+            fields.sigma_tm1[None],
+            fields.sigma_t[None],
+            fields.sigma_tp1[None],
+            fields.u_tm1,
+            fields.u_t,
+            fields.u_tp1,
+        ],
+        axis=0,
+    )
+
+
+def unpack_fields(packed: jnp.ndarray) -> FieldSnapshots:
+    return FieldSnapshots(
+        sigma_tm1=packed[0],
+        sigma_t=packed[1],
+        sigma_tp1=packed[2],
+        u_tm1=packed[3:6],
+        u_t=packed[6:9],
+        u_tp1=packed[9:12],
+    )
+
+
+def pick_packed_slab(g: GridSpec, max_sz: int = 16) -> int:
+    """Largest divisor of nz <= max_sz fitting 2x(12*(sz+2)) staging planes +
+    2x(4*sz) output planes in the VMEM budget."""
+    plane_bytes = g.ny * g.nx * 4
+    best = 1
+    for sz in range(1, max_sz + 1):
+        if g.nz % sz != 0:
+            continue
+        planes = 24 * (sz + 2) + 8 * sz
+        if planes * plane_bytes <= _VMEM_BUDGET:
+            best = sz
+    return best
+
+
+def _build_packed_call(g: GridSpec, scales, reduce_loss: bool, interpret: bool):
+    nz, ny, nx = g.shape
+    sz = pick_packed_slab(g)
+    n_slabs = nz // sz
+
+    def start(slab, buf, sems, hbm, slot):
+        z0 = slab * sz
+        if n_slabs <= 2:  # every slab touches a boundary; sz+2 may exceed nz
+            for c in _packed_edge(g, sz, slab, hbm, buf, sems, slot):
+                c.start()
+            return
+        is_edge = jnp.logical_or(slab == 0, slab == n_slabs - 1)
+
+        @pl.when(jnp.logical_not(is_edge))
+        def _():
+            pltpu.make_async_copy(
+                hbm.at[:, pl.ds(z0 - 1, sz + 2)], buf.at[slot], sems.at[slot, 0]
+            ).start()
+
+        @pl.when(is_edge)
+        def _():
+            for c in _packed_edge(g, sz, slab, hbm, buf, sems, slot):
+                c.start()
+
+    def wait(slab, buf, sems, hbm, slot):
+        z0 = slab * sz
+        if n_slabs <= 2:
+            for c in _packed_edge(g, sz, slab, hbm, buf, sems, slot):
+                c.wait()
+            return
+        is_edge = jnp.logical_or(slab == 0, slab == n_slabs - 1)
+
+        @pl.when(jnp.logical_not(is_edge))
+        def _():
+            pltpu.make_async_copy(
+                hbm.at[:, pl.ds(z0 - 1, sz + 2)], buf.at[slot], sems.at[slot, 0]
+            ).wait()
+
+        @pl.when(is_edge)
+        def _():
+            for c in _packed_edge(g, sz, slab, hbm, buf, sems, slot):
+                c.wait()
+
+    def kernel(hbm, *outs_and_scratch):
+        if reduce_loss:
+            part_ref, buf, sems = outs_and_scratch
+        else:
+            out_ref, buf, sems = outs_and_scratch
+        i = pl.program_id(0)
+        slot = jax.lax.rem(i, 2)
+        next_slot = jax.lax.rem(i + 1, 2)
+
+        @pl.when(i == 0)
+        def _():
+            start(i, buf, sems, hbm, slot)
+
+        @pl.when(i + 1 < n_slabs)
+        def _():
+            start(i + 1, buf, sems, hbm, next_slot)
+
+        wait(i, buf, sems, hbm, slot)
+
+        slab = buf[slot]  # [12, sz+2, ny, nx]
+        r_sigma, r_ux, r_uy, r_uz = _slab_residuals(
+            g,
+            slab[1],
+            (slab[6], slab[7], slab[8]),
+            slab[0, 1:-1],
+            slab[2, 1:-1],
+            (slab[3, 1:-1], slab[4, 1:-1], slab[5, 1:-1]),
+            (slab[9, 1:-1], slab[10, 1:-1], slab[11, 1:-1]),
+        )
+        if scales is not None:
+            ss, su = scales
+            r_sigma = r_sigma * np.float32(ss)
+            r_ux = r_ux * np.float32(su)
+            r_uy = r_uy * np.float32(su)
+            r_uz = r_uz * np.float32(su)
+        if reduce_loss:
+            for k in range(sz):
+                part_ref[0, i * sz + k] = jnp.sum(r_sigma[k] * r_sigma[k])
+                part_ref[1, i * sz + k] = (
+                    jnp.sum(r_ux[k] * r_ux[k])
+                    + jnp.sum(r_uy[k] * r_uy[k])
+                    + jnp.sum(r_uz[k] * r_uz[k])
+                )
+        else:
+            out_ref[0] = r_sigma
+            out_ref[1] = r_ux
+            out_ref[2] = r_uy
+            out_ref[3] = r_uz
+
+    if reduce_loss:
+        out_shape = jax.ShapeDtypeStruct((2, nz), jnp.float32)
+        out_specs = pl.BlockSpec((2, nz), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    else:
+        out_shape = jax.ShapeDtypeStruct((4, nz, ny, nx), jnp.float32)
+        out_specs = pl.BlockSpec(
+            (4, sz, ny, nx), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+        )
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n_slabs,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((2, 12, sz + 2, ny, nx), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=60 * g.num_cells,
+            bytes_accessed=16 * 4 * g.num_cells,
+            transcendentals=0,
+        ),
+    )
+
+
+def _packed_edge(g: GridSpec, sz: int, slab, hbm, buf, sems, slot):
+    """Edge slabs: main block + two wrap/clamp halo planes (3 DMAs)."""
+    nz = g.nz
+    z0 = slab * sz
+    if g.periodic:
+        zlo = jax.lax.rem(z0 - 1 + nz, nz)
+        zhi = jax.lax.rem(z0 + sz, nz)
+    else:
+        zlo = jnp.maximum(z0 - 1, 0)
+        zhi = jnp.minimum(z0 + sz, nz - 1)
+    return [
+        pltpu.make_async_copy(
+            hbm.at[:, pl.ds(z0, sz)], buf.at[slot, :, pl.ds(1, sz)], sems.at[slot, 0]
+        ),
+        pltpu.make_async_copy(
+            hbm.at[:, pl.ds(zlo, 1)], buf.at[slot, :, pl.ds(0, 1)], sems.at[slot, 1]
+        ),
+        pltpu.make_async_copy(
+            hbm.at[:, pl.ds(zhi, 1)],
+            buf.at[slot, :, pl.ds(sz + 1, 1)],
+            sems.at[slot, 2],
+        ),
+    ]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 2))
+def residuals_fused_packed(g: GridSpec, packed: jnp.ndarray, interpret=None):
+    """Fused residuals on the packed layout: [12, nz, ny, nx] -> [4, nz, ny, nx]
+    ([R_sigma, R_ux, R_uy, R_uz]). The fast path on 128-aligned nx (one input
+    DMA stream); differentiable via the ops-path field adjoint. Unaligned nx
+    falls back to the staged ops."""
+    if interpret is None:
+        interpret = _default_interpret()
+    if g.nx % 128 != 0 and not interpret:
+        return _packed_residuals_ops(g, packed)
+    call = _build_packed_call(g, None, False, interpret)
+    return call(packed)
+
+
+def _packed_residuals_ops(g: GridSpec, packed: jnp.ndarray) -> jnp.ndarray:
+    rs, ru = ops_stencil.residuals(g, unpack_fields(packed))
+    return jnp.concatenate([rs[None], ru], axis=0)
+
+
+def _rfp_fwd(g, packed, interpret):
+    return residuals_fused_packed(g, packed, interpret), packed
+
+
+def _rfp_bwd(g, interpret, packed, cot):
+    _, vjp = jax.vjp(lambda p: _packed_residuals_ops(g, p), packed)
+    (d_packed,) = vjp(cot)
+    return (d_packed,)
+
+
+residuals_fused_packed.defvjp(_rfp_fwd, _rfp_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 3))
+def loss_forward_fused_packed(
+    g: GridSpec, w: PhysWeights, packed: jnp.ndarray, interpret=None
+):
+    """Fused loss forward on the packed layout (in-kernel reduction, no
+    residual writes). Differentiable: the backward is the exact field
+    adjoint of the staged loss. Unaligned nx falls back to the staged ops."""
+    if interpret is None:
+        interpret = _default_interpret()
+    if g.nx % 128 != 0 and not interpret:
+        from phys_autodiff_tpu.ops import loss as ops_loss
+
+        rs, ru = ops_stencil.residuals(g, unpack_fields(packed))
+        return ops_loss.loss_terms(g, w, rs, ru)
+    parts = _build_packed_call(g, None, True, interpret)(packed)
+    sums = jnp.sum(parts, axis=1)
+    inv_n = np.float32(1.0 / g.num_cells)
+    return (
+        np.float32(w.w_sigma) * sums[0] * inv_n,
+        np.float32(w.w_u) * sums[1] * inv_n,
+    )
+
+
+def _lfp_fwd(g, w, packed, interpret):
+    return loss_forward_fused_packed(g, w, packed, interpret), packed
+
+
+def _lfp_bwd(g, w, interpret, packed, cot):
+    def staged(p):
+        rs, ru = ops_stencil.residuals(g, unpack_fields(p))
+        from phys_autodiff_tpu.ops import loss as ops_loss
+
+        return ops_loss.loss_terms(g, w, rs, ru)
+
+    _, vjp = jax.vjp(staged, packed)
+    (d_packed,) = vjp(cot)
+    return (d_packed,)
+
+
+loss_forward_fused_packed.defvjp(_lfp_fwd, _lfp_bwd)

@@ -11,6 +11,7 @@ from phys_autodiff_tpu.parallel.sharded import (
     residuals_sharded,
     residuals_fused_sharded,
     make_sharded_train_step,
+    make_sharded_train_step_2d,
 )
 
 __all__ = [
@@ -24,4 +25,5 @@ __all__ = [
     "residuals_sharded",
     "residuals_fused_sharded",
     "make_sharded_train_step",
+    "make_sharded_train_step_2d",
 ]

@@ -117,3 +117,76 @@ def test_fused_custom_vjp_matches_staged_grad():
             rel_l2_err(getattr(gr_f, name), getattr(gr_s, name))
             <= tol.FUSED_VS_STAGED_REL
         ), name
+
+
+def test_packed_kernels_match_staged():
+    """Packed-layout fused kernels (one-DMA fast path) vs staged ops."""
+    from phys_autodiff_tpu.pallas import (
+        loss_forward_fused_packed,
+        pack_fields,
+        residuals_fused_packed,
+        unpack_fields,
+    )
+
+    g = _spec(**SLAB_GRID)
+    fs = _snapshots(g)
+    packed = pack_fields(fs)
+    # pack/unpack bijection
+    fs2 = unpack_fields(packed)
+    for name in fs._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(fs, name)), np.asarray(getattr(fs2, name))
+        )
+
+    rs_s, ru_s = jax.jit(lambda x: ops.residuals(g, x))(fs)
+    out = residuals_fused_packed(g, packed)
+    assert rel_l2_err(out[0], rs_s) <= tol.FUSED_VS_STAGED_REL
+    assert rel_l2_err(out[1:4], ru_s) <= tol.FUSED_VS_STAGED_REL
+    assert max_abs_err(out[0], rs_s) <= tol.FUSED_VS_STAGED_MAX
+
+    w = PhysWeights(1.7, 0.9)
+    ls64, lu64 = ops.loss_forward_f64(g, w, fs)
+    ls, lu = loss_forward_fused_packed(g, w, packed)
+    assert abs(float(ls) - float(ls64)) / abs(float(ls64)) <= 1e-6
+    assert abs(float(lu) - float(lu64)) / abs(float(lu64)) <= 1e-6
+
+
+def test_packed_mlp_pipeline_matches_plain():
+    """Packed fused MLP generation + packed loss == staged pipeline, and the
+    whole chain is differentiable."""
+    from phys_autodiff_tpu.models import mlp
+    from phys_autodiff_tpu.models.fields import generate_fields
+    from phys_autodiff_tpu.pallas import (
+        fused_loss_pipeline,
+        generate_fields_fused_packed,
+        unpack_fields,
+    )
+    from phys_autodiff_tpu.utils.config import MLPDims, MLPGridConfig
+
+    g = GridSpec(nx=128, ny=16, nz=8, dt=1e-3)
+    cfg = MLPGridConfig(dims=MLPDims(H=64))
+    params = mlp.init_params(cfg.dims, seed=123, scale=0.25)
+    w = PhysWeights()
+
+    fs_plain = generate_fields(g, cfg, params, 0.25, g.dt)
+    fs_packed = unpack_fields(generate_fields_fused_packed(g, cfg, params, 0.25))
+    for name in fs_plain._fields:
+        assert (
+            rel_l2_err(getattr(fs_packed, name), getattr(fs_plain, name))
+            <= tol.MLP_INFER_REL
+        ), name
+
+    def lp(p):
+        ls, lu = fused_loss_pipeline(g, w, cfg, p, 0.25)
+        return ls + lu
+
+    def ls_fn(p):
+        return ops.total_loss(g, w, generate_fields(g, cfg, p, 0.25, g.dt))
+
+    assert abs(float(lp(params)) - float(ls_fn(params))) <= 1e-4 * abs(
+        float(ls_fn(params))
+    )
+    gp = jax.jit(jax.grad(lp))(params)
+    gs = jax.jit(jax.grad(ls_fn))(params)
+    cat = lambda gr: np.concatenate([np.asarray(gr[k]).ravel() for k in sorted(gr)])
+    assert rel_l2_err(cat(gp), cat(gs)) <= 5e-3
