@@ -35,7 +35,6 @@ the residual-space VJP, include/phys.h:54).
 from __future__ import annotations
 
 import functools
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -34,7 +34,6 @@ from phys_autodiff_tpu.ops.stencil import FieldSnapshots
 from phys_autodiff_tpu.parallel.mesh import (
     Z_AXIS,
     field_shardings,
-    make_mesh,
     replicated,
     scalar_spec,
     vector_spec,
