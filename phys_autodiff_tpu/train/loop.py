@@ -34,6 +34,9 @@ class TrainConfig:
     seed: int = 0
     log_every: int = 10
     use_fused: bool = False  # route field generation through the Pallas kernel
+    remat: bool = False  # rematerialize field generation in the backward
+    # (drops the [N, H] hidden-activation residual from HBM; trades ~1
+    # forward recompute for memory headroom on large grids)
 
 
 class TrainState(NamedTuple):
@@ -71,14 +74,18 @@ def loss_fn(
     params: mlp.Params,
     t,
     use_fused: bool = False,
+    remat: bool = False,
 ):
     """Scalar physics loss of the MLP-generated fields at time t."""
     if use_fused:
         from phys_autodiff_tpu.pallas.mlp import generate_fields_fused
 
-        fs = generate_fields_fused(g, mcfg, params, t)
+        gen = lambda p, tt: generate_fields_fused(g, mcfg, p, tt)
     else:
-        fs = fields_mod.generate_fields(g, mcfg, params, t, g.dt)
+        gen = lambda p, tt: fields_mod.generate_fields(g, mcfg, p, tt, g.dt)
+    if remat:
+        gen = jax.checkpoint(gen)
+    fs = gen(params, t)
     return ops.total_loss(g, w, fs)
 
 
@@ -127,7 +134,7 @@ def _make_step_fn(g, w, mcfg, cfg):
         else:
             t = jnp.float32(cfg.t)
         loss, grads = jax.value_and_grad(
-            lambda p: loss_fn(g, w, mcfg, p, t, cfg.use_fused)
+            lambda p: loss_fn(g, w, mcfg, p, t, cfg.use_fused, cfg.remat)
         )(state.params)
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
