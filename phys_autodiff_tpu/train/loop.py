@@ -37,6 +37,12 @@ class TrainConfig:
     remat: bool = False  # rematerialize field generation in the backward
     # (drops the [N, H] hidden-activation residual from HBM; trades ~1
     # forward recompute for memory headroom on large grids)
+    matmul_precision: str | None = None  # None (module defaults) |
+    # "bfloat16" | "tensorfloat32" | "float32": jax.default_matmul_precision
+    # for the whole step. NOTE: the coordinate MLP pins its own matmuls to
+    # HIGHEST for the parity doctrine, so this only affects unpinned matmuls
+    # (e.g. the NGP head or custom generators); the fast-gradient path for
+    # the core model is the round-2 fused backward (docs/DESIGN.md).
 
 
 class TrainState(NamedTuple):
@@ -139,6 +145,13 @@ def _make_step_fn(g, w, mcfg, cfg):
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1, key), loss
+
+    if cfg.matmul_precision is not None:
+        inner = step
+
+        def step(state):
+            with jax.default_matmul_precision(cfg.matmul_precision):
+                return inner(state)
 
     return step
 

@@ -109,3 +109,19 @@ def test_remat_training_matches_plain():
         sb, lb = step_b(sb)
     # recompute can reassociate on CPU; near-identical is the contract
     assert abs(float(la) - float(lb)) <= 1e-6 * max(1.0, abs(float(la)))
+
+
+def test_matmul_precision_bf16_trains():
+    """bf16 matmul precision: step runs and the loss trajectory stays close
+    to the f32 trajectory at small scale."""
+    cfg32 = TrainConfig(steps=10, learning_rate=1e-3, seed=8)
+    cfgbf = TrainConfig(steps=10, learning_rate=1e-3, seed=8, matmul_precision="bfloat16")
+    s32 = init_state(cfg32, MCFG)
+    sbf = init_state(cfgbf, MCFG)
+    st32 = make_train_step(G, W, MCFG, cfg32)
+    stbf = make_train_step(G, W, MCFG, cfgbf)
+    for _ in range(10):
+        s32, l32 = st32(s32)
+        sbf, lbf = stbf(sbf)
+    assert np.isfinite(float(lbf))
+    assert abs(float(lbf) - float(l32)) <= 0.05 * max(abs(float(l32)), 1e-3)
