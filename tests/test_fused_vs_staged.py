@@ -32,6 +32,9 @@ L = 2 * np.pi
 # Small grids (interpret mode is slow on the 1-core CI host).
 SLAB_GRID = dict(nx=128, ny=16, nz=8)  # nx%128==0 -> manual-DMA slab kernel
 PLANE_GRID = dict(nx=24, ny=16, nz=6)  # nx%128!=0 -> BlockSpec plane kernel
+# nz=48 -> 3 slabs: exercises the contiguous interior-DMA fast path (the
+# n_slabs<=2 grids above only ever take the edge-DMA path)
+SLAB3_GRID = dict(nx=128, ny=8, nz=48)
 
 
 def _spec(periodic=True, **dims):
@@ -52,7 +55,9 @@ def _snapshots(g):
     return FieldSnapshots(**{k: jnp.asarray(v) for k, v in f.items()})
 
 
-@pytest.mark.parametrize("dims", [SLAB_GRID, PLANE_GRID], ids=["slab", "plane"])
+@pytest.mark.parametrize(
+    "dims", [SLAB_GRID, PLANE_GRID, SLAB3_GRID], ids=["slab", "plane", "slab3"]
+)
 @pytest.mark.parametrize("periodic", [True, False], ids=["periodic", "clamp"])
 def test_residuals_fused_vs_staged(dims, periodic):
     g = _spec(periodic=periodic, **dims)
@@ -128,7 +133,7 @@ def test_packed_kernels_match_staged():
         unpack_fields,
     )
 
-    g = _spec(**SLAB_GRID)
+    g = _spec(**SLAB3_GRID)  # 3 slabs: interior + edge DMA paths
     fs = _snapshots(g)
     packed = pack_fields(fs)
     # pack/unpack bijection
