@@ -4,10 +4,10 @@ The reference measures four scopes per (grid, variant) with warmup=2,
 iters=10 (test/test_phys_perf.cpp:74-90, test/test_mlp_phys_perf.cpp:20-81,
 docs/BENCHMARK_REPORT.md:15-24):
 
-    ms_kernel     kernel-only
-    ms_phys_e2e   physics op end-to-end (the reference includes per-call
-                  device alloc + H2D/D2H; this framework keeps arrays
-                  device-resident by design, so E2E == kernel here)
+    ms_kernel     kernel-only (the residual-writing kernel)
+    ms_phys_e2e   the physics portion as composed in the pipeline (for the
+                  fused arm that is the in-kernel-reduction loss kernel; for
+                  the staged arm, residuals -> loss_terms)
     ms_mlp        MLP field generation (3 time slices)
     ms_total      full pipeline per iteration
 
@@ -15,21 +15,44 @@ CSV schemas match the reference so reports are directly comparable:
     phys,residuals_nonfused|residuals_fused,nx,ny,nz,iters,ms
     mlp_phys,nonfused|fused,nx,ny,nz,iters,ms_kernel,ms_phys_e2e,ms_mlp,ms_total
 
-"nonfused" = the XLA-staged arm, "fused" = the Pallas kernels — the same
-staged-vs-fused comparison the reference makes.
+Timing methodology (IMPORTANT — this was round 1's fatal flaw). The device
+sits behind a tunnel whose dispatch/sync latency (~25 ms) dwarfs sub-ms
+kernels, so everything is timed as an ON-DEVICE lax.fori_loop with a dynamic
+trip count, a value fetch of a carried scalar in the timed region, and the
+SLOPE between two trip counts (cancels constant dispatch+fetch overhead) —
+the TPU analogue of CUDA-event timing (src/phys_cuda_nonfused.cu:322-345).
 
-Timing methodology (IMPORTANT): on this hardware the device is reached
-through a tunnel whose dispatch/sync latency (~25 ms) dwarfs sub-ms kernels,
-and block_until_ready can return before device completion. Honest numbers
-therefore come from:
-  1. an ON-DEVICE lax.fori_loop with a dynamic trip count (one compile),
-  2. a loop-carried data dependency threaded through one input element so
-     the compiler cannot hoist the loop-invariant op out of the loop,
-  3. a VALUE FETCH of the carried scalar inside the timed region, and
-  4. the SLOPE between two trip counts, which cancels the constant
-     dispatch+fetch+transfer overhead.
-This is the TPU analogue of the reference's CUDA-event kernel timing
-(src/phys_cuda_nonfused.cu:322-345).
+Round 1 consumed one element of one output, and XLA dead-code-eliminated
+3/4 of the staged stencil (sliced fusions compute only their root's
+elements). `jax.lax.optimization_barrier` is NOT a fix: this XLA build drops
+the barrier during optimization and narrows anyway (verified on the CPU
+backend: a barrier-protected sin(x) compiled to a 1-element fusion). The
+harness therefore uses three *structurally* DCE-proof modes:
+
+  * GENERATIONAL FEEDBACK (`time_residual_op`, for the XLA-staged residual
+    op): the loop carries THREE generations of residual outputs and builds
+    all six input fields from them (tm1 <- gen i-2, t <- gen i-1,
+    tp1 <- gen i-3-equivalent). Because the outputs ARE the fori_loop carry,
+    whose shapes are fixed, XLA must materialize every output at full shape
+    every iteration — narrowing is impossible by construction, and nothing
+    is loop-invariant. Traffic per iteration: 12 planes read + 4 written =
+    64 B/cell, exactly the reference kernel's profile. Outputs are scaled by
+    a carried runtime epsilon (fuses into the stencil epilogue, ~zero cost)
+    so values decay instead of overflowing.
+  * PROBE (`time_op`, for Pallas kernels and scalar pipelines): perturb one
+    input element by the carry and fold one element of each output back in.
+    Sound for Pallas because a pallas_call is an opaque custom call — XLA
+    can neither narrow it nor split it; consuming any output element runs
+    the whole kernel. Sound for scalar losses because the scalar depends on
+    every cell.
+  * REDUCE (`time_op(..., mode="reduce")`, for the staged field generator):
+    fold jnp.sum of every output into the carry. Every element is computed;
+    XLA may fuse the reduction and skip the output HBM writes, which for
+    this compute-bound op skews the number by ~1-3% (documented, accepted).
+
+`check_timed_hlo` compiles the exact timed loop and asserts the optimized
+HLO retains full-shape ops for the outputs (feedback mode) or the opaque
+custom call (probe mode) — the validity gate round-1 VERDICT demanded.
 """
 
 from __future__ import annotations
@@ -58,6 +81,14 @@ REFERENCE_GRIDS = [(64, 64, 64), (96, 96, 64), (128, 96, 96)]
 DEFAULT_ITERS = 10
 
 
+def _make_run(body: Callable):
+    @jax.jit
+    def run(carry, n):
+        return jax.lax.fori_loop(0, n, body, carry)
+
+    return run
+
+
 def time_loop(body: Callable, carry0, n_small=4, target_seconds=0.5, repeats=3):
     """ms per iteration of `body(i, carry) -> carry` via the slope method.
 
@@ -65,10 +96,7 @@ def time_loop(body: Callable, carry0, n_small=4, target_seconds=0.5, repeats=3):
     (we fetch leaf.reshape(-1)[0]); body must thread a data dependency
     through the carry (see module docstring).
     """
-
-    @jax.jit
-    def run(carry, n):
-        return jax.lax.fori_loop(0, n, body, carry)
+    run = _make_run(body)
 
     def timed(n):
         t0 = time.perf_counter()
@@ -95,6 +123,114 @@ def _perturb(arr, acc):
     return arr.at[(0,) * arr.ndim].add(acc * 1e-30)
 
 
+def _op_body(op_fn: Callable, mode: str):
+    """Timing-loop body for `op_fn(x) -> pytree of outputs` (see module
+    docstring for the mode soundness arguments)."""
+
+    def body(i, carry):
+        acc, x = carry
+        # Carry the PERTURBED buffer forward: the one-element
+        # dynamic-update-slice then aliases in place inside the while loop.
+        # (Carrying the unperturbed x would keep both values live and force
+        # a full copy of x every iteration — 56 MB/iter for packed fields.)
+        x = _perturb(x, acc)
+        outs = op_fn(x)
+        s = jnp.float32(0.0)
+        for leaf in jax.tree_util.tree_leaves(outs):
+            if mode == "reduce":
+                s = s + jnp.sum(leaf).astype(jnp.float32)
+            else:  # probe
+                s = s + leaf.reshape(-1)[0].astype(jnp.float32)
+        return acc + s * jnp.float32(1e-6), x
+
+    return body
+
+
+def time_op(op_fn: Callable, x, mode: str = "probe", **kw) -> float:
+    """ms/iter of `op_fn(x) -> pytree`. mode: "probe" (Pallas/opaque ops and
+    scalar pipelines) or "reduce" (XLA ops whose full output must be forced;
+    see module docstring)."""
+    return time_loop(_op_body(op_fn, mode), (jnp.float32(0.0), x), **kw)
+
+
+# ---------------------------------------------------------------------------
+# Generational-feedback residual timing (structurally DCE-proof)
+# ---------------------------------------------------------------------------
+
+
+def _residual_feedback_body(res_fn):
+    """Loop body: all six input fields are built from the three most recent
+    output generations, so every output is a full-shape carry element."""
+
+    def body(i, carry):
+        eps, rs_a, ru_a, rs_b, ru_b, rs_c, ru_c = carry
+        fields = FieldSnapshots(
+            sigma_tm1=rs_c, sigma_t=rs_a, sigma_tp1=rs_b,
+            u_tm1=ru_c, u_t=ru_a, u_tp1=ru_b,
+        )
+        rs, ru = res_fn(fields)
+        # Damp with the carried runtime scalar (cannot be constant-folded);
+        # fuses into the stencil epilogue.
+        return eps, rs * eps, ru * eps, rs_a, ru_a, rs_b, ru_b
+
+    return body
+
+
+def _residual_feedback_carry(fields: FieldSnapshots):
+    return (
+        jnp.float32(1e-3),
+        fields.sigma_t, fields.u_t,
+        fields.sigma_tp1, fields.u_tp1,
+        fields.sigma_tm1, fields.u_tm1,
+    )
+
+
+def time_residual_op(res_fn, fields: FieldSnapshots) -> float:
+    """ms/iter of a residuals(fields) -> (r_sigma, r_u) op, generational
+    feedback mode: 12 planes read + 4 written per iteration, exactly the
+    reference kernel's traffic, with materialization forced by the carry.
+    Use for XLA-staged ops; Pallas ops take time_residual_probe (the eps
+    damping here costs an extra un-fusable pass on an opaque kernel)."""
+    return time_loop(
+        _residual_feedback_body(res_fn), _residual_feedback_carry(fields)
+    )
+
+
+def time_residual_probe(res_fn, fields: FieldSnapshots) -> float:
+    """ms/iter of a Pallas residuals op, probe mode (sound: opaque custom
+    calls execute whole or not at all; one varying operand prevents
+    hoisting)."""
+    return time_op(lambda s: res_fn(fields._replace(sigma_t=s)), fields.sigma_t)
+
+
+def time_packed_op(op_fn, packed) -> float:
+    """ms/iter of an op over the packed [12, nz, ny, nx] layout (probe mode —
+    packed ops are Pallas kernels)."""
+    return time_op(op_fn, packed)
+
+
+def check_timed_hlo(
+    op_fn: Callable,
+    x,
+    required: list[str],
+    mode: str = "probe",
+    fields: FieldSnapshots | None = None,
+) -> str:
+    """Compile the exact timed loop and assert the optimized HLO retains the
+    required signatures (full shapes for feedback mode, the opaque custom
+    call for Pallas probe mode). Returns the HLO text."""
+    if mode == "feedback":
+        run = _make_run(_residual_feedback_body(op_fn))
+        args = (_residual_feedback_carry(fields), jnp.int32(4))
+    else:
+        run = _make_run(_op_body(op_fn, mode))
+        args = ((jnp.float32(0.0), x), jnp.int32(4))
+    txt = run.lower(*args).compile().as_text()
+    for sig in required:
+        assert sig in txt, f"timed HLO lost required signature {sig!r} — DCE?"
+    return txt
+
+
 def random_fields(g: GridSpec, seed=0) -> FieldSnapshots:
     rng = np.random.default_rng(seed)
     mk = lambda s: jnp.asarray(rng.standard_normal(s), jnp.float32)
@@ -108,42 +244,29 @@ def random_fields(g: GridSpec, seed=0) -> FieldSnapshots:
     )
 
 
-def time_residual_op(res_fn, fields: FieldSnapshots) -> float:
-    """ms/iter of a residuals(fields) -> (r_sigma, r_u) op."""
+def time_fieldgen(gen_fn, params, mode: str = "probe") -> float:
+    """ms/iter of a generate_fields(params) -> FieldSnapshots (or packed) op.
+    Use mode="reduce" for XLA-staged generators (probe would narrow them);
+    "probe" is sound for the fused Pallas generators."""
 
-    def body(i, carry):
-        acc, sigma_t = carry
-        fs = fields._replace(sigma_t=_perturb(sigma_t, acc))
-        rs, _ = res_fn(fs)
-        return rs.reshape(-1)[0], fs.sigma_t
-
-    return time_loop(body, (jnp.float32(0.0), fields.sigma_t))
-
-
-def time_fieldgen(gen_fn, params) -> float:
-    """ms/iter of a generate_fields(params) -> FieldSnapshots op."""
-
-    def body(i, carry):
-        acc, w1 = carry
+    def op(w1):
         p = dict(params)
-        p["W1"] = _perturb(w1, acc)
-        fs = gen_fn(p)
-        return fs.sigma_t.reshape(-1)[0], p["W1"]
+        p["W1"] = w1
+        return gen_fn(p)
 
-    return time_loop(body, (jnp.float32(0.0), params["W1"]))
+    return time_op(op, params["W1"], mode=mode)
 
 
 def time_scalar_pipeline(loss_fn, params) -> float:
-    """ms/iter of a loss(params) -> scalar pipeline."""
+    """ms/iter of a loss(params) -> scalar(s) pipeline (probe mode is sound:
+    the scalar depends on every cell)."""
 
-    def body(i, carry):
-        acc, w1 = carry
+    def op(w1):
         p = dict(params)
-        p["W1"] = _perturb(w1, acc)
-        loss = loss_fn(p)
-        return loss, p["W1"]
+        p["W1"] = w1
+        return loss_fn(p)
 
-    return time_loop(body, (jnp.float32(0.0), params["W1"]))
+    return time_op(op, params["W1"])
 
 
 @dataclasses.dataclass
@@ -180,71 +303,98 @@ class PipelineRow:
 
 
 def bench_phys(g: GridSpec, iters=DEFAULT_ITERS) -> list:
-    """Physics residuals only, staged vs fused (port of test_phys_perf)."""
+    """Physics residuals only, staged vs fused (port of test_phys_perf).
+
+    The fused row is the packed kernel — the variant that actually sits in
+    the fast pipeline (round-1 ADVICE: name the arm being measured). The
+    FieldSnapshots-layout multi-stream kernel gets its own row.
+    """
     from phys_autodiff_tpu.pallas import residuals_fused
+    from phys_autodiff_tpu.pallas.residuals import pack_fields, residuals_fused_packed
 
     fs = random_fields(g)
+    packed = jax.block_until_ready(pack_fields(fs))
     ms_staged = time_residual_op(lambda x: ops.residuals(g, x), fs)
-    ms_fused = time_residual_op(lambda x: residuals_fused(g, x), fs)
+    ms_packed = time_packed_op(lambda p: residuals_fused_packed(g, p), packed)
+    ms_multi = time_residual_probe(lambda x: residuals_fused(g, x), fs)
     return [
         PhysRow("nonfused", g.nx, g.ny, g.nz, iters, ms_staged),
-        PhysRow("fused", g.nx, g.ny, g.nz, iters, ms_fused),
+        PhysRow("fused", g.nx, g.ny, g.nz, iters, ms_packed),
+        PhysRow("fused_multistream", g.nx, g.ny, g.nz, iters, ms_multi),
     ]
 
 
 def bench_pipeline(g: GridSpec, h=128, iters=DEFAULT_ITERS, seed=777) -> list:
     """Full MLP+physics pipeline, staged vs fused (port of
-    test_mlp_phys_perf: H=128, seed 777, 3 grid evals per physics step)."""
-    from phys_autodiff_tpu.pallas import residuals_fused
-    from phys_autodiff_tpu.pallas.mlp import generate_fields_fused
+    test_mlp_phys_perf: H=128, seed 777, 3 grid evals per physics step).
+
+    Per-row scope consistency: every column of a row measures the kernel
+    family used by that row's ms_total pipeline —
+      nonfused    ms_kernel=staged residuals, ms_phys_e2e=staged residuals->
+                  loss, ms_mlp=staged fieldgen, ms_total=staged loss
+      fused(_bf16) ms_kernel=packed residual kernel, ms_phys_e2e=packed
+                  in-kernel-reduction loss kernel, ms_mlp=packed fused
+                  fieldgen, ms_total=packed fused loss pipeline
+    """
+    from phys_autodiff_tpu.pallas.mlp import (
+        fused_loss_pipeline,
+        generate_fields_fused_packed,
+    )
+    from phys_autodiff_tpu.pallas.residuals import (
+        loss_forward_fused_packed,
+        pack_fields,
+        residuals_fused_packed,
+    )
 
     cfg = MLPGridConfig(dims=MLPDims(H=h))
     params = mlp.init_params(cfg.dims, seed=seed)
     w = PhysWeights()
     fs = random_fields(g)
+    packed = jax.block_until_ready(pack_fields(fs))
 
-    staged_res = lambda x: ops.residuals(g, x)
-    fused_res = lambda x: residuals_fused(g, x)
-    ms_phys = {
-        "nonfused": time_residual_op(staged_res, fs),
-        "fused": time_residual_op(fused_res, fs),
-    }
-    ms_phys["fused_bf16"] = ms_phys["fused"]  # same residual kernel
-
-    gens = {
-        "nonfused": lambda p: fields_mod.generate_fields(g, cfg, p, 0.25, g.dt),
-        "fused": lambda p: generate_fields_fused(g, cfg, p, 0.25),
-        # REQUIREMENT.md:124-130's mixed-precision milestone: bf16 MXU inputs
-        # with f32 accumulation (tolerance class 1e-3).
-        "fused_bf16": lambda p: generate_fields_fused(g, cfg, p, 0.25, "bf16"),
-    }
-    from phys_autodiff_tpu.pallas.mlp import fused_loss_pipeline
+    ms_staged_res = time_residual_op(lambda x: ops.residuals(g, x), fs)
+    ms_packed_res = time_packed_op(lambda p: residuals_fused_packed(g, p), packed)
+    # Physics-as-composed scopes: both end in a scalar, probe mode is sound.
+    ms_staged_phys = time_op(
+        lambda s: ops.loss_terms(g, w, *ops.residuals(g, fs._replace(sigma_t=s))),
+        fs.sigma_t,
+    )
+    ms_packed_loss = time_packed_op(
+        lambda p: loss_forward_fused_packed(g, w, p), packed
+    )
 
     rows = []
-    for variant, gen_fn in gens.items():
-        res_fn = staged_res if variant == "nonfused" else fused_res
-
+    for variant in ("nonfused", "fused", "fused_bf16"):
         if variant == "nonfused":
+            gen_fn = lambda p: fields_mod.generate_fields(g, cfg, p, 0.25, g.dt)
+            gen_mode = "reduce"
 
-            def total(p, res_fn=res_fn, gen_fn=gen_fn):
-                f2 = gen_fn(p)
-                rs, ru = res_fn(f2)
+            def total(p):
+                f2 = fields_mod.generate_fields(g, cfg, p, 0.25, g.dt)
+                rs, ru = ops.residuals(g, f2)
                 ls, lu = ops.loss_terms(g, w, rs, ru)
                 return ls + lu
 
+            ms_kernel, ms_phys = ms_staged_res, ms_staged_phys
         else:
             prec = "bf16" if variant == "fused_bf16" else "f32"
+            gen_fn = lambda p, prec=prec: generate_fields_fused_packed(
+                g, cfg, p, 0.25, prec
+            )
+            gen_mode = "probe"
 
             def total(p, prec=prec):
                 ls, lu = fused_loss_pipeline(g, w, cfg, p, 0.25, prec)
                 return ls + lu
 
-        ms_mlp = time_fieldgen(gen_fn, params)
+            ms_kernel, ms_phys = ms_packed_res, ms_packed_loss
+
+        ms_mlp = time_fieldgen(gen_fn, params, mode=gen_mode)
         ms_total = time_scalar_pipeline(total, params)
         rows.append(
             PipelineRow(
                 variant, g.nx, g.ny, g.nz, iters,
-                ms_kernel=ms_phys[variant], ms_phys_e2e=ms_phys[variant],
+                ms_kernel=ms_kernel, ms_phys_e2e=ms_phys,
                 ms_mlp=ms_mlp, ms_total=ms_total,
             )
         )
