@@ -1,0 +1,45 @@
+"""Training-step benchmark (the reference's never-built M6 closed loop).
+
+A training step is self-validating under the slope-method loop: the updated
+parameters ARE the carry, so every gradient (and therefore the whole
+backward) must be computed at full shape each iteration — structurally
+DCE-proof, like the generational-feedback residual timing. The loss scalar
+is additionally folded into the carry so the forward pass of a custom-vjp
+loss cannot be dropped.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from phys_autodiff_tpu.bench.harness import time_loop
+from phys_autodiff_tpu.train import loop as train_loop
+from phys_autodiff_tpu.utils.config import GridSpec, MLPDims, MLPGridConfig, PhysWeights
+
+
+def time_train_step(step_fn, state0) -> float:
+    """ms/iter of a (state) -> (state, loss) training step."""
+
+    def body(i, carry):
+        acc, state = carry
+        state, loss = step_fn(state)
+        return acc + loss * jnp.float32(1e-6), state
+
+    return time_loop(body, (jnp.float32(0.0), state0), target_seconds=2.0)
+
+
+def bench_train_step(g: GridSpec, h: int = 128, seed: int = 777) -> dict:
+    """ms/step for the staged and fused training steps at grid g."""
+    w = PhysWeights()
+    mcfg = MLPGridConfig(dims=MLPDims(H=h))
+    out = {}
+    variants = {
+        "staged": train_loop.TrainConfig(use_fused=False),
+        "fused": train_loop.TrainConfig(use_fused=True),
+        "fused_bf16": train_loop.TrainConfig(use_fused=True, precision="bf16"),
+    }
+    for name, cfg in variants.items():
+        step = train_loop._make_step_fn(g, w, mcfg, cfg)
+        state0 = train_loop.init_state(cfg, mcfg, seed=seed)
+        out[name] = time_train_step(step, state0)
+    return out

@@ -110,3 +110,50 @@ def residuals(g: GridSpec, fields: FieldSnapshots):
     r_sigma = dt_sigma + adv_sigma + s_t * div_u
     r_u = du_dt + adv_u
     return r_sigma, r_u
+
+
+def residuals_zext(g: GridSpec, sigma, u):
+    """Residuals of a z-extended slab: one halo row per side along z.
+
+    sigma: [3, R, ny, nx] (time slices tm1/t/tp1, R = rows + 2 halo rows)
+    u:     [3, 3, R, ny, nx] (slice, channel, ...)
+    Returns (r_sigma [R-2, ny, nx], r_u [3, R-2, ny, nx]).
+
+    The z derivative is the interior difference of the extended rows
+    (ext[2:] - ext[:-2]); x/y keep the global wrap/clamp semantics (the slab
+    spans the full x/y extents). This is the building block for slab-blocked
+    recompute backward passes and the shard_map halo arm: the caller supplies
+    halo rows that already encode the global z boundary (wrap, clamp, or a
+    neighbor shard's plane).
+    """
+    inv2dt = np.float32(1.0 / (2.0 * float(np.float32(g.dt))))
+    inv2hx = np.float32(1.0 / (2.0 * float(np.float32(g.hx))))
+    inv2hy = np.float32(1.0 / (2.0 * float(np.float32(g.hy))))
+    inv2hz = np.float32(1.0 / (2.0 * float(np.float32(g.hz))))
+    per = g.periodic
+
+    s_t = sigma[1, 1:-1]
+    u_t = u[1][:, 1:-1]  # [3, R-2, ny, nx]
+    dt_sigma = (sigma[2, 1:-1] - sigma[0, 1:-1]) * inv2dt
+    du_dt = (u[2][:, 1:-1] - u[0][:, 1:-1]) * inv2dt
+
+    ax_y, ax_x = 1, 2
+
+    def ddz(ext):  # [..., R, ny, nx] -> interior
+        return (ext[..., 2:, :, :] - ext[..., :-2, :, :]) * inv2hz
+
+    ds_dx = central_diff(s_t, ax_x, inv2hx, per)
+    ds_dy = central_diff(s_t, ax_y, inv2hy, per)
+    ds_dz = ddz(sigma[1])
+    du_dx = central_diff(u_t, ax_x + 1, inv2hx, per)
+    du_dy = central_diff(u_t, ax_y + 1, inv2hy, per)
+    du_dz = ddz(u[1])
+
+    ux, uy, uz = u_t[0], u_t[1], u_t[2]
+    div_u = du_dx[0] + du_dy[1] + du_dz[2]
+    adv_sigma = ux * ds_dx + uy * ds_dy + uz * ds_dz
+    adv_u = ux[None] * du_dx + uy[None] * du_dy + uz[None] * du_dz
+
+    r_sigma = dt_sigma + adv_sigma + s_t * div_u
+    r_u = du_dt + adv_u
+    return r_sigma, r_u

@@ -33,7 +33,11 @@ class TrainConfig:
     t_sampling: str = "fixed"  # "fixed" | "uniform" (t ~ U(0,1) per step)
     seed: int = 0
     log_every: int = 10
-    use_fused: bool = False  # route field generation through the Pallas kernel
+    use_fused: bool = False  # fused step: forward = packed Pallas
+    # MLP->residual->loss pipeline, backward = slab-blocked recompute
+    # gradient (train/slab_grad.py) — fields, residuals and the [3N, H]
+    # activation residual never materialize at grid size
+    precision: str = "f32"  # "f32" | "bf16" — fused-step compute precision
     remat: bool = False  # rematerialize field generation in the backward
     # (drops the [N, H] hidden-activation residual from HBM; trades ~1
     # forward recompute for memory headroom on large grids)
@@ -81,14 +85,19 @@ def loss_fn(
     t,
     use_fused: bool = False,
     remat: bool = False,
+    precision: str = "f32",
 ):
-    """Scalar physics loss of the MLP-generated fields at time t."""
-    if use_fused:
-        from phys_autodiff_tpu.pallas.mlp import generate_fields_fused
+    """Scalar physics loss of the MLP-generated fields at time t.
 
-        gen = lambda p, tt: generate_fields_fused(g, mcfg, p, tt)
-    else:
-        gen = lambda p, tt: fields_mod.generate_fields(g, mcfg, p, tt, g.dt)
+    use_fused=True routes the WHOLE loss through the fused path: forward is
+    the packed Pallas MLP->residual->loss pipeline, backward the
+    slab-blocked recompute gradient (train/slab_grad.py) — the round-2 fused
+    training step (remat is implicit: nothing grid-sized is retained)."""
+    if use_fused:
+        from phys_autodiff_tpu.train.slab_grad import make_fused_loss
+
+        return make_fused_loss(g, w, mcfg, precision)(params, jnp.float32(t))
+    gen = lambda p, tt: fields_mod.generate_fields(g, mcfg, p, tt, g.dt)
     if remat:
         gen = jax.checkpoint(gen)
     fs = gen(params, t)
@@ -140,7 +149,9 @@ def _make_step_fn(g, w, mcfg, cfg):
         else:
             t = jnp.float32(cfg.t)
         loss, grads = jax.value_and_grad(
-            lambda p: loss_fn(g, w, mcfg, p, t, cfg.use_fused, cfg.remat)
+            lambda p: loss_fn(
+                g, w, mcfg, p, t, cfg.use_fused, cfg.remat, cfg.precision
+            )
         )(state.params)
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -206,8 +217,13 @@ def fit_scan(
     t0 = time.perf_counter()
     done = 0
     while done < cfg.steps:
+        # Size the last call to the remainder so exactly cfg.steps optimizer
+        # steps run (a second scan program is compiled only when needed).
+        this = min(chunk, cfg.steps - done)
+        if this != chunk:
+            epoch = make_train_epoch(g, w, mcfg, cfg, this)
         state, losses = epoch(state)
-        done += chunk
+        done += this
         loss_f = float(losses[-1])
         history.append((int(state.step), loss_f))
         if callback:
