@@ -541,10 +541,12 @@ def loss_forward_fused(
     """Fused loss forward with in-kernel partial reduction — the kernel the
     reference planned but never built (docs/PLAN_FUSED_PHYS_LOSS.md:59).
 
-    Each slab reduces its residual squares to two partials; the tiny
-    [n_slabs, 2] array is summed outside (deterministic order). Residuals are
-    never written to HBM: 16 bytes/cell of write traffic saved vs the staged
-    loss path. Returns (L_sigma, L_u).
+    The kernel reduces each z-PLANE's residual squares into a [2, nz]
+    partial array (one partial per plane keeps the f32 accumulation segments
+    short — the 1e-7 loss doctrine relies on this); the tiny array is summed
+    outside in a deterministic order. Residuals are never written to HBM: 16
+    bytes/cell of write traffic saved vs the staged loss path. Returns
+    (L_sigma, L_u).
     """
     parts = _run_fused(g, fields, None, True, interpret)
     sums = jnp.sum(parts, axis=1)

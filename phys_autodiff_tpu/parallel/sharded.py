@@ -146,7 +146,10 @@ def residuals_fused_sharded(g: GridSpec, mesh, fields: FieldSnapshots, interpret
     """
     from phys_autodiff_tpu.pallas.residuals import residuals_fused
 
-    n_shards = mesh.devices.size
+    n_shards = mesh.shape[Z_AXIS]  # NOT devices.size: multi-axis meshes
+    assert g.nz % n_shards == 0, (
+        f"nz={g.nz} must divide evenly over the {n_shards}-way '{Z_AXIS}' axis"
+    )
     nz_local = g.nz // n_shards
     # The local kernel runs on the halo-extended slab with the global
     # periodic flag: the kept rows ext[1:-1] only ever read ext[0:-2] and
