@@ -52,6 +52,38 @@ def loss_forward_f64(g: GridSpec, w: PhysWeights, fields: FieldSnapshots):
     return np.float32(w.w_sigma * acc_sigma / n), np.float32(w.w_u * acc_u / n)
 
 
+def plane_partials(r_sigma, r_u):
+    """Per-z-plane raw partial sums [2, nz] of the residual squares.
+
+    The deterministic-reduction building block shared by the fused loss
+    kernel (pallas/residuals.py emits the same per-plane partials in-kernel)
+    and the sharded loss: per-plane sums are computed by identical local
+    programs on any mesh, and the final combination is an explicit
+    fixed-order chain (`sum_partials`), so sharded == single-chip at the
+    1e-7 doctrine instead of the 1e-4 of an order-free psum."""
+    ps = jnp.sum(r_sigma * r_sigma, axis=(-2, -1))
+    pu = jnp.sum(r_u * r_u, axis=(0, -2, -1))
+    return jnp.stack([ps, pu])
+
+
+def sum_partials(g: GridSpec, w: PhysWeights, parts):
+    """Fixed-order sequential combination of [2, nz] per-plane partials into
+    (L_sigma, L_u) — association independent of device count."""
+    import functools
+
+    nz = parts.shape[1]
+    s = functools.reduce(lambda a, i: a + parts[0, i], range(nz), jnp.float32(0.0))
+    u = functools.reduce(lambda a, i: a + parts[1, i], range(nz), jnp.float32(0.0))
+    inv_n = jnp.float32(1.0 / g.num_cells)
+    return jnp.float32(w.w_sigma) * s * inv_n, jnp.float32(w.w_u) * u * inv_n
+
+
+def loss_forward_planewise(g: GridSpec, w: PhysWeights, fields: FieldSnapshots):
+    """(L_sigma, L_u) with the deterministic plane-partial reduction."""
+    r_sigma, r_u = residuals(g, fields)
+    return sum_partials(g, w, plane_partials(r_sigma, r_u))
+
+
 def loss_backward(g: GridSpec, w: PhysWeights, r_sigma, r_u):
     """Residual-space VJP g = (2 w / N) * R (include/phys.h:54), scales in
     float32 exactly as the reference computes them (src/phys_cpu.cpp:162-163).

@@ -10,7 +10,9 @@ from phys_autodiff_tpu.parallel.mesh import (
 from phys_autodiff_tpu.parallel.sharded import (
     residuals_sharded,
     residuals_fused_sharded,
+    loss_forward_fused_sharded,
     make_sharded_train_step,
+    make_sharded_fused_train_step,
     make_sharded_train_step_2d,
 )
 
@@ -24,6 +26,8 @@ __all__ = [
     "vector_spec",
     "residuals_sharded",
     "residuals_fused_sharded",
+    "loss_forward_fused_sharded",
     "make_sharded_train_step",
+    "make_sharded_fused_train_step",
     "make_sharded_train_step_2d",
 ]

@@ -26,6 +26,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from phys_autodiff_tpu import ops
@@ -182,6 +183,155 @@ def residuals_fused_sharded(g: GridSpec, mesh, fields: FieldSnapshots, interpret
         ),),
         out_specs=(scalar_spec(), vector_spec()),
     )(fields)
+
+
+def loss_forward_fused_sharded(
+    g: GridSpec, w: PhysWeights, mesh, fields: FieldSnapshots, interpret=None
+):
+    """Fused loss forward on the mesh: ppermute halo exchange + the per-shard
+    fused Pallas loss kernel (in-kernel per-plane partial reduction), then a
+    FIXED-ORDER reduction of the gathered [2, nz] per-plane partials.
+
+    Determinism/parity: each z-plane's partial is computed by the same
+    kernel program as on a single chip, and the final sum is an explicit
+    sequential chain over planes in global z order — identical association
+    on any mesh size, so the sharded loss meets the single-chip loss at the
+    1e-7 doctrine rather than the 1e-4 of an unconstrained psum.
+    Returns (L_sigma, L_u).
+    """
+    n_shards = mesh.shape[Z_AXIS]
+    assert g.nz % n_shards == 0
+    nz_local = g.nz // n_shards
+    g_local = GridSpec(
+        nx=g.nx, ny=g.ny, nz=nz_local + 2,
+        hx=g.hx, hy=g.hy, hz=g.hz, dt=g.dt, periodic=g.periodic,
+    )
+
+    def local(fs_local: FieldSnapshots):
+        ext = FieldSnapshots(
+            sigma_tm1=_halo_extend_z(fs_local.sigma_tm1, g.periodic),
+            sigma_t=_halo_extend_z(fs_local.sigma_t, g.periodic),
+            sigma_tp1=_halo_extend_z(fs_local.sigma_tp1, g.periodic),
+            u_tm1=_halo_extend_z(fs_local.u_tm1, g.periodic, axis=1),
+            u_t=_halo_extend_z(fs_local.u_t, g.periodic, axis=1),
+            u_tp1=_halo_extend_z(fs_local.u_tp1, g.periodic, axis=1),
+        )
+        # Per-plane raw partial sums on the extended slab; the halo planes'
+        # partials are dropped. loss_forward_fused normalizes by the LOCAL
+        # cell count and applies weights — undo both to recover raw sums.
+        parts = _fused_plane_partials(g_local, ext, interpret)  # [2, nz_local+2]
+        parts = parts[:, 1:-1]
+        gathered = jax.lax.all_gather(parts, Z_AXIS, axis=1, tiled=True)  # [2, nz]
+        return gathered
+
+    gathered = jax.shard_map(
+        local,
+        mesh=mesh,
+        check_vma=False,
+        in_specs=(FieldSnapshots(
+            sigma_tm1=scalar_spec(), sigma_t=scalar_spec(), sigma_tp1=scalar_spec(),
+            u_tm1=vector_spec(), u_t=vector_spec(), u_tp1=vector_spec(),
+        ),),
+        out_specs=P(),
+    )(fields)
+
+    # Explicit sequential chain over global z order — association fixed
+    # regardless of mesh size.
+    from phys_autodiff_tpu.ops.loss import sum_partials
+
+    return sum_partials(g, w, gathered)
+
+
+def _fused_plane_partials(g_local: GridSpec, ext: FieldSnapshots, interpret):
+    """Raw per-plane partial sums [2, nz_local] from the fused loss kernel
+    (undo its 1/N_local and weight scaling to recover the in-kernel sums)."""
+    from phys_autodiff_tpu.pallas import residuals as pr
+
+    parts = pr._run_fused(g_local, ext, None, True, interpret)
+    return parts
+
+
+def make_sharded_fused_train_step(
+    g: GridSpec,
+    w: PhysWeights,
+    mcfg: MLPGridConfig,
+    mesh,
+    learning_rate: float = 1e-3,
+    precision: str = "f32",
+    sz: int | None = None,
+):
+    """The sharded FUSED training step: z-slabs are partitioned contiguously
+    over the mesh's z axis; each device runs the slab-blocked recompute
+    gradient (train/slab_grad.py) over its own slabs under lax.scan — halo
+    rows are recomputed from the replicated MLP instead of communicated
+    (cheaper than a ppermute of 8 planes for MLP-generated fields) — then
+    gradients are psum'd and the loss is reduced from all-gathered per-slab
+    partials in a fixed sequential order (same association as the
+    single-chip slab scan, so the losses agree at f32-identical level).
+
+    Memory: nothing grid-sized materializes on any device — this is the
+    path past the single-chip ceiling AND the per-device ceiling.
+
+    Returns (step_fn, init_fn): step(params, opt_state, t) ->
+    (params', opt_state', loss).
+    """
+    import optax
+
+    from phys_autodiff_tpu.train.slab_grad import make_slab_raw
+
+    opt = optax.adam(learning_rate)
+    slab_raw, sz = make_slab_raw(g, w, mcfg, sz, precision)
+    n_slabs = g.nz // sz
+    n_shards = mesh.shape[Z_AXIS]
+    assert n_slabs % n_shards == 0, (
+        f"{n_slabs} slabs (sz={sz}) must divide over {n_shards} shards"
+    )
+    per_shard = n_slabs // n_shards
+    inv_n = np.float32(1.0 / g.num_cells)
+    vg = jax.value_and_grad(slab_raw, argnums=0)
+
+    def local_loss_and_grad(params, t):
+        me = jax.lax.axis_index(Z_AXIS)
+
+        def body(gacc, j):
+            k = me * per_shard + j
+            lk, gk = vg(params, t, k)
+            return jax.tree_util.tree_map(jnp.add, gacc, gk), lk
+
+        g0 = jax.tree_util.tree_map(jnp.zeros_like, params)
+        gsum, parts = jax.lax.scan(body, g0, jnp.arange(per_shard))
+        all_parts = jax.lax.all_gather(parts, Z_AXIS, tiled=True)  # [n_slabs]
+        import functools as _ft
+
+        raw_l = _ft.reduce(
+            lambda a, i: a + all_parts[i], range(n_slabs), jnp.float32(0.0)
+        )
+        grads = jax.lax.psum(gsum, Z_AXIS)
+        scale = lambda x: x * inv_n
+        return raw_l * inv_n, jax.tree_util.tree_map(scale, grads)
+
+    sharded_lg = jax.shard_map(
+        local_loss_and_grad,
+        mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, t):
+        loss, grads = sharded_lg(params, t)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    rep = NamedSharding(mesh, P())
+
+    def init(params):
+        params = jax.device_put(params, rep)
+        return params, jax.device_put(opt.init(params), rep)
+
+    return step, init
 
 
 def make_sharded_train_step_2d(

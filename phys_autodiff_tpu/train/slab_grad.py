@@ -117,6 +117,39 @@ def slab_fields_rows(
     return sigma, u
 
 
+def make_slab_raw(
+    g: GridSpec,
+    w: PhysWeights,
+    cfg: MLPGridConfig,
+    sz: int | None = None,
+    precision: str = "f32",
+):
+    """Returns (slab_raw, sz): slab_raw(params, t, k) is the raw
+    (unnormalized) weighted residual-square sum of z-slab k, recomputing its
+    fields from the MLP on a one-halo-row extension. The shared building
+    block of the single-chip slab gradient and the sharded fused step
+    (parallel/sharded.py) — per-slab values are identical in both, which is
+    what makes the sharded loss reduction bit-comparable."""
+    if sz is None:
+        sz = pick_slab_rows(g, cfg.dims.H)
+    assert g.nz % sz == 0, f"slab rows {sz} must divide nz={g.nz}"
+    nz = g.nz
+    ws = np.float32(w.w_sigma)
+    wu = np.float32(w.w_u)
+
+    def slab_raw(params, t, k):
+        base = k * sz - 1 + jnp.arange(sz + 2)
+        idx = jnp.mod(base, nz) if g.periodic else jnp.clip(base, 0, nz - 1)
+        t = jnp.float32(t)
+        dt = jnp.float32(g.dt)
+        ts = jnp.stack([t - dt, t, t + dt])
+        sigma, u = slab_fields_rows(g, cfg, params, ts, idx, precision)
+        rs, ru = residuals_zext(g, sigma, u)
+        return ws * jnp.sum(rs * rs) + wu * jnp.sum(ru * ru)
+
+    return slab_raw, sz
+
+
 def make_slab_loss_and_grad(
     g: GridSpec,
     w: PhysWeights,
@@ -130,26 +163,9 @@ def make_slab_loss_and_grad(
     scaling); the gradient is accumulated slab-by-slab under lax.scan with
     fixed slab order (deterministic reduction).
     """
-    h = cfg.dims.H
-    if sz is None:
-        sz = pick_slab_rows(g, h)
-    assert g.nz % sz == 0, f"slab rows {sz} must divide nz={g.nz}"
+    slab_raw, sz = make_slab_raw(g, w, cfg, sz, precision)
     n_slabs = g.nz // sz
-    nz = g.nz
     inv_n = np.float32(1.0 / g.num_cells)
-    ws = np.float32(w.w_sigma)
-    wu = np.float32(w.w_u)
-
-    def slab_raw(params, t, k):
-        """Raw (unnormalized) weighted residual-square sum of slab k."""
-        base = k * sz - 1 + jnp.arange(sz + 2)
-        idx = jnp.mod(base, nz) if g.periodic else jnp.clip(base, 0, nz - 1)
-        t = jnp.float32(t)
-        dt = jnp.float32(g.dt)
-        ts = jnp.stack([t - dt, t, t + dt])
-        sigma, u = slab_fields_rows(g, cfg, params, ts, idx, precision)
-        rs, ru = residuals_zext(g, sigma, u)
-        return ws * jnp.sum(rs * rs) + wu * jnp.sum(ru * ru)
 
     vg = jax.value_and_grad(slab_raw, argnums=(0, 1))
 

@@ -15,7 +15,9 @@ from phys_autodiff_tpu import ops
 from phys_autodiff_tpu.models import mlp
 from phys_autodiff_tpu.ops.stencil import FieldSnapshots
 from phys_autodiff_tpu.parallel import (
+    loss_forward_fused_sharded,
     make_mesh,
+    make_sharded_fused_train_step,
     make_sharded_train_step,
     residuals_fused_sharded,
     residuals_sharded,
@@ -94,6 +96,82 @@ def test_sharded_loss_matches_single_device(mesh):
     # and single-device sums; the 1e-7 doctrine is carried by the f64 arm.
     assert abs(float(ls_n) - float(ls_1)) / abs(float(ls_1)) <= 1e-4
     assert abs(float(lu_n) - float(lu_1)) / abs(float(lu_1)) <= 1e-4
+
+
+@pytest.mark.parametrize("periodic", [True, False], ids=["periodic", "clamp"])
+def test_sharded_fused_loss_deterministic_1e7(mesh, periodic):
+    """The fused sharded loss (ppermute halos + per-shard fused loss kernel
+    + fixed-order plane-partial reduction) meets the single-chip fused loss
+    at the 1e-7 doctrine — per-plane partials are computed by identical
+    programs and the final chain has mesh-independent association. (The
+    unconstrained psum arm above is held only to 1e-4.)"""
+    from phys_autodiff_tpu.pallas.residuals import loss_forward_fused
+
+    g = _grid(periodic)
+    fs = _snapshots(g)
+    w = PhysWeights(w_sigma=1.7, w_u=0.9)
+    ls_1, lu_1 = jax.jit(lambda x: loss_forward_fused(g, w, x, True))(fs)
+    ls_n, lu_n = jax.jit(
+        lambda x: loss_forward_fused_sharded(g, w, mesh, x, interpret=True)
+    )(shard_fields(mesh, fs))
+    assert abs(float(ls_n) - float(ls_1)) / abs(float(ls_1)) <= 1e-7
+    assert abs(float(lu_n) - float(lu_1)) / abs(float(lu_1)) <= 1e-7
+
+
+def test_sharded_planewise_staged_loss_1e7(mesh):
+    """The staged GSPMD loss with the plane-partial deterministic reduction
+    also meets 1e-7 against the single-chip planewise loss."""
+    from phys_autodiff_tpu.ops.loss import loss_forward_planewise
+
+    g = _grid()
+    fs = _snapshots(g)
+    w = PhysWeights(w_sigma=1.7, w_u=0.9)
+    ls_1, lu_1 = jax.jit(lambda x: loss_forward_planewise(g, w, x))(fs)
+
+    def sharded(x):
+        from phys_autodiff_tpu.ops.loss import plane_partials, sum_partials
+
+        rs, ru = residuals_sharded(g, mesh, x)
+        return sum_partials(g, w, plane_partials(rs, ru))
+
+    ls_n, lu_n = jax.jit(sharded)(shard_fields(mesh, fs))
+    assert abs(float(ls_n) - float(ls_1)) / abs(float(ls_1)) <= 1e-7
+    assert abs(float(lu_n) - float(lu_1)) / abs(float(lu_1)) <= 1e-7
+
+
+def test_sharded_fused_train_step_matches_single(mesh):
+    """The sharded FUSED step (per-shard slab-scan recompute gradients +
+    psum + fixed-order loss) matches the single-chip slab gradient step."""
+    import optax
+
+    from phys_autodiff_tpu.train.slab_grad import make_slab_loss_and_grad
+
+    g = _grid()
+    w = PhysWeights()
+    mcfg = MLPGridConfig(dims=MLPDims(H=32))
+    params = mlp.init_params(mcfg.dims, seed=5)
+    t = jnp.float32(0.25)
+    lr = 1e-3
+
+    # single-chip slab-gradient step
+    lg = make_slab_loss_and_grad(g, w, mcfg, sz=2)
+    l1, (gp1, _) = jax.jit(lg)(params, t)
+    opt = optax.adam(lr)
+    up, _ = opt.update(gp1, opt.init(params), params)
+    p1 = optax.apply_updates(params, up)
+
+    # sharded fused step
+    step_n, init_n = make_sharded_fused_train_step(g, w, mcfg, mesh, lr, sz=2)
+    pn, on = init_n(params)
+    pn, on, ln = step_n(pn, on, t)
+
+    assert abs(float(ln) - float(l1)) / abs(float(l1)) <= 1e-6
+    for k in p1:
+        assert rel_l2_err(pn[k], p1[k]) <= 1e-6, k
+
+    # and a second step stays finite / decreases the loss
+    pn, on, ln2 = step_n(pn, on, t)
+    assert np.isfinite(float(ln2)) and float(ln2) < float(ln)
 
 
 def test_sharded_train_step_matches_single_device(mesh):
