@@ -48,6 +48,28 @@ double cdiff(const float* f, const Grid& g, int64_t x, int64_t y, int64_t z) {
         return (double(f[g.at(x, y, z + 1)]) - double(f[g.at(x, y, z - 1)])) * g.inv2hz;
 }
 
+// First-order upwind difference along one axis: backward where the advecting
+// velocity is positive, forward otherwise (M4 switch, REQUIREMENT.md:131-134
+// of the reference). One-sided steps use 1/h = 2 * inv2h.
+template <int AXIS>
+double udiff(const float* f, const Grid& g, int64_t x, int64_t y, int64_t z,
+             double vel) {
+    const double c = double(f[g.at(x, y, z)]);
+    if constexpr (AXIS == 0) {
+        const double invh = 2.0 * g.inv2hx;
+        return vel > 0.0 ? (c - double(f[g.at(x - 1, y, z)])) * invh
+                         : (double(f[g.at(x + 1, y, z)]) - c) * invh;
+    } else if constexpr (AXIS == 1) {
+        const double invh = 2.0 * g.inv2hy;
+        return vel > 0.0 ? (c - double(f[g.at(x, y - 1, z)])) * invh
+                         : (double(f[g.at(x, y + 1, z)]) - c) * invh;
+    } else {
+        const double invh = 2.0 * g.inv2hz;
+        return vel > 0.0 ? (c - double(f[g.at(x, y, z - 1)])) * invh
+                         : (double(f[g.at(x, y, z + 1)]) - c) * invh;
+    }
+}
+
 Grid make_grid(const int64_t* dims, const float* spacing, int periodic) {
     Grid g;
     g.nx = dims[0];
@@ -68,10 +90,11 @@ extern "C" {
 // Transport residuals, double internals, float32 in/out.
 //   dims: {nx, ny, nz}; spacing: {hx, hy, hz, dt}
 //   r_u is channel-major [3][N].
-void physd_residuals(const int64_t* dims, const float* spacing, int periodic,
-                     const float* s_tm1, const float* s_t, const float* s_tp1,
-                     const float* u_tm1, const float* u_t, const float* u_tp1,
-                     float* r_sigma, float* r_u) {
+void physd_residuals_ex(const int64_t* dims, const float* spacing, int periodic,
+                        int upwind,
+                        const float* s_tm1, const float* s_t, const float* s_tp1,
+                        const float* u_tm1, const float* u_t, const float* u_tp1,
+                        float* r_sigma, float* r_u) {
     const Grid g = make_grid(dims, spacing, periodic);
     const int64_t n = g.cells();
     const float* ut[3] = {u_t, u_t + n, u_t + 2 * n};
@@ -87,16 +110,32 @@ void physd_residuals(const int64_t* dims, const float* spacing, int periodic,
                 // sigma: d/dt + u.grad + sigma*div(u)
                 const double dsig_dt =
                     (double(s_tp1[i]) - double(s_tm1[i])) * g.inv2dt;
-                const double grad_s[3] = {cdiff<0>(s_t, g, x, y, z),
-                                          cdiff<1>(s_t, g, x, y, z),
-                                          cdiff<2>(s_t, g, x, y, z)};
+                double grad_s[3], gu[3];
+                if (upwind) {
+                    grad_s[0] = udiff<0>(s_t, g, x, y, z, vel[0]);
+                    grad_s[1] = udiff<1>(s_t, g, x, y, z, vel[1]);
+                    grad_s[2] = udiff<2>(s_t, g, x, y, z, vel[2]);
+                } else {
+                    grad_s[0] = cdiff<0>(s_t, g, x, y, z);
+                    grad_s[1] = cdiff<1>(s_t, g, x, y, z);
+                    grad_s[2] = cdiff<2>(s_t, g, x, y, z);
+                }
                 double div_u = 0.0;
                 double adv_u[3];
                 for (int c = 0; c < 3; ++c) {
-                    const double gu[3] = {cdiff<0>(ut[c], g, x, y, z),
-                                          cdiff<1>(ut[c], g, x, y, z),
-                                          cdiff<2>(ut[c], g, x, y, z)};
-                    div_u += gu[c];
+                    // divergence is always central; advection honors `upwind`
+                    div_u += c == 0 ? cdiff<0>(ut[c], g, x, y, z)
+                           : c == 1 ? cdiff<1>(ut[c], g, x, y, z)
+                                    : cdiff<2>(ut[c], g, x, y, z);
+                    if (upwind) {
+                        gu[0] = udiff<0>(ut[c], g, x, y, z, vel[0]);
+                        gu[1] = udiff<1>(ut[c], g, x, y, z, vel[1]);
+                        gu[2] = udiff<2>(ut[c], g, x, y, z, vel[2]);
+                    } else {
+                        gu[0] = cdiff<0>(ut[c], g, x, y, z);
+                        gu[1] = cdiff<1>(ut[c], g, x, y, z);
+                        gu[2] = cdiff<2>(ut[c], g, x, y, z);
+                    }
                     adv_u[c] =
                         vel[0] * gu[0] + vel[1] * gu[1] + vel[2] * gu[2];
                 }
@@ -113,10 +152,19 @@ void physd_residuals(const int64_t* dims, const float* spacing, int periodic,
             }
 }
 
+// Backward-compatible central-scheme entry point.
+void physd_residuals(const int64_t* dims, const float* spacing, int periodic,
+                     const float* s_tm1, const float* s_t, const float* s_tp1,
+                     const float* u_tm1, const float* u_t, const float* u_tp1,
+                     float* r_sigma, float* r_u) {
+    physd_residuals_ex(dims, spacing, periodic, 0, s_tm1, s_t, s_tp1, u_tm1,
+                       u_t, u_tp1, r_sigma, r_u);
+}
+
 // Weighted MSE losses over residuals, double accumulation.
 //   wts: {w_sigma, w_u}; out: {L_sigma, L_u}
-void physd_loss_forward(const int64_t* dims, const float* spacing, int periodic,
-                        const float* wts,
+void physd_loss_forward_ex(const int64_t* dims, const float* spacing,
+                           int periodic, int upwind, const float* wts,
                         const float* s_tm1, const float* s_t, const float* s_tp1,
                         const float* u_tm1, const float* u_t, const float* u_tp1,
                         float* out, float* opt_r_sigma, float* opt_r_u) {
@@ -128,8 +176,8 @@ void physd_loss_forward(const int64_t* dims, const float* spacing, int periodic,
     if (!rs) rs = owned_rs = new float[n];
     if (!ru) ru = owned_ru = new float[3 * n];
 
-    physd_residuals(dims, spacing, periodic, s_tm1, s_t, s_tp1, u_tm1, u_t,
-                    u_tp1, rs, ru);
+    physd_residuals_ex(dims, spacing, periodic, upwind, s_tm1, s_t,
+                       s_tp1, u_tm1, u_t, u_tp1, rs, ru);
 
     double acc_s = 0.0, acc_u = 0.0;
     for (int64_t i = 0; i < n; ++i) acc_s += double(rs[i]) * rs[i];
@@ -139,6 +187,16 @@ void physd_loss_forward(const int64_t* dims, const float* spacing, int periodic,
 
     delete[] owned_rs;
     delete[] owned_ru;
+}
+
+// Backward-compatible central-scheme loss entry point.
+void physd_loss_forward(const int64_t* dims, const float* spacing, int periodic,
+                        const float* wts,
+                        const float* s_tm1, const float* s_t, const float* s_tp1,
+                        const float* u_tm1, const float* u_t, const float* u_tp1,
+                        float* out, float* opt_r_sigma, float* opt_r_u) {
+    physd_loss_forward_ex(dims, spacing, periodic, 0, wts, s_tm1, s_t, s_tp1,
+                          u_tm1, u_t, u_tp1, out, opt_r_sigma, opt_r_u);
 }
 
 // Residual-space VJP: g = (2 w / N) * R, float32 scales like the upstream

@@ -398,6 +398,24 @@ def bench_pipeline(g: GridSpec, h=128, iters=DEFAULT_ITERS, seed=777) -> list:
                 ms_mlp=ms_mlp, ms_total=ms_total,
             )
         )
+
+    # The MLP->residual->loss MEGA-kernel (the reference's declared next
+    # step): ONE kernel is the whole pipeline, so all four scopes coincide.
+    from phys_autodiff_tpu.pallas.mega import mega_loss_pipeline
+
+    for variant, prec in (("mega", "f32"), ("mega_bf16", "bf16")):
+
+        def total(p, prec=prec):
+            ls, lu = mega_loss_pipeline(g, w, cfg, p, 0.25, prec)
+            return ls + lu
+
+        ms = time_scalar_pipeline(total, params)
+        rows.append(
+            PipelineRow(
+                variant, g.nx, g.ny, g.nz, iters,
+                ms_kernel=ms, ms_phys_e2e=ms, ms_mlp=ms, ms_total=ms,
+            )
+        )
     return rows
 
 

@@ -36,6 +36,7 @@ def bench_train_step(g: GridSpec, h: int = 128, seed: int = 777) -> dict:
     variants = {
         "staged": train_loop.TrainConfig(use_fused=False),
         "fused": train_loop.TrainConfig(use_fused=True),
+        "fused_f32h": train_loop.TrainConfig(use_fused=True, precision="f32_high"),
         "fused_bf16": train_loop.TrainConfig(use_fused=True, precision="bf16"),
     }
     for name, cfg in variants.items():

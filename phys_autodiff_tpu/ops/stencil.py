@@ -68,6 +68,48 @@ def central_diff(
     return (shift(f, +1, axis, periodic) - shift(f, -1, axis, periodic)) * inv2h
 
 
+def upwind_diff(
+    f: jnp.ndarray, a: jnp.ndarray, axis: int, invh: float, periodic: bool
+) -> jnp.ndarray:
+    """First-order upwind derivative of f along `axis` advected by velocity
+    a: backward difference where a > 0, forward otherwise (GridSpec.scheme
+    == "upwind", the reference's planned M4 switch, REQUIREMENT.md:131-134).
+    """
+    bwd = (f - shift(f, -1, axis, periodic)) * invh
+    fwd = (shift(f, +1, axis, periodic) - f) * invh
+    return jnp.where(a > 0.0, bwd, fwd)
+
+
+def _advection(g: GridSpec, s_t, u_t, grads_central):
+    """Advection terms (adv_sigma, adv_u) under g.scheme.
+
+    grads_central = (ds_dx, ds_dy, ds_dz, du_dx, du_dy, du_dz) from the
+    central path (reused when scheme == "central")."""
+    ux, uy, uz = u_t[0], u_t[1], u_t[2]
+    if g.scheme != "upwind":
+        ds_dx, ds_dy, ds_dz, du_dx, du_dy, du_dz = grads_central
+        adv_sigma = ux * ds_dx + uy * ds_dy + uz * ds_dz
+        adv_u = ux[None] * du_dx + uy[None] * du_dy + uz[None] * du_dz
+        return adv_sigma, adv_u
+    ndim = s_t.ndim
+    ax_z, ax_y, ax_x = ndim - 3, ndim - 2, ndim - 1
+    invhx = np.float32(1.0 / float(np.float32(g.hx)))
+    invhy = np.float32(1.0 / float(np.float32(g.hy)))
+    invhz = np.float32(1.0 / float(np.float32(g.hz)))
+    per = g.periodic
+
+    def adv(f):
+        return (
+            ux * upwind_diff(f, ux, ax_x, invhx, per)
+            + uy * upwind_diff(f, uy, ax_y, invhy, per)
+            + uz * upwind_diff(f, uz, ax_z, invhz, per)
+        )
+
+    adv_sigma = adv(s_t)
+    adv_u = jnp.stack([adv(ux), adv(uy), adv(uz)])
+    return adv_sigma, adv_u
+
+
 def residuals(g: GridSpec, fields: FieldSnapshots):
     """Transport residuals (reference math: src/phys_cpu.cpp:66-106,
     REQUIREMENT.md:18-26):
@@ -101,11 +143,10 @@ def residuals(g: GridSpec, fields: FieldSnapshots):
     du_dy = central_diff(u_t, ax_y + 1, inv2hy, per)
     du_dz = central_diff(u_t, ax_z + 1, inv2hz, per)
 
-    ux, uy, uz = u_t[0], u_t[1], u_t[2]
-    div_u = du_dx[0] + du_dy[1] + du_dz[2]
-    adv_sigma = ux * ds_dx + uy * ds_dy + uz * ds_dz
-    # (u . grad) u, vectorized over channels: ux*d/dx + uy*d/dy + uz*d/dz
-    adv_u = ux[None] * du_dx + uy[None] * du_dy + uz[None] * du_dz
+    div_u = du_dx[0] + du_dy[1] + du_dz[2]  # central in both schemes
+    adv_sigma, adv_u = _advection(
+        g, s_t, u_t, (ds_dx, ds_dy, ds_dz, du_dx, du_dy, du_dz)
+    )
 
     r_sigma = dt_sigma + adv_sigma + s_t * div_u
     r_u = du_dt + adv_u
@@ -150,9 +191,32 @@ def residuals_zext(g: GridSpec, sigma, u):
     du_dz = ddz(u[1])
 
     ux, uy, uz = u_t[0], u_t[1], u_t[2]
-    div_u = du_dx[0] + du_dy[1] + du_dz[2]
-    adv_sigma = ux * ds_dx + uy * ds_dy + uz * ds_dz
-    adv_u = ux[None] * du_dx + uy[None] * du_dy + uz[None] * du_dz
+    div_u = du_dx[0] + du_dy[1] + du_dz[2]  # central in both schemes
+    if g.scheme == "upwind":
+        invhx = np.float32(1.0 / float(np.float32(g.hx)))
+        invhy = np.float32(1.0 / float(np.float32(g.hy)))
+        invhz = np.float32(1.0 / float(np.float32(g.hz)))
+
+        def ddz_up(ext, a):  # one-sided z from the extended rows
+            c = ext[..., 1:-1, :, :]
+            bwd = (c - ext[..., :-2, :, :]) * invhz
+            fwd = (ext[..., 2:, :, :] - c) * invhz
+            return jnp.where(a > 0.0, bwd, fwd)
+
+        def adv(f_c, f_ext):
+            return (
+                ux * upwind_diff(f_c, ux, ax_x, invhx, per)
+                + uy * upwind_diff(f_c, uy, ax_y, invhy, per)
+                + uz * ddz_up(f_ext, uz)
+            )
+
+        adv_sigma = adv(s_t, sigma[1])
+        adv_u = jnp.stack(
+            [adv(u_t[0], u[1][0]), adv(u_t[1], u[1][1]), adv(u_t[2], u[1][2])]
+        )
+    else:
+        adv_sigma = ux * ds_dx + uy * ds_dy + uz * ds_dz
+        adv_u = ux[None] * du_dx + uy[None] * du_dy + uz[None] * du_dz
 
     r_sigma = dt_sigma + adv_sigma + s_t * div_u
     r_u = du_dt + adv_u

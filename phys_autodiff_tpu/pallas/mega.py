@@ -1,0 +1,227 @@
+"""The MLP -> residual -> loss mega-kernel.
+
+The reference names this as its own next step (docs/BENCHMARK_REPORT.md:61-62,
+docs/PLAN_MLP_SMOKE_INTEGRATION.md:51): fuse field generation into the
+physics kernel so the 12-plane field block never exists in memory. Here it
+never exists in HBM at all:
+
+  * grid = (nz + 2,) programs. Program i evaluates the MLP for the single
+    logical z row i-1 (physical row = wrap/clamp), all three time slices,
+    into a 3-row rolling window in VMEM scratch (scratch persists across the
+    sequential TPU grid).
+  * Layer 1 is the rank-1 table factorization shared with pallas/mlp.py:
+    z1[h,y,x] = AB[h,y,x] + CD[z,h,s]. AB (6.3 MB at H=128) is fetched once
+    (constant index map) and stays VMEM-resident for the whole sweep; the
+    hidden activation exists only as an H-chunked transient.
+  * Once the window holds rows r-1, r, r+1, the program computes row r's
+    transport residual (reusing the slab kernel's math, including the
+    scheme/upwind switch) and reduces it to the per-plane loss partials
+    [2, nz] — the deterministic-reduction contract of ops.loss.sum_partials.
+
+Traffic: reads AB + CD + W2 (~6.5 MB) and writes 8*nz bytes. Everything else
+lives and dies in VMEM. Compare the two-kernel packed pipeline: 56 MB of
+field writes + 56 MB of reads.
+
+Differentiable via custom_vjp through the staged path; the training step
+pairs it with the slab-recompute backward (train/slab_grad.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from phys_autodiff_tpu.models import mlp
+from phys_autodiff_tpu.models.coords import _axis_coord
+from phys_autodiff_tpu.ops import loss as ops_loss
+from phys_autodiff_tpu.pallas.residuals import _slab_residuals
+from phys_autodiff_tpu.utils.config import CoordNorm, GridSpec, MLPGridConfig, PhysWeights
+
+
+def _default_interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def fold_tables_mega(g: GridSpec, cfg: MLPGridConfig, params: mlp.Params, ts):
+    """Rank-1 layer-1 tables in the mega-kernel layout.
+
+    Returns (AB [H, ny, nx], CD [nz, H, S], W2T [4, H], b2 [1, 4])."""
+    w1 = params["W1"]
+    cx = _axis_coord(g.nx, cfg.norm)
+    cy = _axis_coord(g.ny, cfg.norm)
+    cz = _axis_coord(g.nz, cfg.norm)
+    t_off = jnp.float32(0.0 if cfg.norm == CoordNorm.MinusOneToOne else 0.5)
+    ab = w1[0][:, None, None] * cx[None, None, :] + w1[1][:, None, None] * cy[
+        None, :, None
+    ]  # [H, ny, nx]
+    c = cz[:, None] * w1[2][None, :]  # [nz, H]
+    d = (jnp.asarray(ts, jnp.float32) + t_off)[:, None] * w1[3][None, :] + params[
+        "b1"
+    ][None, :]  # [S, H]
+    cd = c[:, :, None] + d.T[None, :, :]  # [nz, H, S]
+    return ab, cd, params["W2"].T, params["b2"].reshape(1, -1)
+
+
+def _build_mega_call(g: GridSpec, h: int, precision: str, interpret: bool):
+    nz, ny, nx = g.shape
+    n_prog = nz + 2
+    hk = 64 if h > 64 else h  # H-chunk for the layer-2 contraction
+    assert h % hk == 0
+    n_chunks = h // hk
+    # Mosaic's in-kernel dot lowering supports DEFAULT and HIGHEST only
+    # (no HIGH): clamp f32_high to HIGHEST inside the kernel; the f32_high
+    # savings live in the XLA-level slab backward.
+    dot_prec = (
+        jax.lax.Precision.DEFAULT
+        if precision == "bf16"
+        else jax.lax.Precision.HIGHEST
+    )
+    dims = (((1,), (0,)), ((), ()))
+
+    def kernel(ab_ref, cd_ref, w2_ref, b2_ref, part_ref, window):
+        i = pl.program_id(0)
+        # logical row L = i-1 in [-1, nz]; physical row under the boundary
+        lz = i - 1
+        if g.periodic:
+            z = jax.lax.rem(lz + nz, nz)
+        else:
+            z = jnp.clip(lz, 0, nz - 1)
+
+        b2 = b2_ref[...]  # [1, 4]
+        slot_w = jax.lax.rem(i, 3)
+        cdv = cd_ref[z]  # [H, 3]
+
+        # ---- MLP for row z, all 3 slices, into window[slot_w] -----------
+        for s in range(3):
+            acc = jnp.zeros((4, ny, nx), jnp.float32)
+            for c in range(n_chunks):
+                ab = ab_ref[pl.ds(c * hk, hk)]  # [hk, ny, nx]
+                z1 = ab + cdv[c * hk : (c + 1) * hk, s][:, None, None]
+                a1 = jnp.maximum(z1, 0.0)
+                w2c = w2_ref[:, pl.ds(c * hk, hk)]  # [4, hk]
+                if precision == "bf16":
+                    a1 = a1.astype(jnp.bfloat16)
+                    w2c = w2c.astype(jnp.bfloat16)
+                acc = acc + jax.lax.dot_general(
+                    w2c,
+                    a1,
+                    dimension_numbers=dims,
+                    preferred_element_type=jnp.float32,
+                    precision=dot_prec,
+                )
+            for o in range(4):
+                window[slot_w, s * 4 + o] = acc[o] + b2[0, o]
+
+        # ---- residual + loss partials for logical row r = i-2 -----------
+        @pl.when(i >= 2)
+        def _():
+            r = i - 2
+            # program j writes logical row j-1 into slot j%3, so at program i:
+            lo = jax.lax.rem(i + 1, 3)    # slot of row i-3 == r-1
+            mid = jax.lax.rem(i + 2, 3)   # slot of row i-2 == r
+            hi = jax.lax.rem(i, 3)        # slot of row i-1 == r+1
+            w_lo, w_mid, w_hi = window[lo], window[mid], window[hi]
+
+            def zstack(ch):  # [3(z), ny, nx] for channel ch at slice t
+                return jnp.stack([w_lo[ch], w_mid[ch], w_hi[ch]])
+
+            # window channel layout: s*4 + o, slices (tm1, t, tp1),
+            # channels (sigma, ux, uy, uz)
+            s_halo = zstack(4 + 0)
+            u_halo = (zstack(4 + 1), zstack(4 + 2), zstack(4 + 3))
+            r_sigma, r_ux, r_uy, r_uz = _slab_residuals(
+                g,
+                s_halo,
+                u_halo,
+                w_mid[0][None],   # sigma_tm1, center row
+                w_mid[8][None],   # sigma_tp1
+                (w_mid[1][None], w_mid[2][None], w_mid[3][None]),   # u_tm1
+                (w_mid[9][None], w_mid[10][None], w_mid[11][None]),  # u_tp1
+            )
+            part_ref[0, r] = jnp.sum(r_sigma * r_sigma)
+            part_ref[1, r] = (
+                jnp.sum(r_ux * r_ux) + jnp.sum(r_uy * r_uy) + jnp.sum(r_uz * r_uz)
+            )
+
+    in_specs = [
+        pl.BlockSpec((h, ny, nx), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((nz, h, 3), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((4, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=(n_prog,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((2, nz), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((2, nz), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((3, 12, ny, nx), jnp.float32),  # rolling field window
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=(2 * h * 4 + h) * g.num_cells * 3 + 60 * g.num_cells,
+            bytes_accessed=(h * ny * nx + nz * h * 3) * 4,
+            transcendentals=0,
+        ),
+    )
+
+
+def _mega_impl(g, w, cfg, params, t, precision, interpret):
+    if interpret is None:
+        interpret = _default_interpret()
+    if g.nx % 128 != 0 or g.ny % 8 != 0:
+        # Mosaic lane/sublane alignment fallback: staged pipeline.
+        return _staged_loss(g, w, cfg, params, t)
+    t = jnp.float32(t)
+    dt = jnp.float32(g.dt)
+    ts = jnp.stack([t - dt, t, t + dt])
+    h = params["W1"].shape[1]
+    ab, cd, w2t, b2 = fold_tables_mega(g, cfg, params, ts)
+    parts = _build_mega_call(g, h, precision, interpret)(ab, cd, w2t, b2)
+    return ops_loss.sum_partials(g, w, parts)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 5, 6))
+def mega_loss_pipeline(
+    g: GridSpec,
+    w: PhysWeights,
+    cfg: MLPGridConfig,
+    params: mlp.Params,
+    t,
+    precision: str = "f32",
+    interpret=None,
+):
+    """(L_sigma, L_u) from ONE kernel pass: MLP -> fields (VMEM-only) ->
+    residuals -> per-plane partials -> fixed-order sum. Differentiable (the
+    backward is the staged-path adjoint; the training step overrides it with
+    the slab-recompute gradient via train.slab_grad.make_fused_loss)."""
+    return _mega_impl(g, w, cfg, params, t, precision, interpret)
+
+
+def _staged_loss(g, w, cfg, params, t):
+    from phys_autodiff_tpu.models import fields as fields_mod
+
+    fs = fields_mod.generate_fields(g, cfg, params, t, g.dt)
+    return ops_loss.loss_forward(g, w, fs)
+
+
+def _mega_fwd(g, w, cfg, params, t, precision, interpret):
+    return _mega_impl(g, w, cfg, params, t, precision, interpret), (params, t)
+
+
+def _mega_bwd(g, w, cfg, precision, interpret, res, cot):
+    params, t = res
+    _, vjp = jax.vjp(lambda p, tt: _staged_loss(g, w, cfg, p, tt), params, t)
+    return vjp(cot)
+
+
+mega_loss_pipeline.defvjp(_mega_fwd, _mega_bwd)

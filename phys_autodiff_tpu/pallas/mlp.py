@@ -89,8 +89,11 @@ def fold_tables(g: GridSpec, cfg: MLPGridConfig, params: mlp.Params, ts, yb: int
 
 def _build_call(g: GridSpec, h: int, yb: int, n_slices: int, precision, interpret, packed_out: bool = False):
     nz, ny, nx = g.shape
+    # Mosaic in-kernel dots support DEFAULT/HIGHEST only (no HIGH).
     dot_prec = (
-        jax.lax.Precision.HIGHEST if precision == "f32" else jax.lax.Precision.DEFAULT
+        jax.lax.Precision.HIGHEST
+        if precision in ("f32", "f32_high")
+        else jax.lax.Precision.DEFAULT
     )
 
     dims = (((1,), (0,)), ((), ()))

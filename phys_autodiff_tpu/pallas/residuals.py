@@ -141,17 +141,45 @@ def _slab_residuals(g: GridSpec, s, u3, s_tm1, s_tp1, u_tm1, u_tp1):
     ux, uy, uz = u3[0][1:-1], u3[1][1:-1], u3[2][1:-1]
 
     dt_sigma = (s_tp1 - s_tm1) * inv2dt
-    ds_dx, ds_dy, ds_dz = ddx(sc), ddy(sc), ddz(s)
 
     dux_dx, dux_dy, dux_dz = ddx(ux), ddy(ux), ddz(u3[0])
     duy_dx, duy_dy, duy_dz = ddx(uy), ddy(uy), ddz(u3[1])
     duz_dx, duz_dy, duz_dz = ddx(uz), ddy(uz), ddz(u3[2])
+    div_u = dux_dx + duy_dy + duz_dz  # central in both schemes
 
-    div_u = dux_dx + duy_dy + duz_dz
-    r_sigma = dt_sigma + (ux * ds_dx + uy * ds_dy + uz * ds_dz) + sc * div_u
-    r_ux = (u_tp1[0] - u_tm1[0]) * inv2dt + ux * dux_dx + uy * dux_dy + uz * dux_dz
-    r_uy = (u_tp1[1] - u_tm1[1]) * inv2dt + ux * duy_dx + uy * duy_dy + uz * duy_dz
-    r_uz = (u_tp1[2] - u_tm1[2]) * inv2dt + ux * duz_dx + uy * duz_dy + uz * duz_dz
+    if g.scheme == "upwind":
+        invhx = np.float32(2.0) * inv2hx
+        invhy = np.float32(2.0) * inv2hy
+        invhz = np.float32(2.0) * inv2hz
+
+        def adv(c, halo):
+            bx = (c - _shift_last(c, -1, per)) * invhx
+            fx = (_shift_last(c, 1, per) - c) * invhx
+            by = (c - _shift_sub(c, -1, per)) * invhy
+            fy = (_shift_sub(c, 1, per) - c) * invhy
+            bz = (c - halo[:-2]) * invhz
+            fz = (halo[2:] - c) * invhz
+            return (
+                ux * jnp.where(ux > 0.0, bx, fx)
+                + uy * jnp.where(uy > 0.0, by, fy)
+                + uz * jnp.where(uz > 0.0, bz, fz)
+            )
+
+        adv_sigma = adv(sc, s)
+        adv_ux = adv(ux, u3[0])
+        adv_uy = adv(uy, u3[1])
+        adv_uz = adv(uz, u3[2])
+    else:
+        ds_dx, ds_dy, ds_dz = ddx(sc), ddy(sc), ddz(s)
+        adv_sigma = ux * ds_dx + uy * ds_dy + uz * ds_dz
+        adv_ux = ux * dux_dx + uy * dux_dy + uz * dux_dz
+        adv_uy = ux * duy_dx + uy * duy_dy + uz * duy_dz
+        adv_uz = ux * duz_dx + uy * duz_dy + uz * duz_dz
+
+    r_sigma = dt_sigma + adv_sigma + sc * div_u
+    r_ux = (u_tp1[0] - u_tm1[0]) * inv2dt + adv_ux
+    r_uy = (u_tp1[1] - u_tm1[1]) * inv2dt + adv_uy
+    r_uz = (u_tp1[2] - u_tm1[2]) * inv2dt + adv_uz
     return r_sigma, r_ux, r_uy, r_uz
 
 

@@ -48,7 +48,13 @@ def _load():
     f32p = ctypes.POINTER(ctypes.c_float)
     i64p = ctypes.POINTER(ctypes.c_int64)
     lib.physd_residuals.argtypes = [i64p, f32p, ctypes.c_int] + [f32p] * 8
+    lib.physd_residuals_ex.argtypes = (
+        [i64p, f32p, ctypes.c_int, ctypes.c_int] + [f32p] * 8
+    )
     lib.physd_loss_forward.argtypes = [i64p, f32p, ctypes.c_int, f32p] + [f32p] * 9
+    lib.physd_loss_forward_ex.argtypes = (
+        [i64p, f32p, ctypes.c_int, ctypes.c_int, f32p] + [f32p] * 9
+    )
     lib.physd_loss_backward.argtypes = [i64p, f32p] + [f32p] * 4
     lib.physd_mlp_forward.argtypes = [f32p] * 6 + [ctypes.c_int64] * 4
     _lib = lib
@@ -83,10 +89,11 @@ def residuals(g: GridSpec, sigma_tm1, sigma_t, sigma_tp1, u_tm1, u_t, u_tp1):
     args = [_f32(x) for x in (sigma_tm1, sigma_t, sigma_tp1, u_tm1, u_t, u_tp1)]
     r_sigma = np.empty(g.shape, dtype=np.float32)
     r_u = np.empty((3,) + g.shape, dtype=np.float32)
-    lib.physd_residuals(
+    lib.physd_residuals_ex(
         dims.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         _ptr(spacing),
         int(g.periodic),
+        int(g.scheme == "upwind"),
         *[_ptr(a) for a in args],
         _ptr(r_sigma),
         _ptr(r_u),
@@ -102,10 +109,11 @@ def loss_forward(
     wts = np.asarray([w.w_sigma, w.w_u], dtype=np.float32)
     args = [_f32(x) for x in (sigma_tm1, sigma_t, sigma_tp1, u_tm1, u_t, u_tp1)]
     out = np.zeros(2, dtype=np.float32)
-    lib.physd_loss_forward(
+    lib.physd_loss_forward_ex(
         dims.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         _ptr(spacing),
         int(g.periodic),
+        int(g.scheme == "upwind"),
         _ptr(wts),
         *[_ptr(a) for a in args],
         _ptr(out),

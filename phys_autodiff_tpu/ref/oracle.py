@@ -63,6 +63,17 @@ def _central(f: np.ndarray, axis: int, inv2h: float, periodic: bool) -> np.ndarr
     return (_shift(f, +1, axis, periodic) - _shift(f, -1, axis, periodic)) * inv2h
 
 
+def _upwind(
+    f: np.ndarray, a: np.ndarray, axis: int, invh: float, periodic: bool
+) -> np.ndarray:
+    """First-order upwind derivative of f along `axis`, advected by velocity
+    a: backward difference where a > 0, forward difference otherwise
+    (REQUIREMENT.md:131-134, the M4 advection switch)."""
+    bwd = (f - _shift(f, -1, axis, periodic)) * invh
+    fwd = (_shift(f, +1, axis, periodic) - f) * invh
+    return np.where(a > 0.0, bwd, fwd)
+
+
 # Axis indices of a [nz, ny, nx] array.
 _AXIS_Z, _AXIS_Y, _AXIS_X = 0, 1, 2
 
@@ -114,11 +125,27 @@ def residuals(
     duz_dy = _central(uz, _AXIS_Y, inv2hy, per)
     duz_dz = _central(uz, _AXIS_Z, inv2hz, per)
 
-    div_u = dux_dx + duy_dy + duz_dz
-    adv_sigma = ux * ds_dx + uy * ds_dy + uz * ds_dz
-    adv_ux = ux * dux_dx + uy * dux_dy + uz * dux_dz
-    adv_uy = ux * duy_dx + uy * duy_dy + uz * duy_dz
-    adv_uz = ux * duz_dx + uy * duz_dy + uz * duz_dz
+    div_u = dux_dx + duy_dy + duz_dz  # divergence stays central in both schemes
+
+    if g.scheme == "upwind":
+        invhx, invhy, invhz = 2.0 * inv2hx, 2.0 * inv2hy, 2.0 * inv2hz
+        up = lambda f, a, ax, ih: _upwind(f, a, ax, ih, per)
+        adv_sigma = (
+            ux * up(s_t, ux, _AXIS_X, invhx)
+            + uy * up(s_t, uy, _AXIS_Y, invhy)
+            + uz * up(s_t, uz, _AXIS_Z, invhz)
+        )
+        adv = lambda f: (
+            ux * up(f, ux, _AXIS_X, invhx)
+            + uy * up(f, uy, _AXIS_Y, invhy)
+            + uz * up(f, uz, _AXIS_Z, invhz)
+        )
+        adv_ux, adv_uy, adv_uz = adv(ux), adv(uy), adv(uz)
+    else:
+        adv_sigma = ux * ds_dx + uy * ds_dy + uz * ds_dz
+        adv_ux = ux * dux_dx + uy * dux_dy + uz * dux_dz
+        adv_uy = ux * duy_dx + uy * duy_dy + uz * duy_dz
+        adv_uz = ux * duz_dx + uy * duz_dy + uz * duz_dz
 
     r_sigma = (dt_sigma + adv_sigma + s_t * div_u).astype(np.float32)
     r_u = np.stack(

@@ -17,6 +17,15 @@ class GridSpec:
 
     nx/ny/nz: grid extents; hx/hy/hz: cell sizes; dt: time-step used for the
     central time difference; periodic: periodic wrap vs clamp boundaries.
+
+    scheme selects the advection-term discretization (the reference's
+    planned-but-unbuilt M4 switch, REQUIREMENT.md:131-134):
+      "central" — (f[i+1] - f[i-1]) / 2h everywhere (reference behavior)
+      "upwind"  — first-order one-sided differences for the advection terms
+                  u.grad(sigma) and (u.grad)u, selected by the local
+                  velocity sign; time derivative and div(u) stay central.
+    All arms (f64 oracle, staged XLA, fused Pallas, slab gradient) honor it,
+    so cross-arm comparisons stay consistent (REQUIREMENT.md:219).
     """
 
     nx: int = 0
@@ -27,6 +36,7 @@ class GridSpec:
     hz: float = 1.0
     dt: float = 1.0
     periodic: bool = True
+    scheme: str = "central"  # "central" | "upwind"
 
     @property
     def num_cells(self) -> int:
@@ -72,3 +82,17 @@ class MLPGridConfig:
 
     dims: MLPDims = dataclasses.field(default_factory=MLPDims)
     norm: CoordNorm = CoordNorm.MinusOneToOne
+
+
+def dot_precision(precision: str):
+    """MXU precision tiers shared by the fused kernels and the slab
+    gradient: "f32" = HIGHEST (strict parity, ~1e-6 dot error vs f64),
+    "f32_high" = HIGH (bf16x3-class passes, ~1.3e-5 measured, half the
+    HIGHEST cost), "bf16" = DEFAULT with bf16 operands (1e-3 class)."""
+    import jax
+
+    return {
+        "f32": jax.lax.Precision.HIGHEST,
+        "f32_high": jax.lax.Precision.HIGH,
+        "bf16": jax.lax.Precision.DEFAULT,
+    }[precision]

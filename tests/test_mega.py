@@ -1,0 +1,109 @@
+"""The MLP->residual->loss mega-kernel (pallas/mega.py) — the reference's
+own declared next step (docs/BENCHMARK_REPORT.md:61-62,
+docs/PLAN_MLP_SMOKE_INTEGRATION.md:51), which it never built."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from phys_autodiff_tpu import ops
+from phys_autodiff_tpu.models import generate_fields, mlp
+from phys_autodiff_tpu.pallas.mega import mega_loss_pipeline
+from phys_autodiff_tpu.utils.config import (
+    CoordNorm,
+    GridSpec,
+    MLPDims,
+    MLPGridConfig,
+    PhysWeights,
+)
+
+GRID = dict(nx=128, ny=8, nz=6, hx=0.3, hy=0.3, hz=0.3, dt=1e-2)
+
+
+def _setup(seed=3, h=32, norm=CoordNorm.MinusOneToOne, **grid_kw):
+    g = GridSpec(**{**GRID, **grid_kw})
+    w = PhysWeights(w_sigma=1.3, w_u=0.7)
+    cfg = MLPGridConfig(dims=MLPDims(H=h), norm=norm)
+    params = mlp.init_params(cfg.dims, seed=seed)
+    return g, w, cfg, params
+
+
+def _staged(g, w, cfg, params, t):
+    fs = generate_fields(g, cfg, params, t, g.dt)
+    return ops.loss_forward(g, w, fs)
+
+
+@pytest.mark.parametrize("periodic", [True, False], ids=["periodic", "clamp"])
+@pytest.mark.parametrize("scheme", ["central", "upwind"])
+def test_mega_matches_staged_pipeline(periodic, scheme):
+    g, w, cfg, params = _setup(periodic=periodic, scheme=scheme)
+    t = jnp.float32(0.25)
+    ls_ref, lu_ref = _staged(g, w, cfg, params, t)
+    ls, lu = jax.jit(
+        lambda p: mega_loss_pipeline(g, w, cfg, p, t, "f32", True)
+    )(params)
+    assert abs(float(ls) - float(ls_ref)) / abs(float(ls_ref)) <= 1e-5
+    assert abs(float(lu) - float(lu_ref)) / abs(float(lu_ref)) <= 1e-5
+
+
+def test_mega_zero_to_one_norm():
+    """The t+0.5 ZeroToOne quirk flows through the folded tables."""
+    g, w, cfg, params = _setup(norm=CoordNorm.ZeroToOne)
+    t = jnp.float32(0.3)
+    ls_ref, lu_ref = _staged(g, w, cfg, params, t)
+    ls, lu = mega_loss_pipeline(g, w, cfg, params, t, "f32", True)
+    assert abs(float(ls) - float(ls_ref)) / abs(float(ls_ref)) <= 1e-5
+    assert abs(float(lu) - float(lu_ref)) / abs(float(lu_ref)) <= 1e-5
+
+
+def test_mega_odd_h_chunking():
+    """H=64 exercises the single-chunk path, H=128 the two-chunk path."""
+    for h in (64, 128):
+        g, w, cfg, params = _setup(h=h)
+        t = jnp.float32(0.25)
+        ls_ref, lu_ref = _staged(g, w, cfg, params, t)
+        ls, lu = mega_loss_pipeline(g, w, cfg, params, t, "f32", True)
+        assert abs(float(ls) - float(ls_ref)) / abs(float(ls_ref)) <= 1e-5, h
+        assert abs(float(lu) - float(lu_ref)) / abs(float(lu_ref)) <= 1e-5, h
+
+
+def test_mega_gradients_route_through_staged_adjoint():
+    g, w, cfg, params = _setup()
+    t = jnp.float32(0.25)
+
+    def mega_total(p):
+        ls, lu = mega_loss_pipeline(g, w, cfg, p, t, "f32", True)
+        return ls + lu
+
+    def staged_total(p):
+        ls, lu = _staged(g, w, cfg, p, t)
+        return ls + lu
+
+    g1 = jax.grad(mega_total)(params)
+    g2 = jax.grad(staged_total)(params)
+    for k in g1:
+        a, b = np.asarray(g1[k], np.float64), np.asarray(g2[k], np.float64)
+        assert np.linalg.norm(a - b) <= 1e-12 * max(np.linalg.norm(b), 1.0), k
+
+
+def test_mega_unaligned_grid_falls_back():
+    """nx not 128-aligned -> staged fallback, same answer by construction."""
+    g, w, cfg, params = _setup(nx=48)
+    t = jnp.float32(0.25)
+    ls_ref, lu_ref = _staged(g, w, cfg, params, t)
+    ls, lu = mega_loss_pipeline(g, w, cfg, params, t, "f32", True)
+    assert float(ls) == float(ls_ref)
+    assert float(lu) == float(lu_ref)
+
+
+def test_mega_bf16_within_mixed_precision_tolerance():
+    g, w, cfg, params = _setup()
+    t = jnp.float32(0.25)
+    ls_ref, lu_ref = _staged(g, w, cfg, params, t)
+    ls, lu = mega_loss_pipeline(g, w, cfg, params, t, "bf16", True)
+    # REQUIREMENT.md:196-203's 1e-3 mixed-precision class applies to MLP
+    # outputs; the finite-difference residual amplifies bf16 field rounding
+    # by ~1/h, so the loss lands in the few-percent class.
+    assert abs(float(ls) - float(ls_ref)) / abs(float(ls_ref)) <= 5e-2
+    assert abs(float(lu) - float(lu_ref)) / abs(float(lu_ref)) <= 5e-2

@@ -165,7 +165,8 @@ def test_sharded_fused_train_step_matches_single(mesh):
     pn, on = init_n(params)
     pn, on, ln = step_n(pn, on, t)
 
-    assert abs(float(ln) - float(l1)) / abs(float(l1)) <= 1e-6
+    # both are f32 slab programs compiled separately (scan vs shard_map)
+    assert abs(float(ln) - float(l1)) / abs(float(l1)) <= 5e-6
     for k in p1:
         assert rel_l2_err(pn[k], p1[k]) <= 1e-6, k
 
