@@ -10,8 +10,9 @@ arm explicit). Baseline: the reference's fused CUDA kernel on an RTX 5090 —
 BASELINE.md "derived throughput").
 
 Validity gates (round-1 VERDICT: the harness must be DCE-proof):
-  * every timed loop routes ALL outputs through optimization_barrier
-    (bench/harness.py docstring);
+  * every timed loop is structurally DCE-proof (generational feedback for
+    the staged op, probe mode for opaque Pallas calls — see
+    bench/harness.py's module docstring for the soundness arguments);
   * this script additionally compiles the exact timed loops for the staged
     and packed arms at the flagship grid and asserts the optimized HLO
     retains full-shape residual outputs;
@@ -114,8 +115,13 @@ def main():
     except ImportError:
         pass
 
-    # Best residual arm at the flagship grid, with the winner named.
-    flag = [r for r in phys_rows if (r.nx, r.ny, r.nz) == (128, 96, 96)]
+    # Best F32 residual arm at the flagship grid, with the winner named
+    # (the bf16-I/O row is a different numeric class and is excluded from
+    # the headline comparison against the reference's f32 kernel).
+    flag = [
+        r for r in phys_rows
+        if (r.nx, r.ny, r.nz) == (128, 96, 96) and "bf16" not in r.variant
+    ]
     best = min(flag, key=lambda r: r.ms)
     n_cells = 128 * 96 * 96
     cells_per_s = n_cells / (best.ms / 1e3)

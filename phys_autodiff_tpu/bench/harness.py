@@ -312,15 +312,24 @@ def bench_phys(g: GridSpec, iters=DEFAULT_ITERS) -> list:
     from phys_autodiff_tpu.pallas import residuals_fused
     from phys_autodiff_tpu.pallas.residuals import pack_fields, residuals_fused_packed
 
+    from phys_autodiff_tpu.pallas.residuals import residuals_fused_packed_bf16
+
     fs = random_fields(g)
     packed = jax.block_until_ready(pack_fields(fs))
+    packed_bf16 = jax.block_until_ready(packed.astype(jnp.bfloat16))
     ms_staged = time_residual_op(lambda x: ops.residuals(g, x), fs)
     ms_packed = time_packed_op(lambda p: residuals_fused_packed(g, p), packed)
     ms_multi = time_residual_probe(lambda x: residuals_fused(g, x), fs)
+    ms_bf16 = time_packed_op(
+        lambda p: residuals_fused_packed_bf16(g, p), packed_bf16
+    )
     return [
         PhysRow("nonfused", g.nx, g.ny, g.nz, iters, ms_staged),
         PhysRow("fused", g.nx, g.ny, g.nz, iters, ms_packed),
         PhysRow("fused_multistream", g.nx, g.ny, g.nz, iters, ms_multi),
+        # mixed-precision arm (bf16 I/O, f32 in-kernel arithmetic): labeled
+        # separately; the headline JSON only considers f32 arms.
+        PhysRow("fused_bf16io", g.nx, g.ny, g.nz, iters, ms_bf16),
     ]
 
 

@@ -166,6 +166,7 @@ def _build_mega_call(g: GridSpec, h: int, precision: str, interpret: bool):
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024,
+            dimension_semantics=("arbitrary",),  # rolling window is in-order
         ),
         cost_estimate=pl.CostEstimate(
             flops=(2 * h * 4 + h) * g.num_cells * 3 + 60 * g.num_cells,

@@ -1,0 +1,423 @@
+"""The fused backward mega-kernel: loss AND parameter gradients in one pass.
+
+TPU-native analogue of the reference's `k_backward_fused`
+(src/phys_cuda_fused.cu:102-172 — recompute everything, store nothing)
+extended through the MLP backward (src/mlp_cuda.cu:39-89), which the
+reference never wired to the physics VJP. One Pallas kernel runs a rolling
+per-z-row pipeline; at program i:
+
+  stage 1 (logical field row L = i-2): MLP forward into a 5-row field
+          window (rank-1 tables, VMEM-resident AB);
+  stage 2 (logical residual row r = i-3): transport residual from the
+          window, raw per-plane loss partials, and the scaled residual
+          cotangents g = (2w/N) * R into a 3-row cotangent window;
+  stage 3 (logical gradient row d = i-4): the hand-derived adjoint of the
+          residual stencil assembles the field cotangents gy[3 slices][4 ch]
+          from the windows (in-plane difference transposes with clamp edge
+          corrections; z legs gathered from the neighbor rows' products),
+          then the MLP backward accumulates dW2T/db2 (VMEM outputs, MXU /
+          VPU) and dAB (revisited output block) and writes dCD x-partials.
+
+Logical rows run beyond [0, nz) (wrapped for periodic, clipped for clamp),
+so the periodic seam's cross-row contributions land naturally; each
+(residual row, adjoint leg) pair is applied exactly once in logical space,
+with clamp edge legs folded into +-2V/2h corrections at d=0 / d=nz-1.
+
+Outside the kernel, (dAB, dCD, dW2T, db2) pull back to (W1, b1, W2, b2, t)
+through jax.vjp of fold_tables_mega — exact for the kernel's own forward
+formulation.
+
+Nothing grid-sized exists in HBM in EITHER direction (the round-1 backward
+kept a [3N, H] activation residual — 1.8 GB at the flagship grid); the
+working set is ~18 MB of VMEM windows + the dCD x-partials (19 MB output).
+
+Adjoint derivation (central scheme). With products P_a = u_a*gs,
+Q = sigma*gs, T_{a,c} = u_a*gu_c and D^T the transpose of the central
+difference:
+
+  dsigma_t  = Dx^T(P_x) + Dy^T(P_y) + Dz^T(P_z) + gs*div(u)
+  du_c,t    = gs*D_c(sigma) + sum_b gu_b*D_c(u_b)
+              + D_c^T(Q) + Dx^T(T_{x,c}) + Dy^T(T_{y,c}) + Dz^T(T_{z,c})
+  d(.)_tp1  = +g*inv2dt,  d(.)_tm1 = -g*inv2dt
+
+In-plane D^T: periodic = inv2h*(roll(v,+1) - roll(v,-1)); clamp = the same
+with zero fill plus -v at index 0 and +v at index n-1. Along z the
+transpose becomes a gather: dF[d] += inv2hz*(V[d-1] - V[d+1]) with clamp
+corrections -2*inv2hz*V[0] at d=0 and +2*inv2hz*V[nz-1] at d=nz-1.
+
+Restrictions: scheme="central" only (the upwind gradient runs through the
+slab-scan arm, train/slab_grad.py), nx % 128 == 0.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from phys_autodiff_tpu.models import mlp
+from phys_autodiff_tpu.ops import loss as ops_loss
+from phys_autodiff_tpu.pallas.mega import fold_tables_mega
+from phys_autodiff_tpu.pallas.residuals import _shift_last, _shift_sub
+from phys_autodiff_tpu.utils.config import GridSpec, MLPGridConfig, PhysWeights
+
+
+def _default_interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def _zero_shift(v, delta: int, axis_from_end: int, periodic: bool):
+    """v shifted by `delta` along the lane (-1) or sublane (-2) axis; zero
+    fill for clamp mode (the transpose needs zeros, not edge duplication)."""
+    shift = _shift_last if axis_from_end == -1 else _shift_sub
+    if periodic:
+        return shift(v, delta, True)
+    s = shift(v, delta, False)
+    dim = v.shape[axis_from_end]
+    idx = jax.lax.broadcasted_iota(jnp.int32, v.shape, v.ndim + axis_from_end)
+    mask = idx >= (-delta) if delta < 0 else idx < (dim - delta)
+    return jnp.where(mask, s, 0.0)
+
+
+def _dxt(v, inv2hx, periodic: bool):
+    """Transpose of the central x-difference (see module docstring)."""
+    out = _zero_shift(v, -1, -1, periodic) - _zero_shift(v, +1, -1, periodic)
+    if not periodic:
+        n = v.shape[-1]
+        j = jax.lax.broadcasted_iota(jnp.int32, v.shape, v.ndim - 1)
+        out = out + jnp.where(j == 0, -v, 0.0) + jnp.where(j == n - 1, v, 0.0)
+    return out * inv2hx
+
+
+def _dyt(v, inv2hy, periodic: bool):
+    """Transpose of the central y-difference (sublane axis)."""
+    out = _zero_shift(v, -1, -2, periodic) - _zero_shift(v, +1, -2, periodic)
+    if not periodic:
+        n = v.shape[-2]
+        j = jax.lax.broadcasted_iota(jnp.int32, v.shape, v.ndim - 2)
+        out = out + jnp.where(j == 0, -v, 0.0) + jnp.where(j == n - 1, v, 0.0)
+    return out * inv2hy
+
+
+def _build_bwd_call(g: GridSpec, h: int, w: PhysWeights, precision, interpret):
+    assert g.scheme == "central"
+    nz, ny, nx = g.shape
+    n_prog = nz + 4
+    hk = 64 if h > 64 else h
+    n_chunks = h // hk
+    dot_prec = (
+        jax.lax.Precision.DEFAULT if precision == "bf16"
+        else jax.lax.Precision.HIGHEST
+    )
+    dims_w2 = (((1,), (0,)), ((), ()))          # [4,hk] @ [hk, ny, nx]
+    # dW2T: Mosaic's tpu.matmul needs a single contracting dim, so the
+    # [*, ny, nx] operands are collapsed to [*, ny*nx] first.
+    dims_dw2 = (((1,), (1,)), ((), ()))         # [4,M] x [hk,M] -> [4,hk]
+
+    inv2dt = np.float32(1.0 / (2.0 * float(np.float32(g.dt))))
+    inv2hx = np.float32(1.0 / (2.0 * float(np.float32(g.hx))))
+    inv2hy = np.float32(1.0 / (2.0 * float(np.float32(g.hy))))
+    inv2hz = np.float32(1.0 / (2.0 * float(np.float32(g.hz))))
+    per = g.periodic
+    n_cells = np.float32(g.num_cells)
+    ss = np.float32(2.0) * np.float32(w.w_sigma) / n_cells
+    su = np.float32(2.0) * np.float32(w.w_u) / n_cells
+
+    def phys_row(lz):
+        if per:
+            return jax.lax.rem(lz + 2 * nz, nz)
+        return jnp.clip(lz, 0, nz - 1)
+
+    def fslot(x):  # logical field row x lives in slot (x + 2) % 5
+        return jax.lax.rem(x + 2 + 20, 5)
+
+    def gslot(x):  # logical cotangent row x lives in slot x % 3
+        return jax.lax.rem(x + 9, 3)
+
+    def kernel(ab_ref, cd_ref, w2_ref, b2_ref,
+               part_ref, dab_ref, dcdx_ref, dw2_ref, db2x_ref,
+               fwin, gwin):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            dab_ref[...] = jnp.zeros_like(dab_ref)
+            dw2_ref[...] = jnp.zeros_like(dw2_ref)
+            db2x_ref[...] = jnp.zeros_like(db2x_ref)
+
+        b2 = b2_ref[...]
+
+        # ---- stage 1: MLP forward for logical field row L = i-2 ----------
+        L = i - 2
+        cdv = cd_ref[phys_row(L)]  # [H, 3]
+        slot_f = fslot(L)
+        for s in range(3):
+            acc = jnp.zeros((4, ny, nx), jnp.float32)
+            for c in range(n_chunks):
+                ab = ab_ref[pl.ds(c * hk, hk)]
+                z1 = ab + cdv[c * hk : (c + 1) * hk, s][:, None, None]
+                a1 = jnp.maximum(z1, 0.0)
+                w2c = w2_ref[:, pl.ds(c * hk, hk)]
+                if precision == "bf16":
+                    a1 = a1.astype(jnp.bfloat16)
+                    w2c = w2c.astype(jnp.bfloat16)
+                acc = acc + jax.lax.dot_general(
+                    w2c, a1, dimension_numbers=dims_w2,
+                    preferred_element_type=jnp.float32, precision=dot_prec,
+                )
+            for o in range(4):
+                fwin[slot_f, s * 4 + o] = acc[o] + b2[0, o]
+
+        def ddx(c):
+            return (_shift_last(c, 1, per) - _shift_last(c, -1, per)) * inv2hx
+
+        def ddy(c):
+            return (_shift_sub(c, 1, per) - _shift_sub(c, -1, per)) * inv2hy
+
+        # ---- stage 2: residual + cotangents for logical row r = i-3 ------
+        @pl.when(i >= 2)
+        def _():
+            r = i - 3
+            w_lo, w_mid, w_hi = fwin[fslot(r - 1)], fwin[fslot(r)], fwin[fslot(r + 1)]
+            sc = w_mid[4]
+            u = (w_mid[5], w_mid[6], w_mid[7])
+
+            def ddz(ch):
+                return (w_hi[ch] - w_lo[ch]) * inv2hz
+
+            dux = (ddx(u[0]), ddy(u[0]), ddz(5))
+            duy = (ddx(u[1]), ddy(u[1]), ddz(6))
+            duz = (ddx(u[2]), ddy(u[2]), ddz(7))
+            div_u = dux[0] + duy[1] + duz[2]
+            ds = (ddx(sc), ddy(sc), ddz(4))
+
+            r_sigma = (
+                (w_mid[8] - w_mid[0]) * inv2dt
+                + u[0] * ds[0] + u[1] * ds[1] + u[2] * ds[2]
+                + sc * div_u
+            )
+            r_ux = (w_mid[9] - w_mid[1]) * inv2dt \
+                + u[0] * dux[0] + u[1] * dux[1] + u[2] * dux[2]
+            r_uy = (w_mid[10] - w_mid[2]) * inv2dt \
+                + u[0] * duy[0] + u[1] * duy[1] + u[2] * duy[2]
+            r_uz = (w_mid[11] - w_mid[3]) * inv2dt \
+                + u[0] * duz[0] + u[1] * duz[1] + u[2] * duz[2]
+
+            # raw per-plane partials (weights applied by sum_partials)
+            @pl.when(jnp.logical_and(r >= 0, r < nz))
+            def _():
+                rr = jnp.clip(r, 0, nz - 1)
+                part_ref[0, rr] = jnp.sum(r_sigma * r_sigma)
+                part_ref[1, rr] = (
+                    jnp.sum(r_ux * r_ux) + jnp.sum(r_uy * r_uy)
+                    + jnp.sum(r_uz * r_uz)
+                )
+
+            sg = gslot(r)
+            gwin[sg, 0] = r_sigma * ss
+            gwin[sg, 1] = r_ux * su
+            gwin[sg, 2] = r_uy * su
+            gwin[sg, 3] = r_uz * su
+
+        # ---- stage 3: adjoint + MLP backward for row d = i-4 -------------
+        @pl.when(jnp.logical_and(i >= 4, i - 4 < nz))
+        def _():
+            d = i - 4
+            g_md = gwin[gslot(d)]
+            g_lo = gwin[gslot(d - 1)]
+            g_hi = gwin[gslot(d + 1)]
+            f_md = fwin[fslot(d)]
+            f_lo = fwin[fslot(d - 1)]
+            f_hi = fwin[fslot(d + 1)]
+            gs = g_md[0]
+            gu = (g_md[1], g_md[2], g_md[3])
+            sc = f_md[4]
+            u = (f_md[5], f_md[6], f_md[7])
+
+            def ddz(ch):
+                return (f_hi[ch] - f_lo[ch]) * inv2hz
+
+            div_u = ddx(u[0]) + ddy(u[1]) + ddz(7)
+
+            def zleg(fch, gch):
+                """z part of D^T for product V = F[fch] * G[gch]:
+                inv2hz*(V[d-1] - V[d+1]) with clamp edge corrections."""
+                v_lo = f_lo[fch] * g_lo[gch]
+                v_hi = f_hi[fch] * g_hi[gch]
+                out = (v_lo - v_hi) * inv2hz
+                if not per:
+                    # Clamp: row 0's z-stencil is (f[1]-f[0])/2h, so its
+                    # adjoint scatters -V[0] to itself; the logical row -1
+                    # (a clipped fake whose products are NOT V[0]) must not
+                    # contribute. dF[0] = -(V[0] + V[1])/2h and
+                    # dF[nz-1] = +(V[nz-2] + V[nz-1])/2h, with V[d] taken
+                    # from the true row-d products.
+                    v_md = f_md[fch] * g_md[gch]
+                    out = jnp.where(
+                        d == 0, -(v_md + v_hi) * inv2hz, out
+                    )
+                    out = jnp.where(
+                        d == nz - 1, (v_lo + v_md) * inv2hz, out
+                    )
+                return out
+
+            dsig = (
+                _dxt(u[0] * gs, inv2hx, per)
+                + _dyt(u[1] * gs, inv2hy, per)
+                + zleg(7, 0)          # P_z = u_z * gs
+                + gs * div_u
+            )
+            dux_t = (
+                gs * ddx(sc)
+                + gu[0] * ddx(u[0]) + gu[1] * ddx(u[1]) + gu[2] * ddx(u[2])
+                + _dxt(sc * gs, inv2hx, per)          # D_x^T(Q)
+                + _dxt(u[0] * gu[0], inv2hx, per)     # D_x^T(T_xx)
+                + _dyt(u[1] * gu[0], inv2hy, per)     # D_y^T(T_yx)
+                + zleg(7, 1)                          # D_z^T(T_zx)
+            )
+            duy_t = (
+                gs * ddy(sc)
+                + gu[0] * ddy(u[0]) + gu[1] * ddy(u[1]) + gu[2] * ddy(u[2])
+                + _dyt(sc * gs, inv2hy, per)
+                + _dxt(u[0] * gu[1], inv2hx, per)
+                + _dyt(u[1] * gu[1], inv2hy, per)
+                + zleg(7, 2)
+            )
+            duz_t = (
+                gs * ddz(4)
+                + gu[0] * ddz(5) + gu[1] * ddz(6) + gu[2] * ddz(7)
+                + zleg(4, 0)                          # D_z^T(Q)
+                + _dxt(u[0] * gu[2], inv2hx, per)
+                + _dyt(u[1] * gu[2], inv2hy, per)
+                + zleg(7, 3)
+            )
+
+            gy_rows = (
+                (-gs * inv2dt, -gu[0] * inv2dt, -gu[1] * inv2dt, -gu[2] * inv2dt),
+                (dsig, dux_t, duy_t, duz_t),
+                (gs * inv2dt, gu[0] * inv2dt, gu[1] * inv2dt, gu[2] * inv2dt),
+            )
+
+            zd = phys_row(d)
+            cdv_d = cd_ref[zd]
+            for s in range(3):
+                gy = jnp.stack(gy_rows[s])  # [4, ny, nx]
+                db2x_ref[...] = db2x_ref[...] + jnp.sum(gy, axis=1)  # [4, nx]
+                gy_in = gy.astype(jnp.bfloat16) if precision == "bf16" else gy
+                for c in range(n_chunks):
+                    ab = ab_ref[pl.ds(c * hk, hk)]
+                    z1 = ab + cdv_d[c * hk : (c + 1) * hk, s][:, None, None]
+                    a1 = jnp.maximum(z1, 0.0)
+                    a1_in = (
+                        a1.astype(jnp.bfloat16) if precision == "bf16" else a1
+                    )
+                    dw2_ref[:, pl.ds(c * hk, hk)] = dw2_ref[
+                        :, pl.ds(c * hk, hk)
+                    ] + jax.lax.dot_general(
+                        gy_in.reshape(4, ny * nx),
+                        a1_in.reshape(hk, ny * nx),
+                        dimension_numbers=dims_dw2,
+                        preferred_element_type=jnp.float32, precision=dot_prec,
+                    )
+                    w2c = w2_ref[:, pl.ds(c * hk, hk)]  # [4, hk]
+                    # da1[h] = sum_o W2T[o,h] * gy[o] as a thin-K matmul
+                    # (Mosaic rejects lane-sourced 1-D broadcasts; K=4 is
+                    # tiny in absolute terms)
+                    da1 = jax.lax.dot_general(
+                        w2c, gy,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=dot_prec,
+                    )  # [hk, ny, nx]
+                    dz1 = jnp.where(z1 > 0.0, da1, 0.0)
+                    dab_ref[pl.ds(c * hk, hk)] = (
+                        dab_ref[pl.ds(c * hk, hk)] + dz1
+                    )
+                    # x-partials of dCD (summed over x outside the kernel)
+                    dcdx_ref[zd, s, pl.ds(c * hk, hk)] = jnp.sum(dz1, axis=1)
+
+    in_specs = [
+        pl.BlockSpec((h, ny, nx), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((nz, h, 3), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((4, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    out_specs = (
+        pl.BlockSpec((2, nz), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((h, ny, nx), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        # dCD x-partials: VMEM-resident across the sweep (constant map),
+        # each (row, slice) written exactly once
+        pl.BlockSpec((nz, 3, h, nx), lambda i: (0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((4, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((4, nx), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((2, nz), jnp.float32),
+        jax.ShapeDtypeStruct((h, ny, nx), jnp.float32),
+        jax.ShapeDtypeStruct((nz, 3, h, nx), jnp.float32),
+        jax.ShapeDtypeStruct((4, h), jnp.float32),
+        jax.ShapeDtypeStruct((4, nx), jnp.float32),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n_prog,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((5, 12, ny, nx), jnp.float32),  # field window
+            pltpu.VMEM((3, 4, ny, nx), jnp.float32),   # cotangent window
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * (2 * h * 4 + h) * g.num_cells * 3 + 300 * g.num_cells,
+            bytes_accessed=2 * (h * ny * nx + nz * h * 3) * 4,
+            transcendentals=0,
+        ),
+    )
+
+
+def mega_loss_and_grad(
+    g: GridSpec,
+    w: PhysWeights,
+    cfg: MLPGridConfig,
+    params: mlp.Params,
+    t,
+    precision: str = "f32",
+    interpret=None,
+):
+    """(loss, (grad_params, grad_t)) from ONE kernel pass.
+
+    Falls back to the slab-scan gradient for unsupported configurations
+    (upwind scheme, unaligned grids)."""
+    if interpret is None:
+        interpret = _default_interpret()
+    if g.scheme != "central" or g.nx % 128 != 0 or g.ny % 8 != 0:
+        from phys_autodiff_tpu.train.slab_grad import make_slab_loss_and_grad
+
+        return make_slab_loss_and_grad(g, w, cfg, precision=precision)(params, t)
+
+    t = jnp.float32(t)
+    dt = jnp.float32(g.dt)
+    h = cfg.dims.H
+
+    def tables(p, tt):
+        ts = jnp.stack([tt - dt, tt, tt + dt])
+        return fold_tables_mega(g, cfg, p, ts)
+
+    (ab, cd, w2t, b2), vjp = jax.vjp(tables, params, t)
+    parts, dab, dcdx, dw2t, db2x = _build_bwd_call(g, h, w, precision, interpret)(
+        ab, cd, w2t, b2
+    )
+    ls, lu = ops_loss.sum_partials(g, w, parts)
+    dcd = jnp.moveaxis(jnp.sum(dcdx, axis=3), 1, 2)  # [nz, 3, H] -> [nz, H, 3]
+    db2 = jnp.sum(db2x, axis=1).reshape(1, 4)
+    d_params, d_t = vjp((dab, dcd, dw2t, db2))
+    return ls + lu, (d_params, d_t)

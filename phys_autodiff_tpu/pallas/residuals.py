@@ -375,6 +375,9 @@ def _build_fused_call(g: GridSpec, scales, reduce_loss: bool, interpret: bool):
         out_shape=out_shape,
         scratch_shapes=scratch,
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),  # in-order double buffering
+        ),
         cost_estimate=pl.CostEstimate(
             flops=flops_per_cell * g.num_cells,
             bytes_accessed=(12 + 4) * 4 * g.num_cells,
@@ -645,7 +648,9 @@ def pick_packed_slab(g: GridSpec, max_sz: int = 16) -> int:
     return best
 
 
-def _build_packed_call(g: GridSpec, scales, reduce_loss: bool, interpret: bool):
+def _build_packed_call(
+    g: GridSpec, scales, reduce_loss: bool, interpret: bool, dtype=jnp.float32
+):
     nz, ny, nx = g.shape
     sz = pick_packed_slab(g)
     n_slabs = nz // sz
@@ -708,6 +713,8 @@ def _build_packed_call(g: GridSpec, scales, reduce_loss: bool, interpret: bool):
         wait(i, buf, sems, hbm, slot)
 
         slab = buf[slot]  # [12, sz+2, ny, nx]
+        if dtype != jnp.float32:
+            slab = slab.astype(jnp.float32)
         r_sigma, r_ux, r_uy, r_uz = _slab_residuals(
             g,
             slab[1],
@@ -732,20 +739,21 @@ def _build_packed_call(g: GridSpec, scales, reduce_loss: bool, interpret: bool):
                     + jnp.sum(r_uz[k] * r_uz[k])
                 )
         else:
-            out_ref[0] = r_sigma
-            out_ref[1] = r_ux
-            out_ref[2] = r_uy
-            out_ref[3] = r_uz
+            out_ref[0] = r_sigma.astype(dtype)
+            out_ref[1] = r_ux.astype(dtype)
+            out_ref[2] = r_uy.astype(dtype)
+            out_ref[3] = r_uz.astype(dtype)
 
     if reduce_loss:
         out_shape = jax.ShapeDtypeStruct((2, nz), jnp.float32)
         out_specs = pl.BlockSpec((2, nz), lambda i: (0, 0), memory_space=pltpu.SMEM)
     else:
-        out_shape = jax.ShapeDtypeStruct((4, nz, ny, nx), jnp.float32)
+        out_shape = jax.ShapeDtypeStruct((4, nz, ny, nx), dtype)
         out_specs = pl.BlockSpec(
             (4, sz, ny, nx), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
         )
 
+    itemsize = jnp.dtype(dtype).itemsize
     return pl.pallas_call(
         kernel,
         grid=(n_slabs,),
@@ -753,13 +761,17 @@ def _build_packed_call(g: GridSpec, scales, reduce_loss: bool, interpret: bool):
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((2, 12, sz + 2, ny, nx), jnp.float32),
+            pltpu.VMEM((2, 12, sz + 2, ny, nx), dtype),
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            # our manual double-buffer logic requires in-order grid execution
+            dimension_semantics=("arbitrary",),
+        ),
         cost_estimate=pl.CostEstimate(
             flops=60 * g.num_cells,
-            bytes_accessed=16 * 4 * g.num_cells,
+            bytes_accessed=16 * itemsize * g.num_cells,
             transcendentals=0,
         ),
     )
@@ -807,6 +819,23 @@ def residuals_fused_packed(g: GridSpec, packed: jnp.ndarray, interpret=None):
 def _packed_residuals_ops(g: GridSpec, packed: jnp.ndarray) -> jnp.ndarray:
     rs, ru = ops_stencil.residuals(g, unpack_fields(packed))
     return jnp.concatenate([rs[None], ru], axis=0)
+
+
+def residuals_fused_packed_bf16(g: GridSpec, packed_bf16, interpret=None):
+    """Mixed-precision residual kernel: bfloat16 fields in, f32 stencil
+    arithmetic in-kernel, bfloat16 residuals out — halves the HBM traffic
+    (the op is bandwidth-bound). Tolerance class 1e-3 amplified by the
+    1/h stencil factors (the reference's planned M4 mixed-precision mode,
+    REQUIREMENT.md:124-130). Not differentiable; the bf16 training path
+    uses the mega kernel + slab gradient instead."""
+    if interpret is None:
+        interpret = _default_interpret()
+    if g.nx % 128 != 0 and not interpret:
+        return _packed_residuals_ops(g, packed_bf16.astype(jnp.float32)).astype(
+            jnp.bfloat16
+        )
+    call = _build_packed_call(g, None, False, interpret, dtype=jnp.bfloat16)
+    return call(packed_bf16)
 
 
 def _rfp_fwd(g, packed, interpret):

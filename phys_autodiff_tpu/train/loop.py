@@ -141,6 +141,13 @@ def make_train_epoch(
 def _make_step_fn(g, w, mcfg, cfg):
     """Unjitted single step (shared by make_train_step and make_train_epoch)."""
     opt = make_optimizer(cfg)
+    # Fused step on supported configs: ONE kernel computes the loss AND all
+    # parameter gradients (pallas/mega_bwd.py); otherwise value_and_grad of
+    # the (possibly fused-forward) loss.
+    use_mega_bwd = (
+        cfg.use_fused and g.scheme == "central" and g.nx % 128 == 0
+        and g.ny % 8 == 0
+    )
 
     def step(state: TrainState):
         key, sub = jax.random.split(state.key)
@@ -148,11 +155,18 @@ def _make_step_fn(g, w, mcfg, cfg):
             t = jax.random.uniform(sub, ())
         else:
             t = jnp.float32(cfg.t)
-        loss, grads = jax.value_and_grad(
-            lambda p: loss_fn(
-                g, w, mcfg, p, t, cfg.use_fused, cfg.remat, cfg.precision
+        if use_mega_bwd:
+            from phys_autodiff_tpu.pallas.mega_bwd import mega_loss_and_grad
+
+            loss, (grads, _) = mega_loss_and_grad(
+                g, w, mcfg, state.params, t, cfg.precision
             )
-        )(state.params)
+        else:
+            loss, grads = jax.value_and_grad(
+                lambda p: loss_fn(
+                    g, w, mcfg, p, t, cfg.use_fused, cfg.remat, cfg.precision
+                )
+            )(state.params)
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1, key), loss

@@ -193,18 +193,35 @@ def make_fused_loss(
     precision: str = "f32",
     sz: int | None = None,
     interpret=None,
+    backward: str = "mega",
 ):
     """Scalar training loss with a fully-fused compute path in BOTH
     directions: forward = the MLP->residual->loss MEGA-kernel (fields never
-    leave VMEM; pallas/mega.py), backward = the slab-blocked recompute
-    gradient above. This is the round-2 fused training step the round-1
-    VERDICT called for (items 3-5).
+    leave VMEM; pallas/mega.py), backward = the fused backward mega-kernel
+    (pallas/mega_bwd.py — the k_backward_fused analogue: one pass computes
+    all parameter gradients with nothing grid-sized in HBM) or the
+    slab-blocked recompute gradient above (backward="slab"; also the
+    automatic fallback for upwind/unaligned configurations).
 
     Returns loss_fn(params, t) -> scalar, usable under jax.value_and_grad.
     """
     from phys_autodiff_tpu.pallas.mega import mega_loss_pipeline
 
-    slab_lg = make_slab_loss_and_grad(g, w, cfg, sz=sz, precision=precision)
+    if backward == "mega" and g.scheme == "central" and g.nx % 128 == 0:
+        from phys_autodiff_tpu.pallas.mega_bwd import mega_loss_and_grad
+
+        def lg(params, t):
+            _, grads = mega_loss_and_grad(
+                g, w, cfg, params, t, precision, interpret
+            )
+            return None, grads
+
+    else:
+        slab = make_slab_loss_and_grad(g, w, cfg, sz=sz, precision=precision)
+
+        def lg(params, t):
+            _, grads = slab(params, t)
+            return None, grads
 
     @jax.custom_vjp
     def loss(params, t):
@@ -216,7 +233,7 @@ def make_fused_loss(
 
     def bwd(res, ct):
         params, t = res
-        _, (gp, gt) = slab_lg(params, t)
+        _, (gp, gt) = lg(params, t)
         return (
             jax.tree_util.tree_map(lambda x: ct * x, gp),
             ct * gt,

@@ -195,3 +195,27 @@ def test_packed_mlp_pipeline_matches_plain():
     gs = jax.jit(jax.grad(ls_fn))(params)
     cat = lambda gr: np.concatenate([np.asarray(gr[k]).ravel() for k in sorted(gr)])
     assert rel_l2_err(cat(gp), cat(gs)) <= 5e-3
+
+
+def test_packed_bf16io_mixed_precision_class():
+    """The bf16-I/O packed kernel (reference M4 mixed-precision arm): f32
+    in-kernel arithmetic on bf16 fields, bf16 residuals out. The stencil's
+    1/h factors amplify the bf16 field rounding, so the class is a few
+    percent relative, checked against the staged f32 op on the same
+    bf16-rounded inputs."""
+    from phys_autodiff_tpu.pallas.residuals import (
+        pack_fields,
+        residuals_fused_packed_bf16,
+    )
+
+    g = GridSpec(nx=128, ny=16, nz=8, hx=0.3, hy=0.3, hz=0.3, dt=1e-2)
+    fs = _snapshots(g)
+    fs16 = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), fs)
+    fs16_as_f32 = jax.tree_util.tree_map(lambda a: a.astype(jnp.float32), fs16)
+    rs_ref, ru_ref = ops.residuals(g, fs16_as_f32)
+    out = residuals_fused_packed_bf16(g, pack_fields(fs16), True)
+    rs, ru = out[0].astype(jnp.float32), out[1:].astype(jnp.float32)
+    # identical math on identical (bf16-rounded) inputs; only the output
+    # rounding differs -> bf16-epsilon relative
+    assert rel_l2_err(rs, rs_ref) <= 4e-3
+    assert rel_l2_err(ru, ru_ref) <= 4e-3

@@ -1,0 +1,109 @@
+"""The fused backward mega-kernel (pallas/mega_bwd.py): one Pallas pass
+computing the loss and ALL parameter gradients — the analogue of the
+reference's k_backward_fused (src/phys_cuda_fused.cu:102-172) extended
+through the MLP backward (src/mlp_cuda.cu:39-89), with the hand-derived
+stencil adjoint verified against jax.grad."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from phys_autodiff_tpu import ops
+from phys_autodiff_tpu.models import generate_fields, mlp
+from phys_autodiff_tpu.pallas.mega_bwd import mega_loss_and_grad
+from phys_autodiff_tpu.utils.config import (
+    CoordNorm,
+    GridSpec,
+    MLPDims,
+    MLPGridConfig,
+    PhysWeights,
+)
+
+GRID = dict(nx=128, ny=8, nz=6, hx=0.3, hy=0.35, hz=0.4, dt=1e-2)
+
+
+def _rel(a, b):
+    a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+    return np.linalg.norm(a - b) / max(np.linalg.norm(a), 1e-30)
+
+
+def _cat(gp):
+    return np.concatenate([np.asarray(gp[k], np.float64).ravel() for k in sorted(gp)])
+
+
+@pytest.mark.parametrize("periodic", [True, False], ids=["periodic", "clamp"])
+@pytest.mark.parametrize("norm", [CoordNorm.MinusOneToOne, CoordNorm.ZeroToOne])
+def test_mega_bwd_matches_jax_grad(periodic, norm):
+    g = GridSpec(periodic=periodic, **GRID)
+    w = PhysWeights(w_sigma=1.3, w_u=0.7)
+    cfg = MLPGridConfig(dims=MLPDims(H=32), norm=norm)
+    params = mlp.init_params(cfg.dims, seed=3)
+    t = jnp.float32(0.25)
+
+    def staged(p, tt):
+        return ops.total_loss(g, w, generate_fields(g, cfg, p, tt, g.dt))
+
+    l_ref, (gp_ref, gt_ref) = jax.value_and_grad(staged, argnums=(0, 1))(params, t)
+    l, (gp, gt) = jax.jit(
+        lambda p, tt: mega_loss_and_grad(g, w, cfg, p, tt, "f32", True)
+    )(params, t)
+
+    assert abs(float(l) - float(l_ref)) / abs(float(l_ref)) < 5e-6
+    # f32-noise criteria (both arms are f32 programs; see test_slab_grad's
+    # tolerance doctrine): tight on the global norm, looser per component.
+    assert _rel(_cat(gp_ref), _cat(gp)) < 1e-4
+    for k in gp_ref:
+        assert _rel(gp_ref[k], gp[k]) < 1e-3, k
+    assert abs(float(gt_ref) - float(gt)) / max(abs(float(gt_ref)), 1e-30) < 1e-3
+
+
+def test_mega_bwd_h64_single_chunk():
+    """H=64 exercises the single-H-chunk path."""
+    g = GridSpec(**GRID)
+    w = PhysWeights()
+    cfg = MLPGridConfig(dims=MLPDims(H=64))
+    params = mlp.init_params(cfg.dims, seed=9)
+    t = jnp.float32(0.4)
+
+    def staged(p):
+        return ops.total_loss(g, w, generate_fields(g, cfg, p, t, g.dt))
+
+    l_ref, gp_ref = jax.value_and_grad(staged)(params)
+    l, (gp, _) = mega_loss_and_grad(g, w, cfg, params, t, "f32", True)
+    assert abs(float(l) - float(l_ref)) / abs(float(l_ref)) < 5e-6
+    assert _rel(_cat(gp_ref), _cat(gp)) < 1e-4
+
+
+def test_mega_bwd_upwind_falls_back_to_slab():
+    """Upwind routes through the slab gradient (same answer)."""
+    g = GridSpec(scheme="upwind", **GRID)
+    w = PhysWeights()
+    cfg = MLPGridConfig(dims=MLPDims(H=16))
+    params = mlp.init_params(cfg.dims, seed=1)
+    t = jnp.float32(0.25)
+
+    from phys_autodiff_tpu.train.slab_grad import make_slab_loss_and_grad
+
+    l_ref, (gp_ref, _) = make_slab_loss_and_grad(g, w, cfg)(params, t)
+    l, (gp, _) = mega_loss_and_grad(g, w, cfg, params, t, "f32", True)
+    assert float(l) == float(l_ref)
+    for k in gp_ref:
+        assert np.array_equal(np.asarray(gp[k]), np.asarray(gp_ref[k])), k
+
+
+def test_mega_bwd_scaled_weights():
+    """The (2w/N) cotangent scales flow correctly for non-unit weights."""
+    g = GridSpec(**GRID)
+    w = PhysWeights(w_sigma=0.25, w_u=3.5)
+    cfg = MLPGridConfig(dims=MLPDims(H=32))
+    params = mlp.init_params(cfg.dims, seed=11)
+    t = jnp.float32(0.1)
+
+    def staged(p):
+        return ops.total_loss(g, w, generate_fields(g, cfg, p, t, g.dt))
+
+    l_ref, gp_ref = jax.value_and_grad(staged)(params)
+    l, (gp, _) = mega_loss_and_grad(g, w, cfg, params, t, "f32", True)
+    assert abs(float(l) - float(l_ref)) / abs(float(l_ref)) < 5e-6
+    assert _rel(_cat(gp_ref), _cat(gp)) < 1e-4
