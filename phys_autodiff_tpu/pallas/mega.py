@@ -47,6 +47,7 @@ def _default_interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
+
 def fold_tables_mega(g: GridSpec, cfg: MLPGridConfig, params: mlp.Params, ts):
     """Rank-1 layer-1 tables in the mega-kernel layout.
 

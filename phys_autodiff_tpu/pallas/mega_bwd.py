@@ -68,6 +68,7 @@ def _default_interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
+
 def _zero_shift(v, delta: int, axis_from_end: int, periodic: bool):
     """v shifted by `delta` along the lane (-1) or sublane (-2) axis; zero
     fill for clamp mode (the transpose needs zeros, not edge duplication)."""
@@ -136,7 +137,7 @@ def _build_bwd_call(g: GridSpec, h: int, w: PhysWeights, precision, interpret):
     def gslot(x):  # logical cotangent row x lives in slot x % 3
         return jax.lax.rem(x + 9, 3)
 
-    def kernel(ab_ref, cd_ref, w2_ref, b2_ref,
+    def kernel(ab_ref, abf_ref, cd_ref, w2_ref, b2_ref,
                part_ref, dab_ref, dcdx_ref, dw2_ref, db2x_ref,
                fwin, gwin):
         i = pl.program_id(0)
@@ -300,55 +301,78 @@ def _build_bwd_call(g: GridSpec, h: int, w: PhysWeights, precision, interpret):
                 (gs * inv2dt, gu[0] * inv2dt, gu[1] * inv2dt, gu[2] * inv2dt),
             )
 
+            # ---- MLP backward in the FLAT [*, ny*nx] layout ---------------
+            # The shaped layout forced a [*, ny, nx] -> [*, ny*nx] relayout
+            # per chunk for the dW2 dot (measured ~2 ms/step); operating on
+            # the pre-flattened AB copy needs only one small gy reshape per
+            # slice, and dAB is accumulated once per chunk from the
+            # slice-summed dz1 (3x less accumulator traffic).
             zd = phys_row(d)
             cdv_d = cd_ref[zd]
+            gy_f = []
             for s in range(3):
-                gy = jnp.stack(gy_rows[s])  # [4, ny, nx]
-                db2x_ref[...] = db2x_ref[...] + jnp.sum(gy, axis=1)  # [4, nx]
-                gy_in = gy.astype(jnp.bfloat16) if precision == "bf16" else gy
-                for c in range(n_chunks):
-                    ab = ab_ref[pl.ds(c * hk, hk)]
-                    z1 = ab + cdv_d[c * hk : (c + 1) * hk, s][:, None, None]
-                    a1 = jnp.maximum(z1, 0.0)
+                gy = jnp.stack(gy_rows[s]).reshape(4, ny * nx)
+                gy_f.append(gy)
+                # db2: full reduce, broadcast-written (column 0 read outside)
+                db2x_ref[...] = db2x_ref[...] + jnp.broadcast_to(
+                    jnp.sum(gy, axis=1, keepdims=True), (4, nx)
+                )
+            for c in range(n_chunks):
+                abf = abf_ref[pl.ds(c * hk, hk)]  # [hk, ny*nx]
+                w2c = w2_ref[:, pl.ds(c * hk, hk)]  # [4, hk]
+                dz1_sum = jnp.zeros((hk, ny * nx), jnp.float32)
+                for s in range(3):
+                    gy = gy_f[s]
+                    z1f = abf + cdv_d[c * hk : (c + 1) * hk, s][:, None]
+                    a1f = jnp.maximum(z1f, 0.0)
+                    gy_in = (
+                        gy.astype(jnp.bfloat16) if precision == "bf16" else gy
+                    )
                     a1_in = (
-                        a1.astype(jnp.bfloat16) if precision == "bf16" else a1
+                        a1f.astype(jnp.bfloat16) if precision == "bf16" else a1f
                     )
-                    dw2_ref[:, pl.ds(c * hk, hk)] = dw2_ref[
-                        :, pl.ds(c * hk, hk)
-                    ] + jax.lax.dot_general(
-                        gy_in.reshape(4, ny * nx),
-                        a1_in.reshape(hk, ny * nx),
-                        dimension_numbers=dims_dw2,
-                        preferred_element_type=jnp.float32, precision=dot_prec,
+                    # NOTE: HIGHEST here is measured as fast as bf16x3 split
+                    # passes on this chip (native-rate f32 MXU); bf16x3 only
+                    # added split overhead, so f32_high shares this path.
+                    dw2_ref[:, pl.ds(c * hk, hk)] = (
+                        dw2_ref[:, pl.ds(c * hk, hk)]
+                        + jax.lax.dot_general(
+                            gy_in, a1_in, dimension_numbers=dims_dw2,
+                            preferred_element_type=jnp.float32,
+                            precision=dot_prec,
+                        )
                     )
-                    w2c = w2_ref[:, pl.ds(c * hk, hk)]  # [4, hk]
                     # da1[h] = sum_o W2T[o,h] * gy[o] as a thin-K matmul
-                    # (Mosaic rejects lane-sourced 1-D broadcasts; K=4 is
-                    # tiny in absolute terms)
+                    # (Mosaic rejects lane-sourced 1-D broadcasts)
                     da1 = jax.lax.dot_general(
                         w2c, gy,
                         dimension_numbers=(((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                         precision=dot_prec,
-                    )  # [hk, ny, nx]
-                    dz1 = jnp.where(z1 > 0.0, da1, 0.0)
-                    dab_ref[pl.ds(c * hk, hk)] = (
-                        dab_ref[pl.ds(c * hk, hk)] + dz1
+                    )  # [hk, ny*nx]
+                    dz1 = jnp.where(z1f > 0.0, da1, 0.0)
+                    dz1_sum = dz1_sum + dz1
+                    # dCD[zd, s]: full reduce, broadcast-written
+                    dcdx_ref[zd, s, pl.ds(c * hk, hk)] = jnp.broadcast_to(
+                        jnp.sum(dz1, axis=1, keepdims=True), (hk, nx)
                     )
-                    # x-partials of dCD (summed over x outside the kernel)
-                    dcdx_ref[zd, s, pl.ds(c * hk, hk)] = jnp.sum(dz1, axis=1)
+                dab_ref[pl.ds(c * hk, hk)] = (
+                    dab_ref[pl.ds(c * hk, hk)] + dz1_sum
+                )
 
     in_specs = [
         pl.BlockSpec((h, ny, nx), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((h, ny * nx), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((nz, h, 3), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((4, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
     out_specs = (
         pl.BlockSpec((2, nz), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((h, ny, nx), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-        # dCD x-partials: VMEM-resident across the sweep (constant map),
-        # each (row, slice) written exactly once
+        # dAB in the flat layout (reshaped back outside)
+        pl.BlockSpec((h, ny * nx), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        # dCD reductions, broadcast along the lane dim (column 0 read
+        # outside); VMEM-resident across the sweep, written once per row
         pl.BlockSpec((nz, 3, h, nx), lambda i: (0, 0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((4, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -356,7 +380,7 @@ def _build_bwd_call(g: GridSpec, h: int, w: PhysWeights, precision, interpret):
     )
     out_shape = (
         jax.ShapeDtypeStruct((2, nz), jnp.float32),
-        jax.ShapeDtypeStruct((h, ny, nx), jnp.float32),
+        jax.ShapeDtypeStruct((h, ny * nx), jnp.float32),
         jax.ShapeDtypeStruct((nz, 3, h, nx), jnp.float32),
         jax.ShapeDtypeStruct((4, h), jnp.float32),
         jax.ShapeDtypeStruct((4, nx), jnp.float32),
@@ -413,11 +437,14 @@ def mega_loss_and_grad(
         return fold_tables_mega(g, cfg, p, ts)
 
     (ab, cd, w2t, b2), vjp = jax.vjp(tables, params, t)
-    parts, dab, dcdx, dw2t, db2x = _build_bwd_call(g, h, w, precision, interpret)(
-        ab, cd, w2t, b2
+    nz, ny, nx = g.shape
+    parts, dabf, dcdx, dw2t, db2x = _build_bwd_call(g, h, w, precision, interpret)(
+        ab, ab.reshape(h, ny * nx), cd, w2t, b2
     )
     ls, lu = ops_loss.sum_partials(g, w, parts)
-    dcd = jnp.moveaxis(jnp.sum(dcdx, axis=3), 1, 2)  # [nz, 3, H] -> [nz, H, 3]
-    db2 = jnp.sum(db2x, axis=1).reshape(1, 4)
+    dab = dabf.reshape(h, ny, nx)
+    # dcdx/db2x carry the reduced value broadcast along lanes: column 0
+    dcd = jnp.moveaxis(dcdx[..., 0], 1, 2)  # [nz, 3, H] -> [nz, H, 3]
+    db2 = db2x[:, 0].reshape(1, 4)
     d_params, d_t = vjp((dab, dcd, dw2t, db2))
     return ls + lu, (d_params, d_t)

@@ -79,6 +79,64 @@ def run_mlp(nx, ny, nz):
     check("mlp fused u rel", rel_l2_err(fs_f.u_t, fs_p.u_t), tol.MLP_INFER_REL)
 
 
+def run_round2(nx, ny, nz):
+    """Round-2 kernels on hardware: packed + upwind residuals, the
+    MLP->residual->loss mega-kernel, and the fused backward mega-kernel."""
+    from phys_autodiff_tpu.pallas.mega import mega_loss_pipeline
+    from phys_autodiff_tpu.pallas.mega_bwd import mega_loss_and_grad
+    from phys_autodiff_tpu.pallas.residuals import (
+        pack_fields,
+        residuals_fused_packed,
+    )
+
+    g = GridSpec(nx=nx, ny=ny, nz=nz, hx=L / nx, hy=L / ny, hz=L / nz, dt=1e-3)
+    w = PhysWeights(w_sigma=1.3, w_u=0.7)
+    print(f"round-2 kernels {nx}x{ny}x{nz}")
+    f = manufactured.solution2_fields(g, 0.7)
+    fs = FieldSnapshots(**{k: jnp.asarray(v) for k, v in f.items()})
+    rs_s, ru_s = jax.jit(lambda x: ops.residuals(g, x))(fs)
+    out = jax.jit(lambda p: residuals_fused_packed(g, p))(pack_fields(fs))
+    check("packed residuals rel", rel_l2_err(out[0], rs_s), tol.FUSED_VS_STAGED_REL)
+    check("packed residuals R_u rel", rel_l2_err(out[1:], ru_s),
+          tol.FUSED_VS_STAGED_REL)
+
+    gu_spec = GridSpec(nx=nx, ny=ny, nz=nz, hx=L / nx, hy=L / ny, hz=L / nz,
+                       dt=1e-3, scheme="upwind")
+    rs_u, ru_u = jax.jit(lambda x: ops.residuals(gu_spec, x))(fs)
+    out_u = jax.jit(lambda p: residuals_fused_packed(gu_spec, p))(pack_fields(fs))
+    check("upwind packed rel", rel_l2_err(out_u[0], rs_u), tol.FUSED_VS_STAGED_REL)
+
+    cfg = MLPGridConfig(dims=MLPDims(H=128))
+    params = mlp.init_params(cfg.dims, seed=777)
+    t = jnp.float32(0.25)
+
+    def staged_terms(p):
+        f2 = fields_mod.generate_fields(g, cfg, p, t, g.dt)
+        return ops.loss_forward(g, w, f2)
+
+    ls_r, lu_r = jax.jit(staged_terms)(params)
+    ls_m, lu_m = jax.jit(lambda p: mega_loss_pipeline(g, w, cfg, p, t))(params)
+    check("mega loss L_sigma rel",
+          abs(float(ls_m) - float(ls_r)) / abs(float(ls_r)), 1e-5)
+    check("mega loss L_u rel",
+          abs(float(lu_m) - float(lu_r)) / abs(float(lu_r)), 1e-5)
+
+    def staged_total(p, tt):
+        f2 = fields_mod.generate_fields(g, cfg, p, tt, g.dt)
+        return ops.total_loss(g, w, f2)
+
+    l_ref, gp_ref = jax.jit(jax.value_and_grad(staged_total))(params, t)
+    l_b, (gp_b, _) = jax.jit(
+        lambda p, tt: mega_loss_and_grad(g, w, cfg, p, tt)
+    )(params, t)
+    check("mega-bwd loss rel", abs(float(l_b) - float(l_ref)) / abs(float(l_ref)),
+          1e-5)
+    cat = lambda gp: np.concatenate(
+        [np.asarray(gp[k], np.float64).ravel() for k in sorted(gp)]
+    )
+    check("mega-bwd grads rel (global)", rel_l2_err(cat(gp_b), cat(gp_ref)), 1e-4)
+
+
 if __name__ == "__main__":
     print("devices:", jax.devices())
     run(128, 96, 96, True)   # slab kernel
@@ -86,6 +144,7 @@ if __name__ == "__main__":
     run(96, 96, 64, True)    # plane kernel
     run(64, 64, 64, False)
     run_mlp(128, 96, 96)
+    run_round2(128, 96, 96)
     if FAILURES:
         print("FAILURES:", FAILURES)
         sys.exit(1)
