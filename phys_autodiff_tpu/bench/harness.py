@@ -120,7 +120,7 @@ def time_loop(body: Callable, carry0, n_small=4, target_seconds=0.5, repeats=3):
 def _perturb(arr, acc):
     """Single-element nudge that makes the op depend on the loop carry; the
     dynamic-update-slice is in-place on the loop-carried buffer."""
-    return arr.at[(0,) * arr.ndim].add(acc * 1e-30)
+    return arr.at[(0,) * arr.ndim].add((acc * 1e-30).astype(arr.dtype))
 
 
 def _op_body(op_fn: Callable, mode: str):
@@ -310,27 +310,37 @@ def bench_phys(g: GridSpec, iters=DEFAULT_ITERS) -> list:
     FieldSnapshots-layout multi-stream kernel gets its own row.
     """
     from phys_autodiff_tpu.pallas import residuals_fused
-    from phys_autodiff_tpu.pallas.residuals import pack_fields, residuals_fused_packed
-
-    from phys_autodiff_tpu.pallas.residuals import residuals_fused_packed_bf16
+    from phys_autodiff_tpu.pallas.residuals import (
+        pack_fields,
+        residuals_fused_packed,
+        residuals_fused_packed_bf16,
+    )
 
     fs = random_fields(g)
-    packed = jax.block_until_ready(pack_fields(fs))
-    packed_bf16 = jax.block_until_ready(packed.astype(jnp.bfloat16))
     ms_staged = time_residual_op(lambda x: ops.residuals(g, x), fs)
-    ms_packed = time_packed_op(lambda p: residuals_fused_packed(g, p), packed)
     ms_multi = time_residual_probe(lambda x: residuals_fused(g, x), fs)
-    ms_bf16 = time_packed_op(
-        lambda p: residuals_fused_packed_bf16(g, p), packed_bf16
-    )
-    return [
-        PhysRow("nonfused", g.nx, g.ny, g.nz, iters, ms_staged),
-        PhysRow("fused", g.nx, g.ny, g.nz, iters, ms_packed),
-        PhysRow("fused_multistream", g.nx, g.ny, g.nz, iters, ms_multi),
-        # mixed-precision arm (bf16 I/O, f32 in-kernel arithmetic): labeled
-        # separately; the headline JSON only considers f32 arms.
-        PhysRow("fused_bf16io", g.nx, g.ny, g.nz, iters, ms_bf16),
-    ]
+    rows = [PhysRow("nonfused", g.nx, g.ny, g.nz, iters, ms_staged)]
+    if g.nx % 128 == 0:
+        # packed one-DMA kernel (the flagship) + its bf16-I/O variant
+        packed = jax.block_until_ready(pack_fields(fs))
+        packed_bf16 = jax.block_until_ready(packed.astype(jnp.bfloat16))
+        ms_packed = time_packed_op(lambda p: residuals_fused_packed(g, p), packed)
+        ms_bf16 = time_packed_op(
+            lambda p: residuals_fused_packed_bf16(g, p), packed_bf16
+        )
+        rows += [
+            PhysRow("fused", g.nx, g.ny, g.nz, iters, ms_packed),
+            PhysRow("fused_multistream", g.nx, g.ny, g.nz, iters, ms_multi),
+            # mixed-precision arm (bf16 I/O, f32 in-kernel arithmetic):
+            # labeled separately; the headline JSON only considers f32 arms.
+            PhysRow("fused_bf16io", g.nx, g.ny, g.nz, iters, ms_bf16),
+        ]
+    else:
+        # unaligned nx: the packed/bf16io kernels would silently fall back
+        # to the staged ops (and probe-mode timing of a staged program is
+        # invalid), so the fused arm is the per-plane Pallas kernel.
+        rows.append(PhysRow("fused", g.nx, g.ny, g.nz, iters, ms_multi))
+    return rows
 
 
 def bench_pipeline(g: GridSpec, h=128, iters=DEFAULT_ITERS, seed=777) -> list:
@@ -359,15 +369,56 @@ def bench_pipeline(g: GridSpec, h=128, iters=DEFAULT_ITERS, seed=777) -> list:
     params = mlp.init_params(cfg.dims, seed=seed)
     w = PhysWeights()
     fs = random_fields(g)
-    packed = jax.block_until_ready(pack_fields(fs))
 
     ms_staged_res = time_residual_op(lambda x: ops.residuals(g, x), fs)
-    ms_packed_res = time_packed_op(lambda p: residuals_fused_packed(g, p), packed)
     # Physics-as-composed scopes: both end in a scalar, probe mode is sound.
     ms_staged_phys = time_op(
         lambda s: ops.loss_terms(g, w, *ops.residuals(g, fs._replace(sigma_t=s))),
         fs.sigma_t,
     )
+
+    if g.nx % 128 != 0:
+        # Unaligned nx: the packed/mega kernels fall back to the staged
+        # path internally, so only the staged row and a per-plane-kernel
+        # fused row are honest at this shape.
+        from phys_autodiff_tpu.pallas import loss_forward_fused, residuals_fused
+
+        ms_plane = time_residual_probe(lambda x: residuals_fused(g, x), fs)
+        ms_plane_loss = time_op(
+            lambda s: loss_forward_fused(g, w, fs._replace(sigma_t=s)),
+            fs.sigma_t,
+        )
+
+        def staged_total(p):
+            f2 = fields_mod.generate_fields(g, cfg, p, 0.25, g.dt)
+            rs, ru = ops.residuals(g, f2)
+            ls, lu = ops.loss_terms(g, w, rs, ru)
+            return ls + lu
+
+        def plane_total(p):
+            f2 = fields_mod.generate_fields(g, cfg, p, 0.25, g.dt)
+            ls, lu = loss_forward_fused(g, w, f2)
+            return ls + lu
+
+        gen_fn = lambda p: fields_mod.generate_fields(g, cfg, p, 0.25, g.dt)
+        ms_mlp = time_fieldgen(gen_fn, params, mode="reduce")
+        return [
+            PipelineRow(
+                "nonfused", g.nx, g.ny, g.nz, iters,
+                ms_kernel=ms_staged_res, ms_phys_e2e=ms_staged_phys,
+                ms_mlp=ms_mlp,
+                ms_total=time_scalar_pipeline(staged_total, params),
+            ),
+            PipelineRow(
+                "fused_plane", g.nx, g.ny, g.nz, iters,
+                ms_kernel=ms_plane, ms_phys_e2e=ms_plane_loss,
+                ms_mlp=ms_mlp,
+                ms_total=time_scalar_pipeline(plane_total, params),
+            ),
+        ]
+
+    packed = jax.block_until_ready(pack_fields(fs))
+    ms_packed_res = time_packed_op(lambda p: residuals_fused_packed(g, p), packed)
     ms_packed_loss = time_packed_op(
         lambda p: loss_forward_fused_packed(g, w, p), packed
     )

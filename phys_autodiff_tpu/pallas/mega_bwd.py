@@ -102,10 +102,20 @@ def _dyt(v, inv2hy, periodic: bool):
     return out * inv2hy
 
 
-def _build_bwd_call(g: GridSpec, h: int, w: PhysWeights, precision, interpret):
+def _build_bwd_call(
+    g: GridSpec, h: int, w: PhysWeights, precision, interpret,
+    nz_local: int | None = None,
+):
+    """nz_local < nz builds the SHARD-LOCAL kernel: it processes rows
+    [z0, z0 + nz_local) of the global grid, z0 arriving as a runtime scalar
+    (SMEM input) so one program serves every shard under shard_map. Halo
+    rows are recomputed from the (replicated) MLP tables instead of
+    communicated; clamp edge corrections key on GLOBAL row indices."""
     assert g.scheme == "central"
     nz, ny, nx = g.shape
-    n_prog = nz + 4
+    if nz_local is None:
+        nz_local = nz
+    n_prog = nz_local + 4
     hk = 64 if h > 64 else h
     n_chunks = h // hk
     dot_prec = (
@@ -131,16 +141,17 @@ def _build_bwd_call(g: GridSpec, h: int, w: PhysWeights, precision, interpret):
             return jax.lax.rem(lz + 2 * nz, nz)
         return jnp.clip(lz, 0, nz - 1)
 
-    def fslot(x):  # logical field row x lives in slot (x + 2) % 5
-        return jax.lax.rem(x + 2 + 20, 5)
+    def fslot_i(j):  # field row written at program j lives in slot j % 5
+        return jax.lax.rem(j + 20, 5)
 
-    def gslot(x):  # logical cotangent row x lives in slot x % 3
-        return jax.lax.rem(x + 9, 3)
+    def gslot_i(j):  # cotangent row written at program j -> slot j % 3
+        return jax.lax.rem(j + 9, 3)
 
-    def kernel(ab_ref, abf_ref, cd_ref, w2_ref, b2_ref,
+    def kernel(z0_ref, ab_ref, abf_ref, cd_ref, w2_ref, b2_ref,
                part_ref, dab_ref, dcdx_ref, dw2_ref, db2x_ref,
                fwin, gwin):
         i = pl.program_id(0)
+        z0 = z0_ref[0, 0]  # first global row of this shard's range
 
         @pl.when(i == 0)
         def _():
@@ -150,10 +161,10 @@ def _build_bwd_call(g: GridSpec, h: int, w: PhysWeights, precision, interpret):
 
         b2 = b2_ref[...]
 
-        # ---- stage 1: MLP forward for logical field row L = i-2 ----------
-        L = i - 2
+        # ---- stage 1: MLP forward for logical field row L = z0 + i-2 -----
+        L = z0 + i - 2
         cdv = cd_ref[phys_row(L)]  # [H, 3]
-        slot_f = fslot(L)
+        slot_f = fslot_i(i)
         for s in range(3):
             acc = jnp.zeros((4, ny, nx), jnp.float32)
             for c in range(n_chunks):
@@ -177,11 +188,13 @@ def _build_bwd_call(g: GridSpec, h: int, w: PhysWeights, precision, interpret):
         def ddy(c):
             return (_shift_sub(c, 1, per) - _shift_sub(c, -1, per)) * inv2hy
 
-        # ---- stage 2: residual + cotangents for logical row r = i-3 ------
+        # ---- stage 2: residual + cotangents, global row r = z0 + i-3 -----
         @pl.when(i >= 2)
         def _():
-            r = i - 3
-            w_lo, w_mid, w_hi = fwin[fslot(r - 1)], fwin[fslot(r)], fwin[fslot(r + 1)]
+            r = z0 + i - 3
+            w_lo, w_mid, w_hi = (
+                fwin[fslot_i(i - 2)], fwin[fslot_i(i - 1)], fwin[fslot_i(i)]
+            )
             sc = w_mid[4]
             u = (w_mid[5], w_mid[6], w_mid[7])
 
@@ -207,31 +220,32 @@ def _build_bwd_call(g: GridSpec, h: int, w: PhysWeights, precision, interpret):
                 + u[0] * duz[0] + u[1] * duz[1] + u[2] * duz[2]
 
             # raw per-plane partials (weights applied by sum_partials)
-            @pl.when(jnp.logical_and(r >= 0, r < nz))
+            r_loc = r - z0
+            @pl.when(jnp.logical_and(r_loc >= 0, r_loc < nz_local))
             def _():
-                rr = jnp.clip(r, 0, nz - 1)
+                rr = jnp.clip(r_loc, 0, nz_local - 1)
                 part_ref[0, rr] = jnp.sum(r_sigma * r_sigma)
                 part_ref[1, rr] = (
                     jnp.sum(r_ux * r_ux) + jnp.sum(r_uy * r_uy)
                     + jnp.sum(r_uz * r_uz)
                 )
 
-            sg = gslot(r)
+            sg = gslot_i(i)
             gwin[sg, 0] = r_sigma * ss
             gwin[sg, 1] = r_ux * su
             gwin[sg, 2] = r_uy * su
             gwin[sg, 3] = r_uz * su
 
-        # ---- stage 3: adjoint + MLP backward for row d = i-4 -------------
-        @pl.when(jnp.logical_and(i >= 4, i - 4 < nz))
+        # ---- stage 3: adjoint + MLP backward, global row d = z0 + i-4 ----
+        @pl.when(jnp.logical_and(i >= 4, i - 4 < nz_local))
         def _():
-            d = i - 4
-            g_md = gwin[gslot(d)]
-            g_lo = gwin[gslot(d - 1)]
-            g_hi = gwin[gslot(d + 1)]
-            f_md = fwin[fslot(d)]
-            f_lo = fwin[fslot(d - 1)]
-            f_hi = fwin[fslot(d + 1)]
+            d = z0 + i - 4
+            g_md = gwin[gslot_i(i - 1)]
+            g_lo = gwin[gslot_i(i - 2)]
+            g_hi = gwin[gslot_i(i)]
+            f_md = fwin[fslot_i(i - 2)]
+            f_lo = fwin[fslot_i(i - 3)]
+            f_hi = fwin[fslot_i(i - 1)]
             gs = g_md[0]
             gu = (g_md[1], g_md[2], g_md[3])
             sc = f_md[4]
@@ -308,6 +322,7 @@ def _build_bwd_call(g: GridSpec, h: int, w: PhysWeights, precision, interpret):
             # slice, and dAB is accumulated once per chunk from the
             # slice-summed dz1 (3x less accumulator traffic).
             zd = phys_row(d)
+            d_loc = d - z0
             cdv_d = cd_ref[zd]
             gy_f = []
             for s in range(3):
@@ -353,7 +368,7 @@ def _build_bwd_call(g: GridSpec, h: int, w: PhysWeights, precision, interpret):
                     dz1 = jnp.where(z1f > 0.0, da1, 0.0)
                     dz1_sum = dz1_sum + dz1
                     # dCD[zd, s]: full reduce, broadcast-written
-                    dcdx_ref[zd, s, pl.ds(c * hk, hk)] = jnp.broadcast_to(
+                    dcdx_ref[d_loc, s, pl.ds(c * hk, hk)] = jnp.broadcast_to(
                         jnp.sum(dz1, axis=1, keepdims=True), (hk, nx)
                     )
                 dab_ref[pl.ds(c * hk, hk)] = (
@@ -361,6 +376,7 @@ def _build_bwd_call(g: GridSpec, h: int, w: PhysWeights, precision, interpret):
                 )
 
     in_specs = [
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((h, ny, nx), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((h, ny * nx), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((nz, h, 3), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
@@ -368,20 +384,20 @@ def _build_bwd_call(g: GridSpec, h: int, w: PhysWeights, precision, interpret):
         pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
     out_specs = (
-        pl.BlockSpec((2, nz), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((2, nz_local), lambda i: (0, 0), memory_space=pltpu.SMEM),
         # dAB in the flat layout (reshaped back outside)
         pl.BlockSpec((h, ny * nx), lambda i: (0, 0), memory_space=pltpu.VMEM),
         # dCD reductions, broadcast along the lane dim (column 0 read
         # outside); VMEM-resident across the sweep, written once per row
-        pl.BlockSpec((nz, 3, h, nx), lambda i: (0, 0, 0, 0),
+        pl.BlockSpec((nz_local, 3, h, nx), lambda i: (0, 0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((4, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((4, nx), lambda i: (0, 0), memory_space=pltpu.VMEM),
     )
     out_shape = (
-        jax.ShapeDtypeStruct((2, nz), jnp.float32),
+        jax.ShapeDtypeStruct((2, nz_local), jnp.float32),
         jax.ShapeDtypeStruct((h, ny * nx), jnp.float32),
-        jax.ShapeDtypeStruct((nz, 3, h, nx), jnp.float32),
+        jax.ShapeDtypeStruct((nz_local, 3, h, nx), jnp.float32),
         jax.ShapeDtypeStruct((4, h), jnp.float32),
         jax.ShapeDtypeStruct((4, nx), jnp.float32),
     )
@@ -438,8 +454,9 @@ def mega_loss_and_grad(
 
     (ab, cd, w2t, b2), vjp = jax.vjp(tables, params, t)
     nz, ny, nx = g.shape
+    z0 = jnp.zeros((1, 1), jnp.int32)
     parts, dabf, dcdx, dw2t, db2x = _build_bwd_call(g, h, w, precision, interpret)(
-        ab, ab.reshape(h, ny * nx), cd, w2t, b2
+        z0, ab, ab.reshape(h, ny * nx), cd, w2t, b2
     )
     ls, lu = ops_loss.sum_partials(g, w, parts)
     dab = dabf.reshape(h, ny, nx)
@@ -448,3 +465,72 @@ def mega_loss_and_grad(
     db2 = db2x[:, 0].reshape(1, 4)
     d_params, d_t = vjp((dab, dcd, dw2t, db2))
     return ls + lu, (d_params, d_t)
+
+
+def mega_loss_and_grad_sharded(
+    g: GridSpec,
+    w: PhysWeights,
+    cfg: MLPGridConfig,
+    mesh,
+    precision: str = "f32",
+    interpret=None,
+):
+    """Returns fn(params, t) -> (loss, (grad_params, grad_t)) running the
+    fused backward mega-kernel PER SHARD under shard_map: each device's
+    kernel instance covers its contiguous z range (z0 arrives as a runtime
+    scalar), halo rows are recomputed from the replicated tables instead of
+    communicated, parameter-gradient partials are psum'd, per-row dCD
+    gradients all-gathered, and the loss combined from gathered per-plane
+    partials in the fixed global order (sum_partials) — so the sharded loss
+    matches the single-chip kernel at the 1e-7 doctrine and no device ever
+    materializes anything grid-sized."""
+    from jax.sharding import PartitionSpec as P
+
+    from phys_autodiff_tpu.parallel.mesh import Z_AXIS
+
+    if interpret is None:
+        interpret = _default_interpret()
+    assert g.scheme == "central" and g.nx % 128 == 0 and g.ny % 8 == 0
+    n_shards = mesh.shape[Z_AXIS]
+    assert g.nz % n_shards == 0
+    nz_local = g.nz // n_shards
+    h = cfg.dims.H
+    nz, ny, nx = g.shape
+    dt = jnp.float32(g.dt)
+    call = _build_bwd_call(g, h, w, precision, interpret, nz_local=nz_local)
+
+    def tables(p, tt):
+        ts = jnp.stack([tt - dt, tt, tt + dt])
+        return fold_tables_mega(g, cfg, p, ts)
+
+    def local(params, t):
+        t = jnp.float32(t)
+        me = jax.lax.axis_index(Z_AXIS)
+        z0 = (me * nz_local).astype(jnp.int32).reshape(1, 1)
+        (ab, cd, w2t, b2), vjp = jax.vjp(tables, params, t)
+        parts, dabf, dcdx, dw2t, db2x = call(
+            z0, ab, ab.reshape(h, ny * nx), cd, w2t, b2
+        )
+        parts_all = jax.lax.all_gather(parts, Z_AXIS, axis=1, tiled=True)
+        ls, lu = ops_loss.sum_partials(g, w, parts_all)
+        dab = jax.lax.psum(dabf, Z_AXIS).reshape(h, ny, nx)
+        dcd_local = jnp.moveaxis(dcdx[..., 0], 1, 2)  # [nz_local, H, 3]
+        dcd = jax.lax.all_gather(dcd_local, Z_AXIS, axis=0, tiled=True)
+        dw2t_g = jax.lax.psum(dw2t, Z_AXIS)
+        db2 = jax.lax.psum(db2x, Z_AXIS)[:, 0].reshape(1, 4)
+        d_params, d_t = vjp((dab, dcd, dw2t_g, db2))
+        return ls + lu, d_params, d_t
+
+    sharded = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+
+    def loss_and_grad(params, t):
+        loss, d_params, d_t = sharded(params, t)
+        return loss, (d_params, d_t)
+
+    return loss_and_grad

@@ -259,15 +259,20 @@ def make_sharded_fused_train_step(
     learning_rate: float = 1e-3,
     precision: str = "f32",
     sz: int | None = None,
+    backward: str = "auto",
 ):
-    """The sharded FUSED training step: z-slabs are partitioned contiguously
-    over the mesh's z axis; each device runs the slab-blocked recompute
-    gradient (train/slab_grad.py) over its own slabs under lax.scan — halo
-    rows are recomputed from the replicated MLP instead of communicated
-    (cheaper than a ppermute of 8 planes for MLP-generated fields) — then
-    gradients are psum'd and the loss is reduced from all-gathered per-slab
-    partials in a fixed sequential order (same association as the
-    single-chip slab scan, so the losses agree at f32-identical level).
+    """The sharded FUSED training step: z rows are partitioned contiguously
+    over the mesh's z axis and each device computes its range's gradient
+    with everything recomputed locally (halo rows come from the replicated
+    MLP rather than a ppermute — cheaper than exchanging 8 planes for
+    MLP-generated fields); gradients are psum'd and the loss combined from
+    all-gathered per-plane/per-slab partials in a fixed order.
+
+    backward="mega" (or "auto" on central 128-aligned grids) runs the fused
+    backward MEGA-kernel per shard (pallas/mega_bwd.py — ONE kernel per
+    device for loss + all gradients); backward="slab" scans the slab-blocked
+    recompute gradient (train/slab_grad.py), which also serves upwind and
+    unaligned configurations.
 
     Memory: nothing grid-sized materializes on any device — this is the
     path past the single-chip ceiling AND the per-device ceiling.
@@ -280,6 +285,32 @@ def make_sharded_fused_train_step(
     from phys_autodiff_tpu.train.slab_grad import make_slab_raw
 
     opt = optax.adam(learning_rate)
+
+    use_mega = backward == "mega" or (
+        backward == "auto"
+        and g.scheme == "central"
+        and g.nx % 128 == 0
+        and g.ny % 8 == 0
+    )
+    if use_mega:
+        from phys_autodiff_tpu.pallas.mega_bwd import mega_loss_and_grad_sharded
+
+        mega_lg = mega_loss_and_grad_sharded(g, w, mcfg, mesh, precision)
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def step(params, opt_state, t):
+            loss, (grads, _) = mega_lg(params, t)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        rep = NamedSharding(mesh, P())
+
+        def init(params):
+            params = jax.device_put(params, rep)
+            return params, jax.device_put(opt.init(params), rep)
+
+        return step, init
     slab_raw, sz = make_slab_raw(g, w, mcfg, sz, precision)
     n_slabs = g.nz // sz
     n_shards = mesh.shape[Z_AXIS]

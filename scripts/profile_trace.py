@@ -1,0 +1,96 @@
+"""Capture a jax.profiler device trace of the benchmark scopes.
+
+The reference separates kernel-only (CUDA events) from wrapper-E2E
+(steady_clock) timing; the slope-method harness is this framework's primary
+equivalent, and this script is the profiler-trace arm: each benchmark scope
+runs several times under a named TraceAnnotation inside one device trace,
+so kernel durations can be read directly from the timeline (TensorBoard /
+Perfetto, trace dir printed at the end).
+
+    PYTHONPATH=.:$PYTHONPATH python scripts/profile_trace.py [--out DIR]
+"""
+
+import argparse
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="build/profile_trace")
+    ap.add_argument("--iters", type=int, default=5)
+    args = ap.parse_args()
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "build", "jax_cache"),
+    )
+
+    from phys_autodiff_tpu import ops
+    from phys_autodiff_tpu.bench.harness import random_fields
+    from phys_autodiff_tpu.models import mlp
+    from phys_autodiff_tpu.pallas.mega import mega_loss_pipeline
+    from phys_autodiff_tpu.pallas.mega_bwd import mega_loss_and_grad
+    from phys_autodiff_tpu.pallas.mlp import generate_fields_fused_packed
+    from phys_autodiff_tpu.pallas.residuals import (
+        loss_forward_fused_packed,
+        pack_fields,
+        residuals_fused_packed,
+    )
+    from phys_autodiff_tpu.utils import timing
+    from phys_autodiff_tpu.utils.config import (
+        GridSpec,
+        MLPDims,
+        MLPGridConfig,
+        PhysWeights,
+    )
+
+    g = GridSpec(nx=128, ny=96, nz=96, hx=0.05, hy=0.05, hz=0.05, dt=1e-3)
+    w = PhysWeights()
+    cfg = MLPGridConfig(dims=MLPDims(H=128))
+    params = mlp.init_params(cfg.dims, seed=777)
+    fs = random_fields(g)
+    packed = jax.block_until_ready(pack_fields(fs))
+    t = jnp.float32(0.25)
+
+    scopes = {
+        "residual_kernel": jax.jit(lambda p: residuals_fused_packed(g, p)),
+        "loss_kernel": jax.jit(lambda p: loss_forward_fused_packed(g, w, p)),
+        "staged_residuals": jax.jit(lambda s: ops.residuals(g, fs._replace(sigma_t=s))),
+        "mlp_fieldgen": jax.jit(lambda pp: generate_fields_fused_packed(g, cfg, pp, 0.25)),
+        "mega_pipeline": jax.jit(lambda pp: mega_loss_pipeline(g, w, cfg, pp, t)),
+        "mega_loss_and_grad": jax.jit(
+            lambda pp: mega_loss_and_grad(g, w, cfg, pp, t)
+        ),
+    }
+    args_for = {
+        "residual_kernel": packed,
+        "loss_kernel": packed,
+        "staged_residuals": fs.sigma_t,
+        "mlp_fieldgen": params,
+        "mega_pipeline": params,
+        "mega_loss_and_grad": params,
+    }
+
+    # compile everything outside the trace
+    for name, fn in scopes.items():
+        jax.block_until_ready(fn(args_for[name]))
+
+    os.makedirs(args.out, exist_ok=True)
+    with timing.trace(args.out):
+        for name, fn in scopes.items():
+            with timing.annotate(name):
+                for _ in range(args.iters):
+                    out = fn(args_for[name])
+                jax.block_until_ready(out)
+    print(f"trace written to {args.out} (open with TensorBoard/Perfetto); "
+          f"scopes: {', '.join(scopes)}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

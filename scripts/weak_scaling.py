@@ -1,0 +1,83 @@
+"""Weak-scaling sweep of the sharded fused training step on the CPU mesh.
+
+Grid z-extent grows with the device count (per-device work constant), and
+each mesh size runs one timed step. On the virtual CPU mesh all devices
+share host cores, so wall time cannot show parallel speedup — what this
+validates is the SCALING STRUCTURE: the per-device program (slab count,
+collective schedule, memory) stays constant as the mesh grows, so total
+1-core wall time should grow ~linearly with total work and per-device peak
+memory should stay flat. On a real ICI mesh the same program is the
+weak-scaling run proper.
+
+    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python scripts/weak_scaling.py
+"""
+
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    jax.config.update("jax_platforms", "cpu")
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+
+    from jax.sharding import Mesh
+
+    from phys_autodiff_tpu.models import mlp
+    from phys_autodiff_tpu.parallel.sharded import make_sharded_fused_train_step
+    from phys_autodiff_tpu.utils.config import (
+        GridSpec,
+        MLPDims,
+        MLPGridConfig,
+        PhysWeights,
+    )
+
+    mcfg = MLPGridConfig(dims=MLPDims(H=32))
+    w = PhysWeights()
+    nz_per_dev = 8
+    print("devices available:", len(jax.devices()))
+    print("n_dev  nz   cells/dev   ms/step (1-core wall)  ms/step/dev-work")
+    base = None
+    for n_dev in (1, 2, 4, 8):
+        devices = jax.devices()[:n_dev]
+        mesh = Mesh(np.asarray(devices), ("z",))
+        g = GridSpec(
+            nx=64, ny=32, nz=nz_per_dev * n_dev,
+            hx=0.1, hy=0.1, hz=0.1, dt=1e-2,
+        )
+        step, init = make_sharded_fused_train_step(g, w, mcfg, mesh, sz=2)
+        params, opt = init(mlp.init_params(mcfg.dims, seed=0))
+        params, opt, loss = step(params, opt, jnp.float32(0.25))  # compile
+        jax.block_until_ready(loss)
+        n_it = 3
+        t0 = time.perf_counter()
+        for _ in range(n_it):
+            params, opt, loss = step(params, opt, jnp.float32(0.25))
+        loss = float(jax.block_until_ready(loss))
+        ms = (time.perf_counter() - t0) / n_it * 1e3
+        per_work = ms / n_dev
+        if base is None:
+            base = per_work
+        print(
+            f"{n_dev:5d}  {g.nz:3d}  {g.num_cells // n_dev:9d}  "
+            f"{ms:10.2f}            {per_work:8.2f}  "
+            f"(x{per_work / base:.2f} vs 1-dev; loss={loss:.4f})"
+        )
+    print(
+        "\nper-device-work time should stay ~flat (structure scales); on a "
+        "real ICI mesh this sweep is the weak-scaling measurement proper."
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -54,3 +54,30 @@ def test_manual_dma_kernels_race_free(kernel):
     rs_s, ru_s = ops.residuals(g, fs)
     assert rel_l2_err(rs, rs_s) <= 1e-7
     assert rel_l2_err(ru, ru_s) <= 1e-7
+
+
+def test_mega_kernels_race_free():
+    """The mega kernels keep rolling windows in scratch across sequential
+    grid programs — the race detector checks the window writes never race
+    with cross-program reads."""
+    from phys_autodiff_tpu.models import generate_fields, mlp
+    from phys_autodiff_tpu.pallas.mega import mega_loss_pipeline
+    from phys_autodiff_tpu.pallas.mega_bwd import mega_loss_and_grad
+    from phys_autodiff_tpu.utils.config import MLPDims, MLPGridConfig, PhysWeights
+
+    g = GridSpec(nx=128, ny=8, nz=6, hx=0.3, hy=0.3, hz=0.3, dt=1e-2)
+    w = PhysWeights()
+    cfg = MLPGridConfig(dims=MLPDims(H=32))
+    params = mlp.init_params(cfg.dims, seed=3)
+    t = jnp.float32(0.25)
+    ip = pltpu.InterpretParams(detect_races=True)
+
+    fs = generate_fields(g, cfg, params, t, g.dt)
+    ls_ref, lu_ref = ops.loss_forward(g, w, fs)
+    ls, lu = mega_loss_pipeline(g, w, cfg, params, t, "f32", ip)
+    assert abs(float(ls) - float(ls_ref)) / abs(float(ls_ref)) <= 1e-5
+    assert abs(float(lu) - float(lu_ref)) / abs(float(lu_ref)) <= 1e-5
+
+    l, (gp, _) = mega_loss_and_grad(g, w, cfg, params, t, "f32", ip)
+    assert np.isfinite(float(l))
+    assert all(np.all(np.isfinite(np.asarray(v))) for v in gp.values())

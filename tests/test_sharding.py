@@ -196,3 +196,34 @@ def test_sharded_train_step_matches_single_device(mesh):
     assert abs(float(loss_n) - float(loss1)) / abs(float(loss1)) <= 1e-6
     for k in state1.params:
         assert rel_l2_err(params_n[k], state1.params[k]) <= 1e-6, k
+
+
+def test_sharded_mega_bwd_step_matches_single(mesh):
+    """backward="mega": the fused backward mega-kernel runs per shard; the
+    step matches the single-chip mega_loss_and_grad step at f32 noise."""
+    import optax
+
+    from phys_autodiff_tpu.pallas.mega_bwd import mega_loss_and_grad
+
+    g = GridSpec(nx=128, ny=8, nz=16, hx=0.3, hy=0.35, hz=0.4, dt=1e-2)
+    w = PhysWeights()
+    mcfg = MLPGridConfig(dims=MLPDims(H=32))
+    params = mlp.init_params(mcfg.dims, seed=5)
+    t = jnp.float32(0.25)
+    lr = 1e-3
+
+    l1, (gp1, _) = mega_loss_and_grad(g, w, mcfg, params, t, "f32", True)
+    opt = optax.adam(lr)
+    up, _ = opt.update(gp1, opt.init(params), params)
+    p1 = optax.apply_updates(params, up)
+
+    step_n, init_n = make_sharded_fused_train_step(
+        g, w, mcfg, mesh, lr, backward="mega"
+    )
+    pn, on = init_n(params)
+    pn, on, ln = step_n(pn, on, t)
+
+    # separately-compiled kernel instances differ at the last f32 bit
+    assert abs(float(ln) - float(l1)) / abs(float(l1)) <= 5e-6
+    for k in p1:
+        assert rel_l2_err(pn[k], p1[k]) <= 1e-6, k
