@@ -402,7 +402,7 @@ def bench_pipeline(g: GridSpec, h=128, iters=DEFAULT_ITERS, seed=777) -> list:
 
         gen_fn = lambda p: fields_mod.generate_fields(g, cfg, p, 0.25, g.dt)
         ms_mlp = time_fieldgen(gen_fn, params, mode="reduce")
-        return [
+        rows = [
             PipelineRow(
                 "nonfused", g.nx, g.ny, g.nz, iters,
                 ms_kernel=ms_staged_res, ms_phys_e2e=ms_staged_phys,
@@ -416,6 +416,23 @@ def bench_pipeline(g: GridSpec, h=128, iters=DEFAULT_ITERS, seed=777) -> list:
                 ms_total=time_scalar_pipeline(plane_total, params),
             ),
         ]
+        # the mega kernel runs at unaligned nx via lane padding
+        from phys_autodiff_tpu.pallas.mega import mega_loss_pipeline
+
+        for variant, prec in (("mega", "f32"), ("mega_bf16", "bf16")):
+
+            def mega_total(p, prec=prec):
+                ls, lu = mega_loss_pipeline(g, w, cfg, p, 0.25, prec)
+                return ls + lu
+
+            ms = time_scalar_pipeline(mega_total, params)
+            rows.append(
+                PipelineRow(
+                    variant, g.nx, g.ny, g.nz, iters,
+                    ms_kernel=ms, ms_phys_e2e=ms, ms_mlp=ms, ms_total=ms,
+                )
+            )
+        return rows
 
     packed = jax.block_until_ready(pack_fields(fs))
     ms_packed_res = time_packed_op(lambda p: residuals_fused_packed(g, p), packed)

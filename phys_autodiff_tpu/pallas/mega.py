@@ -69,7 +69,12 @@ def fold_tables_mega(g: GridSpec, cfg: MLPGridConfig, params: mlp.Params, ts):
 
 
 def _build_mega_call(g: GridSpec, h: int, precision: str, interpret: bool):
-    nz, ny, nx = g.shape
+    nz, ny, nx_true = g.shape
+    # pad the lane dim to a 128 multiple; junk lanes are masked out of the
+    # loss reduction and the boundary-corrected x-shifts never read them
+    # into real lanes (residuals._shift_last with nx_true)
+    nx = -(-nx_true // 128) * 128
+    nx_arg = nx_true if nx != nx_true else None
     n_prog = nz + 2
     hk = 64 if h > 64 else h  # H-chunk for the layer-2 contraction
     assert h % hk == 0
@@ -143,11 +148,21 @@ def _build_mega_call(g: GridSpec, h: int, precision: str, interpret: bool):
                 w_mid[8][None],   # sigma_tp1
                 (w_mid[1][None], w_mid[2][None], w_mid[3][None]),   # u_tm1
                 (w_mid[9][None], w_mid[10][None], w_mid[11][None]),  # u_tp1
+                nx_true=nx_arg,
             )
-            part_ref[0, r] = jnp.sum(r_sigma * r_sigma)
-            part_ref[1, r] = (
-                jnp.sum(r_ux * r_ux) + jnp.sum(r_uy * r_uy) + jnp.sum(r_uz * r_uz)
-            )
+            if nx_arg is not None:
+                lane = jax.lax.broadcasted_iota(jnp.int32, r_sigma.shape, 2)
+                msk = lane < nx_true
+
+                def sq(r):
+                    return jnp.sum(jnp.where(msk, r * r, 0.0))
+            else:
+
+                def sq(r):
+                    return jnp.sum(r * r)
+
+            part_ref[0, r] = sq(r_sigma)
+            part_ref[1, r] = sq(r_ux) + sq(r_uy) + sq(r_uz)
 
     in_specs = [
         pl.BlockSpec((h, ny, nx), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
@@ -180,14 +195,17 @@ def _build_mega_call(g: GridSpec, h: int, precision: str, interpret: bool):
 def _mega_impl(g, w, cfg, params, t, precision, interpret):
     if interpret is None:
         interpret = _default_interpret()
-    if g.nx % 128 != 0 or g.ny % 8 != 0:
-        # Mosaic lane/sublane alignment fallback: staged pipeline.
+    if g.ny % 8 != 0 or g.nx < 3:
+        # Mosaic sublane alignment fallback: staged pipeline.
         return _staged_loss(g, w, cfg, params, t)
     t = jnp.float32(t)
     dt = jnp.float32(g.dt)
     ts = jnp.stack([t - dt, t, t + dt])
     h = params["W1"].shape[1]
     ab, cd, w2t, b2 = fold_tables_mega(g, cfg, params, ts)
+    nxp = -(-g.nx // 128) * 128
+    if nxp != g.nx:
+        ab = jnp.pad(ab, ((0, 0), (0, 0), (0, nxp - g.nx)))
     parts = _build_mega_call(g, h, precision, interpret)(ab, cd, w2t, b2)
     return ops_loss.sum_partials(g, w, parts)
 

@@ -79,16 +79,39 @@ def _default_interpret() -> bool:
 # ---------------------------------------------------------------------------
 
 
-def _shift_last(v, delta: int, periodic: bool):
-    """v at index i+delta along the last (nx, lane) axis."""
+def _shift_last(v, delta: int, periodic: bool, nx_true: int | None = None):
+    """v at index i+delta along the last (nx, lane) axis.
+
+    nx_true < v.shape[-1] means the lane dim is PADDED to a 128 multiple
+    (mega kernels on unaligned grids): the shift then wraps/clamps at the
+    TRUE extent — boundary lanes select the true-wrap value from a second
+    roll, and junk lanes (>= nx_true) are left to compute garbage that the
+    caller masks out of any reduction."""
     n = v.shape[-1]
-    if periodic:
-        # np.roll(v, -delta) == pltpu.roll(v, n - delta); shifts must be >= 0
-        return pltpu.roll(v, (n - delta) % n, axis=v.ndim - 1)
-    if delta > 0:
-        return jnp.concatenate([v[..., delta:], v[..., -1:].repeat(delta, -1)], -1)
-    d = -delta
-    return jnp.concatenate([v[..., :1].repeat(d, -1), v[..., : n - d]], -1)
+    if nx_true is None or nx_true == n:
+        if periodic:
+            # np.roll(v, -delta) == pltpu.roll(v, n - delta); shifts >= 0
+            return pltpu.roll(v, (n - delta) % n, axis=v.ndim - 1)
+        if delta > 0:
+            return jnp.concatenate(
+                [v[..., delta:], v[..., -1:].repeat(delta, -1)], -1
+            )
+        d = -delta
+        return jnp.concatenate([v[..., :1].repeat(d, -1), v[..., : n - d]], -1)
+
+    assert delta in (1, -1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, v.ndim - 1)
+    naive = pltpu.roll(v, (n - delta) % n, axis=v.ndim - 1)
+    if delta == 1:
+        # x+1; at x = nx_true-1 wrap to x=0 (shift left by nx_true-1 ==
+        # roll by n-(nx_true-1)) or clamp to self
+        wrap = pltpu.roll(v, (n - (1 - nx_true)) % n, axis=v.ndim - 1)
+        edge_val = wrap if periodic else v
+        return jnp.where(lane == nx_true - 1, edge_val, naive)
+    # x-1; at x = 0 wrap to x = nx_true-1 or clamp to self
+    wrap = pltpu.roll(v, (n - (nx_true - 1)) % n, axis=v.ndim - 1)
+    edge_val = wrap if periodic else v
+    return jnp.where(lane == 0, edge_val, naive)
 
 
 def _shift_sub(v, delta: int, periodic: bool):
@@ -114,12 +137,17 @@ def _shift_sub(v, delta: int, periodic: bool):
 # ---------------------------------------------------------------------------
 
 
-def _slab_residuals(g: GridSpec, s, u3, s_tm1, s_tp1, u_tm1, u_tp1):
+def _slab_residuals(
+    g: GridSpec, s, u3, s_tm1, s_tp1, u_tm1, u_tp1, nx_true: int | None = None
+):
     """Residuals for one slab.
 
     s       : sigma_t slab with z halo, [SZ+2, ny, nx]
     u3      : (ux, uy, uz) slabs with z halo, each [SZ+2, ny, nx]
     s_tm1.. : center slabs [SZ, ny, nx] / [3, SZ, ny, nx]
+    nx_true : true x extent when the lane dim is padded (mega kernels on
+              unaligned grids) — lanes >= nx_true carry garbage the caller
+              must mask out of reductions.
     Returns (r_sigma [SZ,ny,nx], r_ux, r_uy, r_uz).
     """
     inv2dt = np.float32(1.0 / (2.0 * float(np.float32(g.dt))))
@@ -129,7 +157,9 @@ def _slab_residuals(g: GridSpec, s, u3, s_tm1, s_tp1, u_tm1, u_tp1):
     per = g.periodic
 
     def ddx(c):
-        return (_shift_last(c, 1, per) - _shift_last(c, -1, per)) * inv2hx
+        return (
+            _shift_last(c, 1, per, nx_true) - _shift_last(c, -1, per, nx_true)
+        ) * inv2hx
 
     def ddy(c):
         return (_shift_sub(c, 1, per) - _shift_sub(c, -1, per)) * inv2hy
@@ -153,8 +183,8 @@ def _slab_residuals(g: GridSpec, s, u3, s_tm1, s_tp1, u_tm1, u_tp1):
         invhz = np.float32(2.0) * inv2hz
 
         def adv(c, halo):
-            bx = (c - _shift_last(c, -1, per)) * invhx
-            fx = (_shift_last(c, 1, per) - c) * invhx
+            bx = (c - _shift_last(c, -1, per, nx_true)) * invhx
+            fx = (_shift_last(c, 1, per, nx_true) - c) * invhx
             by = (c - _shift_sub(c, -1, per)) * invhy
             fy = (_shift_sub(c, 1, per) - c) * invhy
             bz = (c - halo[:-2]) * invhz

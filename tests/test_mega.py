@@ -87,14 +87,18 @@ def test_mega_gradients_route_through_staged_adjoint():
         assert np.linalg.norm(a - b) <= 1e-12 * max(np.linalg.norm(b), 1.0), k
 
 
-def test_mega_unaligned_grid_falls_back():
-    """nx not 128-aligned -> staged fallback, same answer by construction."""
-    g, w, cfg, params = _setup(nx=48)
+@pytest.mark.parametrize("nx", [48, 96])
+@pytest.mark.parametrize("periodic", [True, False], ids=["periodic", "clamp"])
+def test_mega_unaligned_nx_lane_padding(nx, periodic):
+    """nx not 128-aligned runs the kernel with a padded lane dim: the
+    boundary-corrected x-shifts wrap/clamp at the TRUE extent and junk
+    lanes are masked out of the loss reduction."""
+    g, w, cfg, params = _setup(nx=nx, periodic=periodic)
     t = jnp.float32(0.25)
     ls_ref, lu_ref = _staged(g, w, cfg, params, t)
     ls, lu = mega_loss_pipeline(g, w, cfg, params, t, "f32", True)
-    assert float(ls) == float(ls_ref)
-    assert float(lu) == float(lu_ref)
+    assert abs(float(ls) - float(ls_ref)) / abs(float(ls_ref)) <= 1e-5
+    assert abs(float(lu) - float(lu_ref)) / abs(float(lu_ref)) <= 1e-5
 
 
 def test_mega_bf16_within_mixed_precision_tolerance():
