@@ -46,8 +46,9 @@ from phys_autodiff_tpu.ops import stencil as ops_stencil
 from phys_autodiff_tpu.ops.stencil import FieldSnapshots
 from phys_autodiff_tpu.utils.config import GridSpec, PhysWeights
 
-# VMEM working-set budget used to pick the slab size (bytes). v5e has ~16 MB
-# more headroom is left for the compiler's own buffers.
+# VMEM working-set budget used to pick the slab size (bytes); conservative
+# (this chip accepts far larger vmem limits, but bigger slabs measured no
+# faster — see docs/DESIGN.md) and leaves the compiler headroom.
 _VMEM_BUDGET = 10 * 1024 * 1024
 
 
