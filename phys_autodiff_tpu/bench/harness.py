@@ -311,7 +311,11 @@ def bench_phys(g: GridSpec, iters=DEFAULT_ITERS) -> list:
     """
     from phys_autodiff_tpu.pallas import residuals_fused
     from phys_autodiff_tpu.pallas.residuals import (
+        flat_rows,
         pack_fields,
+        pack_fields_flat,
+        residuals_fused_flat,
+        residuals_fused_flat_bf16,
         residuals_fused_packed,
         residuals_fused_packed_bf16,
     )
@@ -335,10 +339,23 @@ def bench_phys(g: GridSpec, iters=DEFAULT_ITERS) -> list:
             # labeled separately; the headline JSON only considers f32 arms.
             PhysRow("fused_bf16io", g.nx, g.ny, g.nz, iters, ms_bf16),
         ]
+    elif flat_rows(g) is not None:
+        # unaligned nx: the fused arm is the FLAT-layout one-DMA kernel
+        # (planes as [ny*nx/128, 128] lane rows — the reference's own flat
+        # x-fastest layout); the per-plane kernel gets its own row.
+        flat = jax.block_until_ready(pack_fields_flat(g, fs))
+        flat_bf16 = jax.block_until_ready(flat.astype(jnp.bfloat16))
+        ms_flat = time_packed_op(lambda p: residuals_fused_flat(g, p), flat)
+        ms_flat_bf16 = time_packed_op(
+            lambda p: residuals_fused_flat_bf16(g, p), flat_bf16
+        )
+        rows += [
+            PhysRow("fused", g.nx, g.ny, g.nz, iters, ms_flat),
+            PhysRow("fused_plane", g.nx, g.ny, g.nz, iters, ms_multi),
+            PhysRow("fused_bf16io", g.nx, g.ny, g.nz, iters, ms_flat_bf16),
+        ]
     else:
-        # unaligned nx: the packed/bf16io kernels would silently fall back
-        # to the staged ops (and probe-mode timing of a staged program is
-        # invalid), so the fused arm is the per-plane Pallas kernel.
+        # ny*nx % 128 != 0: only the per-plane Pallas kernel applies.
         rows.append(PhysRow("fused", g.nx, g.ny, g.nz, iters, ms_multi))
     return rows
 
@@ -357,11 +374,16 @@ def bench_pipeline(g: GridSpec, h=128, iters=DEFAULT_ITERS, seed=777) -> list:
     """
     from phys_autodiff_tpu.pallas.mlp import (
         fused_loss_pipeline,
+        generate_fields_fused_flat,
         generate_fields_fused_packed,
     )
     from phys_autodiff_tpu.pallas.residuals import (
+        flat_rows,
+        loss_forward_fused_flat,
         loss_forward_fused_packed,
         pack_fields,
+        pack_fields_flat,
+        residuals_fused_flat,
         residuals_fused_packed,
     )
 
@@ -377,10 +399,9 @@ def bench_pipeline(g: GridSpec, h=128, iters=DEFAULT_ITERS, seed=777) -> list:
         fs.sigma_t,
     )
 
-    if g.nx % 128 != 0:
-        # Unaligned nx: the packed/mega kernels fall back to the staged
-        # path internally, so only the staged row and a per-plane-kernel
-        # fused row are honest at this shape.
+    if g.nx % 128 != 0 and flat_rows(g) is None:
+        # ny*nx % 128 != 0: no one-DMA kernel applies, so only the staged
+        # row and a per-plane-kernel fused row are honest at this shape.
         from phys_autodiff_tpu.pallas import loss_forward_fused, residuals_fused
 
         ms_plane = time_residual_probe(lambda x: residuals_fused(g, x), fs)
@@ -434,11 +455,21 @@ def bench_pipeline(g: GridSpec, h=128, iters=DEFAULT_ITERS, seed=777) -> list:
             )
         return rows
 
-    packed = jax.block_until_ready(pack_fields(fs))
-    ms_packed_res = time_packed_op(lambda p: residuals_fused_packed(g, p), packed)
-    ms_packed_loss = time_packed_op(
-        lambda p: loss_forward_fused_packed(g, w, p), packed
-    )
+    # One-DMA fused arms: packed layout on 128-aligned nx, flat otherwise.
+    if g.nx % 128 == 0:
+        packed = jax.block_until_ready(pack_fields(fs))
+        ms_packed_res = time_packed_op(lambda p: residuals_fused_packed(g, p), packed)
+        ms_packed_loss = time_packed_op(
+            lambda p: loss_forward_fused_packed(g, w, p), packed
+        )
+        gen_fused = generate_fields_fused_packed
+    else:
+        flat = jax.block_until_ready(pack_fields_flat(g, fs))
+        ms_packed_res = time_packed_op(lambda p: residuals_fused_flat(g, p), flat)
+        ms_packed_loss = time_packed_op(
+            lambda p: loss_forward_fused_flat(g, w, p), flat
+        )
+        gen_fused = generate_fields_fused_flat
 
     rows = []
     for variant in ("nonfused", "fused", "fused_bf16"):
@@ -455,9 +486,7 @@ def bench_pipeline(g: GridSpec, h=128, iters=DEFAULT_ITERS, seed=777) -> list:
             ms_kernel, ms_phys = ms_staged_res, ms_staged_phys
         else:
             prec = "bf16" if variant == "fused_bf16" else "f32"
-            gen_fn = lambda p, prec=prec: generate_fields_fused_packed(
-                g, cfg, p, 0.25, prec
-            )
+            gen_fn = lambda p, prec=prec: gen_fused(g, cfg, p, 0.25, prec)
             gen_mode = "probe"
 
             def total(p, prec=prec):

@@ -60,11 +60,33 @@ def _pick_yb(ny: int, h: int, nx: int, budget=4 * 1024 * 1024) -> int:
     return best
 
 
-def fold_tables(g: GridSpec, cfg: MLPGridConfig, params: mlp.Params, ts, yb: int):
+def _pick_rb_flat(r: int, h: int, precision: str) -> int:
+    """Row-block for the flat fieldgen. bf16 prefers a multiple of 16 (the
+    bf16 sublane tile — misaligned blocks pay cast/relayout overhead; at
+    R without a 16-multiple divisor the bf16 arm runs but loses its edge,
+    measured on hardware)."""
+    if precision.startswith("bf16"):
+        for d in (32, 16):
+            if r % d == 0 and h * d * 128 * 4 * 2 <= 4 * 1024 * 1024:
+                return d
+    return _pick_yb(r, h, 128)
+
+
+def fold_tables(
+    g: GridSpec,
+    cfg: MLPGridConfig,
+    params: mlp.Params,
+    ts,
+    yb: int,
+    flat: bool = False,
+):
     """Fold layer 1 over the separable grid coordinates.
 
     Returns (AB [ny//yb, H, yb, nx], CD [nz, H, S], W2T [Out, H], b2 [1, Out]).
     ts: [S] slice times (traced values are fine).
+    flat=True reinterprets each [ny, nx] AB plane as R = ny*nx/128 lane rows
+    and blocks over those instead: AB [R//yb, H, yb, 128] (the flat-layout
+    pipeline for nx % 128 != 0).
     """
     w1 = params["W1"]  # [In, H]
     h = w1.shape[1]
@@ -76,8 +98,13 @@ def fold_tables(g: GridSpec, cfg: MLPGridConfig, params: mlp.Params, ts, yb: int
     a = w1[0][:, None] * cx[None, :]  # [H, nx]
     b = w1[1][:, None] * cy[None, :]  # [H, ny]
     ab = a[:, None, :] + b[:, :, None]  # [H, ny, nx]
-    ab = jnp.moveaxis(ab, 1, 0).reshape(g.ny // yb, yb, h, g.nx)
-    ab = jnp.moveaxis(ab, 1, 2)  # [ny//yb, H, yb, nx]
+    if flat:
+        r = (g.ny * g.nx) // 128
+        ab = ab.reshape(h, r // yb, yb, 128)
+        ab = jnp.moveaxis(ab, 0, 1)  # [R//yb, H, yb, 128]
+    else:
+        ab = jnp.moveaxis(ab, 1, 0).reshape(g.ny // yb, yb, h, g.nx)
+        ab = jnp.moveaxis(ab, 1, 2)  # [ny//yb, H, yb, nx]
 
     c = cz[:, None] * w1[2][None, :]  # [nz, H]
     d = (jnp.asarray(ts, jnp.float32) + t_off)[:, None] * w1[3][None, :] + params[
@@ -87,8 +114,20 @@ def fold_tables(g: GridSpec, cfg: MLPGridConfig, params: mlp.Params, ts, yb: int
     return ab, cd, params["W2"].T, params["b2"].reshape(1, -1)
 
 
-def _build_call(g: GridSpec, h: int, yb: int, n_slices: int, precision, interpret, packed_out: bool = False):
+def _build_call(
+    g: GridSpec,
+    h: int,
+    yb: int,
+    n_slices: int,
+    precision,
+    interpret,
+    packed_out: bool = False,
+    plane: tuple | None = None,
+):
     nz, ny, nx = g.shape
+    if plane is not None:
+        # Flat layout: AB planes are [R, 128] lane rows; outputs flat-packed.
+        ny, nx = plane
     # Mosaic in-kernel dots support DEFAULT/HIGHEST only (no HIGH).
     dot_prec = (
         jax.lax.Precision.HIGHEST
@@ -229,7 +268,23 @@ def generate_fields_fused(
     """
     if g.nx % 128 != 0:
         # Mosaic's (sublane, lane) reshape inside the layer-2 dot needs the
-        # lane dim to be a 128 multiple; fall back to the XLA path otherwise.
+        # lane dim to be a 128 multiple; route via the flat-layout kernel
+        # (plus reshapes) when possible, else fall back to the XLA path.
+        from phys_autodiff_tpu.pallas.residuals import (
+            flat_rows,
+            flat_to_grid,
+            unpack_fields,
+        )
+
+        if flat_rows(g) is not None and not (
+            interpret if interpret is not None else _default_interpret()
+        ):
+            return unpack_fields(
+                flat_to_grid(
+                    g,
+                    generate_fields_fused_flat(g, cfg, params, t, precision, interpret),
+                )
+            )
         return fields_mod.generate_fields(g, cfg, params, t, g.dt)
     t = jnp.float32(t)
     dt = jnp.float32(g.dt)
@@ -289,10 +344,17 @@ def generate_fields_fused_packed(
     """Like generate_fields_fused but emits the packed [12, nz, ny, nx]
     layout (pallas.residuals.PACKED_ORDER) directly from the kernel, so the
     packed residual/loss kernels compose with zero re-layout cost — the
-    fastest full pipeline. Requires nx % 128 == 0."""
+    fastest full pipeline. Unaligned nx routes through the flat-layout
+    kernel (plus a reshape), or the staged XLA path when ny*nx % 128 != 0."""
     if interpret is None:
         interpret = _default_interpret()
     if g.nx % 128 != 0:
+        from phys_autodiff_tpu.pallas.residuals import flat_rows, flat_to_grid
+
+        if flat_rows(g) is not None and not interpret:
+            return flat_to_grid(
+                g, generate_fields_fused_flat(g, cfg, params, t, precision, interpret)
+            )
         from phys_autodiff_tpu.pallas.residuals import pack_fields
 
         return pack_fields(fields_mod.generate_fields(g, cfg, params, t, g.dt))
@@ -329,6 +391,63 @@ def _gffp_bwd(g, cfg, precision, interpret, res, cot):
 generate_fields_fused_packed.defvjp(_gffp_fwd, _gffp_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 4, 5))
+def generate_fields_fused_flat(
+    g: GridSpec,
+    cfg: MLPGridConfig,
+    params: mlp.Params,
+    t,
+    precision: str = "f32",
+    interpret=None,
+) -> jnp.ndarray:
+    """Like generate_fields_fused_packed but emits the FLAT-packed
+    [12, nz, R, 128] layout (R = ny*nx/128 lane rows per plane) so the flat
+    residual/loss kernels compose with zero re-layout cost — the fast
+    pipeline for grids with nx % 128 != 0 (e.g. the reference's 64^3 and
+    96x96x64 benchmark grids). Requires ny*nx % 128 == 0."""
+    if interpret is None:
+        interpret = _default_interpret()
+    from phys_autodiff_tpu.pallas.residuals import flat_rows
+
+    r = flat_rows(g)
+    assert r is not None, "flat layout needs ny*nx % 128 == 0"
+    t = jnp.float32(t)
+    dt = jnp.float32(g.dt)
+    ts = jnp.stack([t - dt, t, t + dt])
+    h = params["W1"].shape[1]
+    rb = _pick_rb_flat(r, h, precision)
+    ab, cd, w2t, b2 = fold_tables(g, cfg, params, ts, rb, flat=True)
+    call = _build_call(
+        g, h, rb, 3, precision, interpret, packed_out=True, plane=(r, 128)
+    )
+    return call(ab, cd, w2t, b2)
+
+
+def _gfff_fwd(g, cfg, params, t, precision, interpret):
+    return generate_fields_fused_flat(g, cfg, params, t, precision, interpret), (
+        params,
+        t,
+    )
+
+
+def _gfff_bwd(g, cfg, precision, interpret, res, cot):
+    from phys_autodiff_tpu.pallas.residuals import grid_to_flat, pack_fields
+
+    params, t = res
+    _, vjp = jax.vjp(
+        lambda p, tt: grid_to_flat(
+            g, pack_fields(fields_mod.generate_fields(g, cfg, p, tt, g.dt))
+        ),
+        params,
+        t,
+    )
+    d_params, d_t = vjp(cot)
+    return (d_params, d_t)
+
+
+generate_fields_fused_flat.defvjp(_gfff_fwd, _gfff_bwd)
+
+
 def fused_loss_pipeline(
     g: GridSpec,
     w,
@@ -338,10 +457,27 @@ def fused_loss_pipeline(
     precision: str = "f32",
     interpret=None,
 ):
-    """The fastest full forward: packed fused MLP generation -> packed fused
-    loss kernel (in-kernel reduction; fields never re-laid-out, residuals
-    never written to HBM). Returns (L_sigma, L_u). Differentiable."""
-    from phys_autodiff_tpu.pallas.residuals import loss_forward_fused_packed
+    """The fastest full forward: fused MLP generation -> fused loss kernel
+    (in-kernel reduction; fields never re-laid-out, residuals never written
+    to HBM). Returns (L_sigma, L_u). Differentiable.
 
-    packed = generate_fields_fused_packed(g, cfg, params, t, precision, interpret)
-    return loss_forward_fused_packed(g, w, packed, interpret)
+    Layout dispatch: packed [12, nz, ny, nx] on 128-aligned nx; FLAT-packed
+    [12, nz, R, 128] when nx % 128 != 0 but ny*nx % 128 == 0; staged XLA
+    otherwise."""
+    from phys_autodiff_tpu.pallas.residuals import (
+        flat_rows,
+        loss_forward_fused_flat,
+        loss_forward_fused_packed,
+    )
+
+    if g.nx % 128 == 0:
+        packed = generate_fields_fused_packed(g, cfg, params, t, precision, interpret)
+        return loss_forward_fused_packed(g, w, packed, interpret)
+    if flat_rows(g) is not None:
+        flat = generate_fields_fused_flat(g, cfg, params, t, precision, interpret)
+        return loss_forward_fused_flat(g, w, flat, interpret)
+    from phys_autodiff_tpu import ops as _ops
+
+    fs = fields_mod.generate_fields(g, cfg, params, t, g.dt)
+    rs, ru = _ops.residuals(g, fs)
+    return _ops.loss_terms(g, w, rs, ru)

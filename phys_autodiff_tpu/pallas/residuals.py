@@ -134,12 +134,90 @@ def _shift_sub(v, delta: int, periodic: bool):
 
 
 # ---------------------------------------------------------------------------
+# FLAT layout: planes as [R, 128] lane rows (R = ny*nx/128)
+# ---------------------------------------------------------------------------
+#
+# Mosaic tiles HBM arrays to 128 lanes, so the manual-DMA slab kernels need a
+# 128-multiple minor dim. Rather than padding (junk lanes, 1.3-2x wasted
+# traffic), the flat layout reinterprets each [ny, nx] plane as R = ny*nx/128
+# rows of exactly 128 lanes — a pure C-order reshape, which makes it
+# BIT-IDENTICAL to the reference's own flat x-fastest layout
+# (idx = (z*ny+y)*nx+x, src/phys_cpu.cpp:17-19) chunked into lane rows.
+# In-plane +-1/+-nx stencil shifts become cyclic flat shifts (lane roll +
+# row-carry select) with x/y boundary corrections masked in by flat-index
+# position.
+
+
+def flat_rows(g: GridSpec) -> int | None:
+    """Lane rows per plane in the flat layout, or None if ny*nx % 128 != 0."""
+    p = g.ny * g.nx
+    return p // 128 if p % 128 == 0 else None
+
+
+def _flat_cyclic_shift(v, s: int):
+    """Cyclic flat shift within each [R, L] plane (trailing two dims):
+    out[..., r, l] = v[..., flat (r*L + l + s) mod R*L]."""
+    r_dim, lanes = v.shape[-2], v.shape[-1]
+    s = s % (r_dim * lanes)
+    if s == 0:
+        return v
+    row_s, lane_s = divmod(s, lanes)
+    a = pltpu.roll(v, (lanes - lane_s) % lanes, axis=v.ndim - 1) if lane_s else v
+    base = pltpu.roll(a, (r_dim - row_s) % r_dim, axis=v.ndim - 2) if row_s else a
+    if lane_s == 0:
+        return base
+    carry = pltpu.roll(a, (r_dim - row_s - 1) % r_dim, axis=v.ndim - 2)
+    lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, v.ndim - 1)
+    return jnp.where(lane < lanes - lane_s, base, carry)
+
+
+def make_flat_shifters(g: GridSpec):
+    """(shift_x, shift_y) closures implementing +-1 (x) and +-nx (y) stencil
+    shifts on flat [.., R, 128] planes, with wrap/clamp boundary handling
+    matching src/phys_cpu.cpp:8-15. shift_y under periodic needs NO
+    correction: the plane-cyclic shift by +-nx IS the y-wrap."""
+    nx, ny, per = g.nx, g.ny, g.periodic
+
+    def _flat_idx(v):
+        rows = jax.lax.broadcasted_iota(jnp.int32, v.shape[-2:], 0)
+        lanes = jax.lax.broadcasted_iota(jnp.int32, v.shape[-2:], 1)
+        return rows * v.shape[-1] + lanes
+
+    def shift_x(v, d):
+        assert d in (1, -1)
+        naive = _flat_cyclic_shift(v, d)
+        x = _flat_idx(v) % nx
+        at_edge = (x == nx - 1) if d == 1 else (x == 0)
+        edge = _flat_cyclic_shift(v, d * (1 - nx)) if per else v
+        return jnp.where(at_edge, edge, naive)
+
+    def shift_y(v, d):
+        assert d in (1, -1)
+        naive = _flat_cyclic_shift(v, d * nx)
+        if per:
+            return naive
+        y = _flat_idx(v) // nx
+        at_edge = (y == ny - 1) if d == 1 else (y == 0)
+        return jnp.where(at_edge, v, naive)
+
+    return shift_x, shift_y
+
+
+# ---------------------------------------------------------------------------
 # Shared kernel body: residuals of one z-slab
 # ---------------------------------------------------------------------------
 
 
 def _slab_residuals(
-    g: GridSpec, s, u3, s_tm1, s_tp1, u_tm1, u_tp1, nx_true: int | None = None
+    g: GridSpec,
+    s,
+    u3,
+    s_tm1,
+    s_tp1,
+    u_tm1,
+    u_tp1,
+    nx_true: int | None = None,
+    shifters=None,
 ):
     """Residuals for one slab.
 
@@ -149,6 +227,9 @@ def _slab_residuals(
     nx_true : true x extent when the lane dim is padded (mega kernels on
               unaligned grids) — lanes >= nx_true carry garbage the caller
               must mask out of reductions.
+    shifters: optional (shift_x, shift_y) overriding the in-plane +-1 shift
+              implementation (the flat-layout kernels pass
+              make_flat_shifters(g); plane dims are then [R, 128]).
     Returns (r_sigma [SZ,ny,nx], r_ux, r_uy, r_uz).
     """
     inv2dt = np.float32(1.0 / (2.0 * float(np.float32(g.dt))))
@@ -157,13 +238,17 @@ def _slab_residuals(
     inv2hz = np.float32(1.0 / (2.0 * float(np.float32(g.hz))))
     per = g.periodic
 
+    if shifters is None:
+        sx = lambda c, d: _shift_last(c, d, per, nx_true)
+        sy = lambda c, d: _shift_sub(c, d, per)
+    else:
+        sx, sy = shifters
+
     def ddx(c):
-        return (
-            _shift_last(c, 1, per, nx_true) - _shift_last(c, -1, per, nx_true)
-        ) * inv2hx
+        return (sx(c, 1) - sx(c, -1)) * inv2hx
 
     def ddy(c):
-        return (_shift_sub(c, 1, per) - _shift_sub(c, -1, per)) * inv2hy
+        return (sy(c, 1) - sy(c, -1)) * inv2hy
 
     def ddz(halo):  # halo: [SZ+2, ny, nx]
         return (halo[2:] - halo[:-2]) * inv2hz
@@ -184,10 +269,10 @@ def _slab_residuals(
         invhz = np.float32(2.0) * inv2hz
 
         def adv(c, halo):
-            bx = (c - _shift_last(c, -1, per, nx_true)) * invhx
-            fx = (_shift_last(c, 1, per, nx_true) - c) * invhx
-            by = (c - _shift_sub(c, -1, per)) * invhy
-            fy = (_shift_sub(c, 1, per) - c) * invhy
+            bx = (c - sx(c, -1)) * invhx
+            fx = (sx(c, 1) - c) * invhx
+            by = (c - sy(c, -1)) * invhy
+            fy = (sy(c, 1) - c) * invhy
             bz = (c - halo[:-2]) * invhz
             fz = (halo[2:] - c) * invhz
             return (
@@ -680,9 +765,22 @@ def pick_packed_slab(g: GridSpec, max_sz: int = 16) -> int:
 
 
 def _build_packed_call(
-    g: GridSpec, scales, reduce_loss: bool, interpret: bool, dtype=jnp.float32
+    g: GridSpec,
+    scales,
+    reduce_loss: bool,
+    interpret: bool,
+    dtype=jnp.float32,
+    flat: bool = False,
 ):
     nz, ny, nx = g.shape
+    if flat:
+        # Flat layout: planes are [R, 128] lane rows (see flat_rows) — the
+        # route to lane-aligned manual DMAs when nx % 128 != 0.
+        py, px = (ny * nx) // 128, 128
+        shifters = make_flat_shifters(g)
+    else:
+        py, px = ny, nx
+        shifters = None
     sz = pick_packed_slab(g)
     n_slabs = nz // sz
 
@@ -743,7 +841,7 @@ def _build_packed_call(
 
         wait(i, buf, sems, hbm, slot)
 
-        slab = buf[slot]  # [12, sz+2, ny, nx]
+        slab = buf[slot]  # [12, sz+2, py, px]
         if dtype != jnp.float32:
             slab = slab.astype(jnp.float32)
         r_sigma, r_ux, r_uy, r_uz = _slab_residuals(
@@ -754,6 +852,7 @@ def _build_packed_call(
             slab[2, 1:-1],
             (slab[3, 1:-1], slab[4, 1:-1], slab[5, 1:-1]),
             (slab[9, 1:-1], slab[10, 1:-1], slab[11, 1:-1]),
+            shifters=shifters,
         )
         if scales is not None:
             ss, su = scales
@@ -779,9 +878,9 @@ def _build_packed_call(
         out_shape = jax.ShapeDtypeStruct((2, nz), jnp.float32)
         out_specs = pl.BlockSpec((2, nz), lambda i: (0, 0), memory_space=pltpu.SMEM)
     else:
-        out_shape = jax.ShapeDtypeStruct((4, nz, ny, nx), dtype)
+        out_shape = jax.ShapeDtypeStruct((4, nz, py, px), dtype)
         out_specs = pl.BlockSpec(
-            (4, sz, ny, nx), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+            (4, sz, py, px), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
         )
 
     itemsize = jnp.dtype(dtype).itemsize
@@ -792,7 +891,7 @@ def _build_packed_call(
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((2, 12, sz + 2, ny, nx), dtype),
+            pltpu.VMEM((2, 12, sz + 2, py, px), dtype),
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
         interpret=interpret,
@@ -838,10 +937,14 @@ def residuals_fused_packed(g: GridSpec, packed: jnp.ndarray, interpret=None):
     """Fused residuals on the packed layout: [12, nz, ny, nx] -> [4, nz, ny, nx]
     ([R_sigma, R_ux, R_uy, R_uz]). The fast path on 128-aligned nx (one input
     DMA stream); differentiable via the ops-path field adjoint. Unaligned nx
-    falls back to the staged ops."""
+    routes through the flat-layout kernel (plus reshapes), or the staged ops
+    when ny*nx % 128 != 0."""
     if interpret is None:
         interpret = _default_interpret()
     if g.nx % 128 != 0 and not interpret:
+        if flat_rows(g) is not None:
+            flat = residuals_fused_flat(g, grid_to_flat(g, packed), interpret)
+            return flat_to_grid(g, flat)
         return _packed_residuals_ops(g, packed)
     call = _build_packed_call(g, None, False, interpret)
     return call(packed)
@@ -888,10 +991,13 @@ def loss_forward_fused_packed(
 ):
     """Fused loss forward on the packed layout (in-kernel reduction, no
     residual writes). Differentiable: the backward is the exact field
-    adjoint of the staged loss. Unaligned nx falls back to the staged ops."""
+    adjoint of the staged loss. Unaligned nx routes through the flat-layout
+    kernel, or falls back to the staged ops when ny*nx % 128 != 0."""
     if interpret is None:
         interpret = _default_interpret()
     if g.nx % 128 != 0 and not interpret:
+        if flat_rows(g) is not None:
+            return loss_forward_fused_flat(g, w, grid_to_flat(g, packed), interpret)
         from phys_autodiff_tpu.ops import loss as ops_loss
 
         rs, ru = ops_stencil.residuals(g, unpack_fields(packed))
@@ -903,6 +1009,124 @@ def loss_forward_fused_packed(
         np.float32(w.w_sigma) * sums[0] * inv_n,
         np.float32(w.w_u) * sums[1] * inv_n,
     )
+
+
+# ---------------------------------------------------------------------------
+# FLAT-layout public API (the fast path for nx % 128 != 0)
+# ---------------------------------------------------------------------------
+
+
+def pack_fields_flat(g: GridSpec, fields: FieldSnapshots) -> jnp.ndarray:
+    """FieldSnapshots -> flat-packed [12, nz, R, 128] (PACKED_ORDER channels;
+    each plane a C-order reshape of [ny, nx] into R = ny*nx/128 lane rows —
+    bit-identical to the reference's flat x-fastest layout)."""
+    r = flat_rows(g)
+    assert r is not None, "flat layout needs ny*nx % 128 == 0"
+    return pack_fields(fields).reshape(12, g.nz, r, 128)
+
+
+def flat_to_grid(g: GridSpec, flat: jnp.ndarray) -> jnp.ndarray:
+    """[C, nz, R, 128] -> [C, nz, ny, nx] (inverse of the flat reshape)."""
+    return flat.reshape(flat.shape[0], g.nz, g.ny, g.nx)
+
+
+def grid_to_flat(g: GridSpec, arr: jnp.ndarray) -> jnp.ndarray:
+    """[C, nz, ny, nx] -> [C, nz, R, 128]."""
+    r = flat_rows(g)
+    assert r is not None, "flat layout needs ny*nx % 128 == 0"
+    return arr.reshape(arr.shape[0], g.nz, r, 128)
+
+
+def _flat_residuals_ops(g: GridSpec, flat: jnp.ndarray) -> jnp.ndarray:
+    rs, ru = ops_stencil.residuals(g, unpack_fields(flat_to_grid(g, flat)))
+    return grid_to_flat(g, jnp.concatenate([rs[None], ru], axis=0))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 2))
+def residuals_fused_flat(g: GridSpec, flat: jnp.ndarray, interpret=None):
+    """Fused residuals on the flat layout: [12, nz, R, 128] ->
+    [4, nz, R, 128] ([R_sigma, R_ux, R_uy, R_uz] flat planes). One manual
+    DMA per interior slab like the packed kernel, but lane-aligned at ANY
+    nx with ny*nx % 128 == 0 — the fast path for the reference's unaligned
+    benchmark grids (64^3, 96x96x64). Differentiable via the ops-path field
+    adjoint."""
+    if interpret is None:
+        interpret = _default_interpret()
+    call = _build_packed_call(g, None, False, interpret, flat=True)
+    return call(flat)
+
+
+def _rff_fwd(g, flat, interpret):
+    return residuals_fused_flat(g, flat, interpret), flat
+
+
+def _rff_bwd(g, interpret, flat, cot):
+    _, vjp = jax.vjp(lambda p: _flat_residuals_ops(g, p), flat)
+    (d_flat,) = vjp(cot)
+    return (d_flat,)
+
+
+residuals_fused_flat.defvjp(_rff_fwd, _rff_bwd)
+
+
+def residuals_fused_flat_bf16(g: GridSpec, flat_bf16, interpret=None):
+    """bf16-I/O variant of residuals_fused_flat (f32 in-kernel arithmetic,
+    1e-3 tolerance class). Not differentiable."""
+    if interpret is None:
+        interpret = _default_interpret()
+    call = _build_packed_call(g, None, False, interpret, dtype=jnp.bfloat16, flat=True)
+    return call(flat_bf16)
+
+
+def loss_backward_fused_flat(
+    g: GridSpec, w: PhysWeights, flat: jnp.ndarray, interpret=None
+):
+    """Reference-shaped fused backward on the flat layout: recompute
+    residuals and scale by 2w/N in one kernel -> [4, nz, R, 128]."""
+    if interpret is None:
+        interpret = _default_interpret()
+    n = np.float32(g.num_cells)
+    ss = float(np.float32(2.0) * np.float32(w.w_sigma) / n)
+    su = float(np.float32(2.0) * np.float32(w.w_u) / n)
+    call = _build_packed_call(g, (ss, su), False, interpret, flat=True)
+    return call(flat)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 3))
+def loss_forward_fused_flat(
+    g: GridSpec, w: PhysWeights, flat: jnp.ndarray, interpret=None
+):
+    """Fused loss forward on the flat layout (in-kernel per-plane partial
+    reduction, residuals never written to HBM). Differentiable via the
+    staged-loss field adjoint."""
+    if interpret is None:
+        interpret = _default_interpret()
+    parts = _build_packed_call(g, None, True, interpret, flat=True)(flat)
+    sums = jnp.sum(parts, axis=1)
+    inv_n = np.float32(1.0 / g.num_cells)
+    return (
+        np.float32(w.w_sigma) * sums[0] * inv_n,
+        np.float32(w.w_u) * sums[1] * inv_n,
+    )
+
+
+def _lff_fwd(g, w, flat, interpret):
+    return loss_forward_fused_flat(g, w, flat, interpret), flat
+
+
+def _lff_bwd(g, w, interpret, flat, cot):
+    def staged(p):
+        rs, ru = ops_stencil.residuals(g, unpack_fields(flat_to_grid(g, p)))
+        from phys_autodiff_tpu.ops import loss as ops_loss
+
+        return ops_loss.loss_terms(g, w, rs, ru)
+
+    _, vjp = jax.vjp(staged, flat)
+    (d_flat,) = vjp(cot)
+    return (d_flat,)
+
+
+loss_forward_fused_flat.defvjp(_lff_fwd, _lff_bwd)
 
 
 def _lfp_fwd(g, w, packed, interpret):

@@ -207,6 +207,29 @@ def make_fused_loss(
     """
     from phys_autodiff_tpu.pallas.mega import mega_loss_pipeline
 
+    # Forward pipeline choice (hardware-measured, docs/BENCHMARK_REPORT.md):
+    # on 128-aligned nx the mega kernel wins; on unaligned grids the
+    # FLAT-layout fieldgen + loss pipeline beats the lane-padded mega kernel
+    # (64^3: 0.45 vs 0.85 ms f32), except bf16 at R % 16 != 0 where the
+    # fieldgen loses its bf16 edge to sublane-tile misalignment.
+    from phys_autodiff_tpu.pallas.residuals import flat_rows
+
+    _r = flat_rows(g)
+    if (
+        g.nx % 128 != 0
+        and _r is not None
+        and (not precision.startswith("bf16") or _r % 16 == 0)
+    ):
+        from phys_autodiff_tpu.pallas.mlp import fused_loss_pipeline
+
+        def forward_pipeline(params, t):
+            return fused_loss_pipeline(g, w, cfg, params, t, precision, interpret)
+
+    else:
+
+        def forward_pipeline(params, t):
+            return mega_loss_pipeline(g, w, cfg, params, t, precision, interpret)
+
     if backward == "mega" and g.scheme == "central" and g.nx % 128 == 0:
         from phys_autodiff_tpu.pallas.mega_bwd import mega_loss_and_grad
 
@@ -225,7 +248,7 @@ def make_fused_loss(
 
     @jax.custom_vjp
     def loss(params, t):
-        ls, lu = mega_loss_pipeline(g, w, cfg, params, t, precision, interpret)
+        ls, lu = forward_pipeline(params, t)
         return ls + lu
 
     def fwd(params, t):

@@ -137,6 +137,56 @@ def run_round2(nx, ny, nz):
     check("mega-bwd grads rel (global)", rel_l2_err(cat(gp_b), cat(gp_ref)), 1e-4)
 
 
+def run_flat(nx, ny, nz, periodic=True, scheme="central"):
+    """Flat-layout kernels (lane-aligned one-DMA path for nx % 128 != 0) on
+    hardware: residuals, loss fwd/bwd, and the flat MLP pipeline."""
+    import dataclasses
+
+    from phys_autodiff_tpu.pallas.mlp import generate_fields_fused_flat
+    from phys_autodiff_tpu.pallas.residuals import (
+        grid_to_flat,
+        loss_backward_fused_flat,
+        loss_forward_fused_flat,
+        pack_fields,
+        pack_fields_flat,
+        residuals_fused_flat,
+    )
+
+    g = GridSpec(nx=nx, ny=ny, nz=nz, hx=L / nx, hy=L / ny, hz=L / nz,
+                 dt=1e-3, periodic=periodic, scheme=scheme)
+    w = PhysWeights(w_sigma=1.3, w_u=0.7)
+    print(f"flat kernels {nx}x{ny}x{nz} periodic={periodic} {scheme}")
+    f = manufactured.solution2_fields(g, 0.7)
+    fs = FieldSnapshots(**{k: jnp.asarray(v) for k, v in f.items()})
+    flat = pack_fields_flat(g, fs)
+
+    rs_s, ru_s = jax.jit(lambda x: ops.residuals(g, x))(fs)
+    ref = grid_to_flat(g, jnp.concatenate([rs_s[None], ru_s], axis=0))
+    out = jax.jit(lambda p: residuals_fused_flat(g, p))(flat)
+    check("flat residuals rel", rel_l2_err(out, ref), tol.FUSED_VS_STAGED_REL)
+    check("flat residuals max", max_abs_err(out, ref), tol.FUSED_VS_STAGED_MAX)
+
+    ls64, lu64 = ops.loss_forward_f64(g, w, fs)
+    ls_f, lu_f = jax.jit(lambda p: loss_forward_fused_flat(g, w, p))(flat)
+    check("flat loss L_sigma rel",
+          abs(float(ls_f) - float(ls64)) / abs(float(ls64)), 1e-6)
+    check("flat loss L_u rel",
+          abs(float(lu_f) - float(lu64)) / abs(float(lu64)), 1e-6)
+
+    gs_s, gu_s = ops.loss_backward(g, w, rs_s, ru_s)
+    refb = grid_to_flat(g, jnp.concatenate([gs_s[None], gu_s], axis=0))
+    gb = jax.jit(lambda p: loss_backward_fused_flat(g, w, p))(flat)
+    check("flat backward rel", rel_l2_err(gb, refb), tol.FUSED_VS_STAGED_REL)
+
+    cfg = MLPGridConfig(dims=MLPDims(H=128))
+    params = mlp.init_params(cfg.dims, seed=777)
+    gen = jax.jit(lambda p: generate_fields_fused_flat(g, cfg, p, 0.25))(params)
+    gen_ref = grid_to_flat(
+        g, pack_fields(fields_mod.generate_fields(g, cfg, params, 0.25, g.dt))
+    )
+    check("flat mlp fieldgen rel", rel_l2_err(gen, gen_ref), tol.MLP_INFER_REL)
+
+
 if __name__ == "__main__":
     print("devices:", jax.devices())
     run(128, 96, 96, True)   # slab kernel
@@ -145,6 +195,9 @@ if __name__ == "__main__":
     run(64, 64, 64, False)
     run_mlp(128, 96, 96)
     run_round2(128, 96, 96)
+    run_flat(96, 96, 64)
+    run_flat(64, 64, 64, periodic=False)
+    run_flat(64, 64, 64, scheme="upwind")
     if FAILURES:
         print("FAILURES:", FAILURES)
         sys.exit(1)

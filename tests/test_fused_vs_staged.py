@@ -219,3 +219,136 @@ def test_packed_bf16io_mixed_precision_class():
     # rounding differs -> bf16-epsilon relative
     assert rel_l2_err(rs, rs_ref) <= 4e-3
     assert rel_l2_err(ru, ru_ref) <= 4e-3
+
+
+# ---------------------------------------------------------------------------
+# FLAT-layout kernels (nx % 128 != 0, ny*nx % 128 == 0)
+# ---------------------------------------------------------------------------
+
+# The flat layout reinterprets each plane as ny*nx/128 lane rows — the
+# reference's own flat x-fastest layout chunked into 128-lane rows. These
+# grids exercise R>1 with nx<128 and the R=1 single-row edge case.
+FLAT_GRID = dict(nx=24, ny=16, nz=6)  # R = 3
+FLAT_GRID_R1 = dict(nx=16, ny=8, nz=4)  # R = 1 (row-roll degenerate case)
+
+
+@pytest.mark.parametrize(
+    "dims", [FLAT_GRID, FLAT_GRID_R1], ids=["flat", "flat_r1"]
+)
+@pytest.mark.parametrize("periodic", [True, False], ids=["periodic", "clamp"])
+@pytest.mark.parametrize("scheme", ["central", "upwind"])
+def test_flat_residuals_vs_staged(dims, periodic, scheme):
+    from phys_autodiff_tpu.pallas.residuals import (
+        grid_to_flat,
+        pack_fields_flat,
+        residuals_fused_flat,
+    )
+
+    import dataclasses
+
+    g = dataclasses.replace(_spec(periodic=periodic, **dims), scheme=scheme)
+    fs = _snapshots(g)
+    out = residuals_fused_flat(g, pack_fields_flat(g, fs))
+    rs_s, ru_s = jax.jit(lambda x: ops.residuals(g, x))(fs)
+    ref = grid_to_flat(g, jnp.concatenate([rs_s[None], ru_s], axis=0))
+    assert rel_l2_err(out, ref) <= tol.FUSED_VS_STAGED_REL
+    assert max_abs_err(out, ref) <= tol.FUSED_VS_STAGED_MAX
+
+
+@pytest.mark.parametrize("periodic", [True, False], ids=["periodic", "clamp"])
+def test_flat_loss_fwd_bwd_vs_staged(periodic):
+    from phys_autodiff_tpu.ops import loss as ops_loss
+    from phys_autodiff_tpu.pallas.residuals import (
+        grid_to_flat,
+        loss_backward_fused_flat,
+        loss_forward_fused_flat,
+        pack_fields_flat,
+    )
+
+    g = _spec(periodic=periodic, **FLAT_GRID)
+    fs = _snapshots(g)
+    flat = pack_fields_flat(g, fs)
+    w = PhysWeights(w_sigma=1.3, w_u=0.7)
+    rs_s, ru_s = ops.residuals(g, fs)
+    # Loss vs the f64 host-reduction arm (the 1e-7-doctrine carrier, same
+    # check as the packed kernel tests).
+    ls64, lu64 = ops.loss_forward_f64(g, w, fs)
+    ls, lu = loss_forward_fused_flat(g, w, flat)
+    assert abs(float(ls) - float(ls64)) / abs(float(ls64)) <= 1e-6
+    assert abs(float(lu) - float(lu64)) / abs(float(lu64)) <= 1e-6
+
+    gs_s, gu_s = ops_loss.loss_backward(g, w, rs_s, ru_s)
+    refb = grid_to_flat(g, jnp.concatenate([gs_s[None], gu_s], axis=0))
+    gb = loss_backward_fused_flat(g, w, flat)
+    assert rel_l2_err(gb, refb) <= tol.FUSED_VS_STAGED_REL
+    assert max_abs_err(gb, refb) <= tol.FUSED_VS_STAGED_MAX
+
+
+def test_flat_custom_vjp_matches_staged_grad():
+    from phys_autodiff_tpu.ops import loss as ops_loss
+    from phys_autodiff_tpu.pallas.residuals import (
+        flat_to_grid,
+        loss_forward_fused_flat,
+        pack_fields_flat,
+        unpack_fields,
+    )
+
+    g = _spec(**FLAT_GRID)
+    fs = _snapshots(g)
+    flat = pack_fields_flat(g, fs)
+    w = PhysWeights()
+
+    def fused(p):
+        ls, lu = loss_forward_fused_flat(g, w, p)
+        return ls + lu
+
+    def staged(p):
+        rs, ru = ops.residuals(g, unpack_fields(flat_to_grid(g, p)))
+        ls, lu = ops_loss.loss_terms(g, w, rs, ru)
+        return ls + lu
+
+    gf = jax.grad(fused)(flat)
+    gs = jax.grad(staged)(flat)
+    assert rel_l2_err(gf, gs) <= 1e-6
+    assert max_abs_err(gf, gs) <= 1e-6
+
+
+def test_flat_mlp_pipeline_matches_plain():
+    """Flat fused MLP generation + flat loss kernel == staged pipeline at an
+    unaligned-nx grid, and the whole chain is differentiable."""
+    from phys_autodiff_tpu.models import mlp
+    from phys_autodiff_tpu.models.fields import generate_fields
+    from phys_autodiff_tpu.pallas import generate_fields_fused_flat
+    from phys_autodiff_tpu.pallas.mlp import fused_loss_pipeline
+    from phys_autodiff_tpu.pallas.residuals import (
+        grid_to_flat,
+        loss_forward_fused_flat,
+        pack_fields,
+    )
+    from phys_autodiff_tpu.utils.config import MLPDims, MLPGridConfig
+
+    g = GridSpec(nx=24, ny=16, nz=6, dt=1e-3)
+    cfg = MLPGridConfig(dims=MLPDims(H=64))
+    params = mlp.init_params(cfg.dims, seed=123, scale=0.25)
+    w = PhysWeights()
+
+    flat = generate_fields_fused_flat(g, cfg, params, 0.25)
+    ref = grid_to_flat(g, pack_fields(generate_fields(g, cfg, params, 0.25, g.dt)))
+    assert rel_l2_err(flat, ref) <= tol.MLP_INFER_REL
+
+    def lp(p):
+        ls, lu = loss_forward_fused_flat(
+            g, w, generate_fields_fused_flat(g, cfg, p, 0.25)
+        )
+        return ls + lu
+
+    def ls_fn(p):
+        return ops.total_loss(g, w, generate_fields(g, cfg, p, 0.25, g.dt))
+
+    assert abs(float(lp(params)) - float(ls_fn(params))) <= 1e-4 * abs(
+        float(ls_fn(params))
+    )
+    gp = jax.jit(jax.grad(lp))(params)
+    gs = jax.jit(jax.grad(ls_fn))(params)
+    cat = lambda gr: np.concatenate([np.asarray(gr[k]).ravel() for k in sorted(gr)])
+    assert rel_l2_err(cat(gp), cat(gs)) <= 5e-3
