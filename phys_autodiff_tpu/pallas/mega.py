@@ -47,6 +47,18 @@ def _default_interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
+# Layer-2 contraction strategy: the [4,hk] x [hk,M] dot has 4 output rows
+# (>96% of the MXU idle), so for f32 a per-channel VPU weighted reduction
+# wins; bf16 keeps the native-rate MXU dot. Same measured trade as the
+# backward mega-kernel's fwd stage (pallas/mega_bwd.py mode table).
+_FWD_MODE = "auto"
+
+
+def _resolve_fwd_mode(precision) -> str:
+    if _FWD_MODE != "auto":
+        return _FWD_MODE
+    return "dot" if precision == "bf16" else "vpu"
+
 
 def fold_tables_mega(g: GridSpec, cfg: MLPGridConfig, params: mlp.Params, ts):
     """Rank-1 layer-1 tables in the mega-kernel layout.
@@ -88,8 +100,9 @@ def _build_mega_call(g: GridSpec, h: int, precision: str, interpret: bool):
         else jax.lax.Precision.HIGHEST
     )
     dims = (((1,), (0,)), ((), ()))
+    fwd_mode = _resolve_fwd_mode(precision)
 
-    def kernel(ab_ref, cd_ref, w2_ref, b2_ref, part_ref, window):
+    def kernel(ab_ref, cd_ref, w2_ref, w2hk_ref, b2_ref, part_ref, window):
         i = pl.program_id(0)
         # logical row L = i-1 in [-1, nz]; physical row under the boundary
         lz = i - 1
@@ -104,24 +117,36 @@ def _build_mega_call(g: GridSpec, h: int, precision: str, interpret: bool):
 
         # ---- MLP for row z, all 3 slices, into window[slot_w] -----------
         for s in range(3):
-            acc = jnp.zeros((4, ny, nx), jnp.float32)
-            for c in range(n_chunks):
-                ab = ab_ref[pl.ds(c * hk, hk)]  # [hk, ny, nx]
-                z1 = ab + cdv[c * hk : (c + 1) * hk, s][:, None, None]
-                a1 = jnp.maximum(z1, 0.0)
-                w2c = w2_ref[:, pl.ds(c * hk, hk)]  # [4, hk]
-                if precision == "bf16":
-                    a1 = a1.astype(jnp.bfloat16)
-                    w2c = w2c.astype(jnp.bfloat16)
-                acc = acc + jax.lax.dot_general(
-                    w2c,
-                    a1,
-                    dimension_numbers=dims,
-                    preferred_element_type=jnp.float32,
-                    precision=dot_prec,
-                )
-            for o in range(4):
-                window[slot_w, s * 4 + o] = acc[o] + b2[0, o]
+            if fwd_mode == "vpu":
+                accs = [jnp.zeros((ny, nx), jnp.float32) for _ in range(4)]
+                for c in range(n_chunks):
+                    ab = ab_ref[pl.ds(c * hk, hk)]  # [hk, ny, nx]
+                    z1 = ab + cdv[c * hk : (c + 1) * hk, s][:, None, None]
+                    a1 = jnp.maximum(z1, 0.0)
+                    for o in range(4):
+                        wcol = w2hk_ref[pl.ds(c * hk, hk), o : o + 1][..., None]
+                        accs[o] = accs[o] + jnp.sum(a1 * wcol, axis=0)
+                for o in range(4):
+                    window[slot_w, s * 4 + o] = accs[o] + b2[0, o]
+            else:
+                acc = jnp.zeros((4, ny, nx), jnp.float32)
+                for c in range(n_chunks):
+                    ab = ab_ref[pl.ds(c * hk, hk)]  # [hk, ny, nx]
+                    z1 = ab + cdv[c * hk : (c + 1) * hk, s][:, None, None]
+                    a1 = jnp.maximum(z1, 0.0)
+                    w2c = w2_ref[:, pl.ds(c * hk, hk)]  # [4, hk]
+                    if precision == "bf16":
+                        a1 = a1.astype(jnp.bfloat16)
+                        w2c = w2c.astype(jnp.bfloat16)
+                    acc = acc + jax.lax.dot_general(
+                        w2c,
+                        a1,
+                        dimension_numbers=dims,
+                        preferred_element_type=jnp.float32,
+                        precision=dot_prec,
+                    )
+                for o in range(4):
+                    window[slot_w, s * 4 + o] = acc[o] + b2[0, o]
 
         # ---- residual + loss partials for logical row r = i-2 -----------
         @pl.when(i >= 2)
@@ -168,6 +193,7 @@ def _build_mega_call(g: GridSpec, h: int, precision: str, interpret: bool):
         pl.BlockSpec((h, ny, nx), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((nz, h, 3), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((4, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((h, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
     return pl.pallas_call(
@@ -206,7 +232,7 @@ def _mega_impl(g, w, cfg, params, t, precision, interpret):
     nxp = -(-g.nx // 128) * 128
     if nxp != g.nx:
         ab = jnp.pad(ab, ((0, 0), (0, 0), (0, nxp - g.nx)))
-    parts = _build_mega_call(g, h, precision, interpret)(ab, cd, w2t, b2)
+    parts = _build_mega_call(g, h, precision, interpret)(ab, cd, w2t, w2t.T, b2)
     return ops_loss.sum_partials(g, w, parts)
 
 

@@ -68,6 +68,37 @@ def _default_interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
+# Contraction strategies for the three MLP matmuls whose shapes waste the
+# MXU (4-wide output rows or K=4 contractions leave >96% of the systolic
+# array idle). Each can run as the naive MXU dot ("dot") or as VPU
+# broadcast-FMA ("vpu"); "auto" picks the hardware-measured winner per
+# precision tier. Full-kernel sweep, flagship grid 128x96x96 H=128:
+#
+#   dw2/da1/fwd   f32 ms   bf16 ms
+#   dot dot dot    8.37     1.99   <- bf16 winner (native-rate MXU)
+#   vpu dot dot    7.74     2.85
+#   vpu vpu dot    4.35     3.39
+#   vpu vpu vpu    3.95     3.95   <- f32 winner (-53%)
+#
+# f32 is VPU-bound: da1 (K=4) and fwd (4 output rows) are outer-product
+# shapes, so 4 broadcast-FMAs over [hk, M] beat a ~3%-utilized MXU pass;
+# for bf16 the MXU runs at 2x rate and the f32-only VPU does not.
+_DW2_MODE = "auto"
+_DA1_MODE = "auto"
+_FWD_MODE = "auto"
+
+
+def _resolve_mode(which: str, precision) -> str:
+    forced = {"dw2": _DW2_MODE, "da1": _DA1_MODE, "fwd": _FWD_MODE}[which]
+    if forced != "auto":
+        return forced
+    return "dot" if precision == "bf16" else "vpu"
+
+
+def _resolve_dw2_mode(precision) -> str:
+    return _resolve_mode("dw2", precision)
+
+
 
 def _zero_shift(v, delta: int, axis_from_end: int, periodic: bool):
     """v shifted by `delta` along the lane (-1) or sublane (-2) axis; zero
@@ -104,20 +135,25 @@ def _dyt(v, inv2hy, periodic: bool):
 
 def _build_bwd_call(
     g: GridSpec, h: int, w: PhysWeights, precision, interpret,
-    nz_local: int | None = None,
+    nz_local: int | None = None, hk: int | None = None,
 ):
     """nz_local < nz builds the SHARD-LOCAL kernel: it processes rows
     [z0, z0 + nz_local) of the global grid, z0 arriving as a runtime scalar
     (SMEM input) so one program serves every shard under shard_map. Halo
     rows are recomputed from the (replicated) MLP tables instead of
-    communicated; clamp edge corrections key on GLOBAL row indices."""
+    communicated; clamp edge corrections key on GLOBAL row indices.
+    hk: H-chunk size for the per-chunk MLP loops (default: 64)."""
     assert g.scheme == "central"
     nz, ny, nx = g.shape
     if nz_local is None:
         nz_local = nz
     n_prog = nz_local + 4
-    hk = 64 if h > 64 else h
+    if hk is None:
+        hk = 64 if h > 64 else h
     n_chunks = h // hk
+    dw2_mode = _resolve_mode("dw2", precision)
+    da1_mode = _resolve_mode("da1", precision)
+    fwd_mode = _resolve_mode("fwd", precision)
     dot_prec = (
         jax.lax.Precision.DEFAULT if precision == "bf16"
         else jax.lax.Precision.HIGHEST
@@ -147,7 +183,7 @@ def _build_bwd_call(
     def gslot_i(j):  # cotangent row written at program j -> slot j % 3
         return jax.lax.rem(j + 9, 3)
 
-    def kernel(z0_ref, ab_ref, abf_ref, cd_ref, w2_ref, b2_ref,
+    def kernel(z0_ref, ab_ref, abf_ref, cd_ref, w2_ref, w2hk_ref, b2_ref,
                part_ref, dab_ref, dcdx_ref, dw2_ref, db2x_ref,
                fwin, gwin):
         i = pl.program_id(0)
@@ -166,21 +202,33 @@ def _build_bwd_call(
         cdv = cd_ref[phys_row(L)]  # [H, 3]
         slot_f = fslot_i(i)
         for s in range(3):
-            acc = jnp.zeros((4, ny, nx), jnp.float32)
-            for c in range(n_chunks):
-                ab = ab_ref[pl.ds(c * hk, hk)]
-                z1 = ab + cdv[c * hk : (c + 1) * hk, s][:, None, None]
-                a1 = jnp.maximum(z1, 0.0)
-                w2c = w2_ref[:, pl.ds(c * hk, hk)]
-                if precision == "bf16":
-                    a1 = a1.astype(jnp.bfloat16)
-                    w2c = w2c.astype(jnp.bfloat16)
-                acc = acc + jax.lax.dot_general(
-                    w2c, a1, dimension_numbers=dims_w2,
-                    preferred_element_type=jnp.float32, precision=dot_prec,
-                )
-            for o in range(4):
-                fwin[slot_f, s * 4 + o] = acc[o] + b2[0, o]
+            if fwd_mode == "vpu":
+                accs = [jnp.zeros((ny, nx), jnp.float32) for _ in range(4)]
+                for c in range(n_chunks):
+                    ab = ab_ref[pl.ds(c * hk, hk)]
+                    z1 = ab + cdv[c * hk : (c + 1) * hk, s][:, None, None]
+                    a1 = jnp.maximum(z1, 0.0)
+                    for o in range(4):
+                        wcol = w2hk_ref[pl.ds(c * hk, hk), o : o + 1][..., None]
+                        accs[o] = accs[o] + jnp.sum(a1 * wcol, axis=0)
+                for o in range(4):
+                    fwin[slot_f, s * 4 + o] = accs[o] + b2[0, o]
+            else:
+                acc = jnp.zeros((4, ny, nx), jnp.float32)
+                for c in range(n_chunks):
+                    ab = ab_ref[pl.ds(c * hk, hk)]
+                    z1 = ab + cdv[c * hk : (c + 1) * hk, s][:, None, None]
+                    a1 = jnp.maximum(z1, 0.0)
+                    w2c = w2_ref[:, pl.ds(c * hk, hk)]
+                    if precision == "bf16":
+                        a1 = a1.astype(jnp.bfloat16)
+                        w2c = w2c.astype(jnp.bfloat16)
+                    acc = acc + jax.lax.dot_general(
+                        w2c, a1, dimension_numbers=dims_w2,
+                        preferred_element_type=jnp.float32, precision=dot_prec,
+                    )
+                for o in range(4):
+                    fwin[slot_f, s * 4 + o] = acc[o] + b2[0, o]
 
         def ddx(c):
             return (_shift_last(c, 1, per) - _shift_last(c, -1, per)) * inv2hx
@@ -349,22 +397,51 @@ def _build_bwd_call(
                     # NOTE: HIGHEST here is measured as fast as bf16x3 split
                     # passes on this chip (native-rate f32 MXU); bf16x3 only
                     # added split overhead, so f32_high shares this path.
-                    dw2_ref[:, pl.ds(c * hk, hk)] = (
-                        dw2_ref[:, pl.ds(c * hk, hk)]
-                        + jax.lax.dot_general(
-                            gy_in, a1_in, dimension_numbers=dims_dw2,
+                    if dw2_mode == "dot":
+                        dw2_ref[:, pl.ds(c * hk, hk)] = (
+                            dw2_ref[:, pl.ds(c * hk, hk)]
+                            + jax.lax.dot_general(
+                                gy_in, a1_in, dimension_numbers=dims_dw2,
+                                preferred_element_type=jnp.float32,
+                                precision=dot_prec,
+                            )
+                        )
+                    elif dw2_mode == "dot_t":
+                        dw2_ref[pl.ds(c * hk, hk), :] = (
+                            dw2_ref[pl.ds(c * hk, hk), :]
+                            + jax.lax.dot_general(
+                                a1_in, gy_in,
+                                dimension_numbers=(((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=dot_prec,
+                            )
+                        )
+                    else:  # "vpu": per-channel multiply + lane reduction
+                        for o in range(4):
+                            contrib = jnp.sum(
+                                a1f * gy[o : o + 1], axis=1, keepdims=True
+                            )
+                            dw2_ref[pl.ds(c * hk, hk), o : o + 1] = (
+                                dw2_ref[pl.ds(c * hk, hk), o : o + 1] + contrib
+                            )
+                    # da1[h, m] = sum_o W2[h, o] * gy[o, m]. As a matmul the
+                    # K=4 contraction leaves the MXU ~3% utilized (ablation:
+                    # ~3.4 ms/step f32); the vpu arm instead runs 4
+                    # broadcast-FMAs over [hk, M] ([hk,1] sublane-sourced x
+                    # [1,M] lane-sourced — lane-sourced 1-D broadcasts are
+                    # what Mosaic rejects, hence the [h,4] W2 copy).
+                    if da1_mode == "vpu":
+                        w2k = w2hk_ref[pl.ds(c * hk, hk), :]  # [hk, 4]
+                        da1 = w2k[:, 0:1] * gy[0:1]
+                        for o in range(1, 4):
+                            da1 = da1 + w2k[:, o : o + 1] * gy[o : o + 1]
+                    else:
+                        da1 = jax.lax.dot_general(
+                            w2c, gy,
+                            dimension_numbers=(((0,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32,
                             precision=dot_prec,
-                        )
-                    )
-                    # da1[h] = sum_o W2T[o,h] * gy[o] as a thin-K matmul
-                    # (Mosaic rejects lane-sourced 1-D broadcasts)
-                    da1 = jax.lax.dot_general(
-                        w2c, gy,
-                        dimension_numbers=(((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=dot_prec,
-                    )  # [hk, ny*nx]
+                        )  # [hk, ny*nx]
                     dz1 = jnp.where(z1f > 0.0, da1, 0.0)
                     dz1_sum = dz1_sum + dz1
                     # dCD[zd, s]: full reduce, broadcast-written
@@ -381,6 +458,7 @@ def _build_bwd_call(
         pl.BlockSpec((h, ny * nx), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((nz, h, 3), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((4, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((h, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
     out_specs = (
@@ -391,14 +469,20 @@ def _build_bwd_call(
         # outside); VMEM-resident across the sweep, written once per row
         pl.BlockSpec((nz_local, 3, h, nx), lambda i: (0, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((4, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (4, h) if dw2_mode == "dot" else (h, 4),
+            lambda i: (0, 0),
+            memory_space=pltpu.VMEM,
+        ),
         pl.BlockSpec((4, nx), lambda i: (0, 0), memory_space=pltpu.VMEM),
     )
     out_shape = (
         jax.ShapeDtypeStruct((2, nz_local), jnp.float32),
         jax.ShapeDtypeStruct((h, ny * nx), jnp.float32),
         jax.ShapeDtypeStruct((nz_local, 3, h, nx), jnp.float32),
-        jax.ShapeDtypeStruct((4, h), jnp.float32),
+        jax.ShapeDtypeStruct(
+            (4, h) if dw2_mode == "dot" else (h, 4), jnp.float32
+        ),
         jax.ShapeDtypeStruct((4, nx), jnp.float32),
     )
     return pl.pallas_call(
@@ -455,15 +539,17 @@ def mega_loss_and_grad(
     (ab, cd, w2t, b2), vjp = jax.vjp(tables, params, t)
     nz, ny, nx = g.shape
     z0 = jnp.zeros((1, 1), jnp.int32)
-    parts, dabf, dcdx, dw2t, db2x = _build_bwd_call(g, h, w, precision, interpret)(
-        z0, ab, ab.reshape(h, ny * nx), cd, w2t, b2
+    parts, dabf, dcdx, dw2g, db2x = _build_bwd_call(g, h, w, precision, interpret)(
+        z0, ab, ab.reshape(h, ny * nx), cd, w2t, w2t.T, b2
     )
+    if _resolve_dw2_mode(precision) != "dot":
+        dw2g = dw2g.T  # the vpu/dot_t arms accumulate [h, 4]
     ls, lu = ops_loss.sum_partials(g, w, parts)
     dab = dabf.reshape(h, ny, nx)
     # dcdx/db2x carry the reduced value broadcast along lanes: column 0
     dcd = jnp.moveaxis(dcdx[..., 0], 1, 2)  # [nz, 3, H] -> [nz, H, 3]
     db2 = db2x[:, 0].reshape(1, 4)
-    d_params, d_t = vjp((dab, dcd, dw2t, db2))
+    d_params, d_t = vjp((dab, dcd, dw2g, db2))
     return ls + lu, (d_params, d_t)
 
 
@@ -508,15 +594,17 @@ def mega_loss_and_grad_sharded(
         me = jax.lax.axis_index(Z_AXIS)
         z0 = (me * nz_local).astype(jnp.int32).reshape(1, 1)
         (ab, cd, w2t, b2), vjp = jax.vjp(tables, params, t)
-        parts, dabf, dcdx, dw2t, db2x = call(
-            z0, ab, ab.reshape(h, ny * nx), cd, w2t, b2
+        parts, dabf, dcdx, dw2g, db2x = call(
+            z0, ab, ab.reshape(h, ny * nx), cd, w2t, w2t.T, b2
         )
+        if _resolve_dw2_mode(precision) != "dot":
+            dw2g = dw2g.T  # the vpu/dot_t arms accumulate [h, 4]
         parts_all = jax.lax.all_gather(parts, Z_AXIS, axis=1, tiled=True)
         ls, lu = ops_loss.sum_partials(g, w, parts_all)
         dab = jax.lax.psum(dabf, Z_AXIS).reshape(h, ny, nx)
         dcd_local = jnp.moveaxis(dcdx[..., 0], 1, 2)  # [nz_local, H, 3]
         dcd = jax.lax.all_gather(dcd_local, Z_AXIS, axis=0, tiled=True)
-        dw2t_g = jax.lax.psum(dw2t, Z_AXIS)
+        dw2t_g = jax.lax.psum(dw2g, Z_AXIS)
         db2 = jax.lax.psum(db2x, Z_AXIS)[:, 0].reshape(1, 4)
         d_params, d_t = vjp((dab, dcd, dw2t_g, db2))
         return ls + lu, d_params, d_t

@@ -49,6 +49,19 @@ def _default_interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
+# Layer-2 contraction strategy: Out=4 output rows leave >96% of the MXU
+# idle, so for the f32 tiers a per-channel VPU weighted reduction wins;
+# bf16/bf16x3 keep the 2x-rate MXU dots. Hardware-measured on the backward
+# mega-kernel's identical contraction (pallas/mega_bwd.py mode table).
+_FWD_MODE = "auto"
+
+
+def _resolve_fwd_mode(precision) -> str:
+    if _FWD_MODE != "auto":
+        return _FWD_MODE
+    return "vpu" if precision in ("f32", "f32_high") else "dot"
+
+
 def _pick_yb(ny: int, h: int, nx: int, budget=4 * 1024 * 1024) -> int:
     """Largest divisor of ny <= 32 keeping the AB block + z1 under budget."""
     best = 1
@@ -136,8 +149,9 @@ def _build_call(
     )
 
     dims = (((1,), (0,)), ((), ()))
+    fwd_mode = _resolve_fwd_mode(precision)
 
-    def kernel(ab_ref, cd_ref, w2_ref, b2_ref, *outs):
+    def kernel(ab_ref, cd_ref, w2_ref, w2hk_ref, b2_ref, *outs):
         if packed_out:
             (packed_ref,) = outs
         else:
@@ -156,7 +170,14 @@ def _build_call(
             a1 = jnp.maximum(z1, 0.0)
             if precision == "bf16":
                 a1 = a1.astype(jnp.bfloat16)
-            if precision == "bf16x3":
+            if fwd_mode == "vpu":
+                # Per-channel leading-dim weighted reduction (4 broadcast-
+                # FMA sweeps over [H, YB, nx]) instead of a 4-rows-out dot.
+                y = [
+                    jnp.sum(a1 * w2hk_ref[:, o : o + 1][..., None], axis=0)
+                    for o in range(4)
+                ]
+            elif precision == "bf16x3":
                 # Split-precision product: (w_hi + w_lo)(a_hi + a_lo) without
                 # the lo*lo term — three bf16 MXU passes with f32
                 # accumulation, ~f32 accuracy at a fraction of the cost.
@@ -199,6 +220,7 @@ def _build_call(
         pl.BlockSpec((1, h, yb, nx), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, h, n_slices), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((4, h), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((h, 4), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 4), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
     ]
     if packed_out:
@@ -246,7 +268,7 @@ def _grid_infer_fused_fields(g, cfg, params, ts, precision, interpret):
     yb = _pick_yb(g.ny, h, g.nx)
     ab, cd, w2t, b2 = fold_tables(g, cfg, params, ts, yb)
     call = _build_call(g, h, yb, len(ts), precision, interpret)
-    return call(ab, cd, w2t, b2)
+    return call(ab, cd, w2t, w2t.T, b2)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 4, 5))
@@ -365,7 +387,7 @@ def generate_fields_fused_packed(
     yb = _pick_yb(g.ny, h, g.nx)
     ab, cd, w2t, b2 = fold_tables(g, cfg, params, ts, yb)
     call = _build_call(g, h, yb, 3, precision, interpret, packed_out=True)
-    return call(ab, cd, w2t, b2)
+    return call(ab, cd, w2t, w2t.T, b2)
 
 
 def _gffp_fwd(g, cfg, params, t, precision, interpret):
@@ -420,7 +442,7 @@ def generate_fields_fused_flat(
     call = _build_call(
         g, h, rb, 3, precision, interpret, packed_out=True, plane=(r, 128)
     )
-    return call(ab, cd, w2t, b2)
+    return call(ab, cd, w2t, w2t.T, b2)
 
 
 def _gfff_fwd(g, cfg, params, t, precision, interpret):

@@ -111,3 +111,19 @@ def test_mega_bf16_within_mixed_precision_tolerance():
     # by ~1/h, so the loss lands in the few-percent class.
     assert abs(float(ls) - float(ls_ref)) / abs(float(ls_ref)) <= 5e-2
     assert abs(float(lu) - float(lu_ref)) / abs(float(lu_ref)) <= 5e-2
+
+
+@pytest.mark.parametrize("mode", ["dot", "vpu"])
+def test_mega_fwd_contraction_modes_agree(mode, monkeypatch):
+    """The layer-2 contraction strategy (MXU dot vs VPU weighted reduction,
+    auto-selected per precision on hardware) is a pure scheduling choice:
+    both arms compute the same loss to f32 accumulation-order noise."""
+    from phys_autodiff_tpu.pallas import mega
+
+    g, w, cfg, params = _setup()
+    t = jnp.float32(0.25)
+    ls_ref, lu_ref = mega_loss_pipeline(g, w, cfg, params, t, "f32", True)
+    monkeypatch.setattr(mega, "_FWD_MODE", mode)
+    ls, lu = mega_loss_pipeline(g, w, cfg, params, t, "f32", True)
+    assert abs(float(ls) - float(ls_ref)) <= 1e-5 * abs(float(ls_ref))
+    assert abs(float(lu) - float(lu_ref)) <= 1e-5 * abs(float(lu_ref))

@@ -92,6 +92,33 @@ def test_mega_bwd_upwind_falls_back_to_slab():
         assert np.array_equal(np.asarray(gp[k]), np.asarray(gp_ref[k])), k
 
 
+@pytest.mark.parametrize("dw2m", ["dot", "vpu"])
+@pytest.mark.parametrize("da1m", ["dot", "vpu"])
+@pytest.mark.parametrize("fwdm", ["dot", "vpu"])
+def test_mega_bwd_contraction_modes_agree(dw2m, da1m, fwdm, monkeypatch):
+    """Every dW2/da1/fwd contraction-strategy combination (the MXU-vs-VPU
+    forms auto-selected per precision on hardware) computes the same
+    gradients — the mode switch is a pure scheduling choice."""
+    from phys_autodiff_tpu.pallas import mega_bwd as mb
+
+    g = GridSpec(**GRID)
+    w = PhysWeights()
+    cfg = MLPGridConfig(dims=MLPDims(H=32))
+    params = mlp.init_params(cfg.dims, seed=5)
+    t = jnp.float32(0.3)
+
+    l_ref, (gp_ref, gt_ref) = mega_loss_and_grad(g, w, cfg, params, t, "f32", True)
+    monkeypatch.setattr(mb, "_DW2_MODE", dw2m)
+    monkeypatch.setattr(mb, "_DA1_MODE", da1m)
+    monkeypatch.setattr(mb, "_FWD_MODE", fwdm)
+    l, (gp, gt) = mega_loss_and_grad(g, w, cfg, params, t, "f32", True)
+    # All arms are f32 programs of the same math; they differ only in
+    # FMA/accumulation order, so parity is f32-noise-tight, not bitwise.
+    assert abs(float(l) - float(l_ref)) <= 1e-6 * abs(float(l_ref))
+    assert _rel(_cat(gp_ref), _cat(gp)) < 2e-5
+    assert abs(float(gt) - float(gt_ref)) <= 1e-4 * max(abs(float(gt_ref)), 1e-30)
+
+
 def test_mega_bwd_scaled_weights():
     """The (2w/N) cotangent scales flow correctly for non-unit weights."""
     g = GridSpec(**GRID)
