@@ -119,6 +119,42 @@ def test_mega_bwd_contraction_modes_agree(dw2m, da1m, fwdm, monkeypatch):
     assert abs(float(gt) - float(gt_ref)) <= 1e-4 * max(abs(float(gt_ref)), 1e-30)
 
 
+@pytest.mark.parametrize("hk", [16, 32])
+def test_mega_bwd_hk_chunking(hk):
+    """The H-chunk size is a pure scheduling knob: any divisor of H gives
+    the same kernel outputs (here driven through _build_bwd_call directly,
+    H=32 split into 1/2 chunks vs the default)."""
+    import numpy as np
+
+    from phys_autodiff_tpu.pallas import mega_bwd as mb
+    from phys_autodiff_tpu.pallas.mega import fold_tables_mega
+
+    g = GridSpec(**GRID)
+    w = PhysWeights()
+    cfg = MLPGridConfig(dims=MLPDims(H=32))
+    params = mlp.init_params(cfg.dims, seed=7)
+    t = jnp.float32(0.2)
+    ts = jnp.stack([t - g.dt, t, t + g.dt])
+    ab, cd, w2t, b2 = fold_tables_mega(g, cfg, params, ts)
+    z0 = jnp.zeros((1, 1), jnp.int32)
+    h = 32
+    nz, ny, nx = g.shape
+
+    def run(hk_arg):
+        call = mb._build_bwd_call(g, h, w, "f32", True, hk=hk_arg)
+        return call(z0, ab, ab.reshape(h, ny * nx), cd, w2t, w2t.T, b2)
+
+    ref = run(None)
+    out = run(hk)
+    for a, b in zip(ref, out):
+        a, b = np.asarray(a), np.asarray(b)
+        # chunked accumulation reorders f32 sums; near-cancelling elements
+        # need an absolute floor scaled to the output's magnitude
+        np.testing.assert_allclose(
+            a, b, rtol=1e-5, atol=1e-4 * max(np.max(np.abs(a)), 1e-30)
+        )
+
+
 def test_mega_bwd_scaled_weights():
     """The (2w/N) cotangent scales flow correctly for non-unit weights."""
     g = GridSpec(**GRID)
