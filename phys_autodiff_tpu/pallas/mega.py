@@ -37,10 +37,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from phys_autodiff_tpu.models import mlp
-from phys_autodiff_tpu.models.coords import _axis_coord
 from phys_autodiff_tpu.ops import loss as ops_loss
 from phys_autodiff_tpu.pallas.residuals import _slab_residuals
-from phys_autodiff_tpu.utils.config import CoordNorm, GridSpec, MLPGridConfig, PhysWeights
+from phys_autodiff_tpu.utils.config import GridSpec, MLPGridConfig, PhysWeights
 
 
 def _default_interpret() -> bool:
@@ -54,30 +53,89 @@ def _default_interpret() -> bool:
 _FWD_MODE = "auto"
 
 
+def pick_hk(h: int) -> int:
+    """Largest divisor of H that is <= 64 — the H-chunk for the per-chunk
+    MLP loops (a pure scheduling knob; measured flat within ~3%)."""
+    return max(d for d in range(1, min(h, 64) + 1) if h % d == 0)
+
+
 def _resolve_fwd_mode(precision) -> str:
     if _FWD_MODE != "auto":
         return _FWD_MODE
-    return "dot" if precision == "bf16" else "vpu"
+    # Whitelist the exact-f32 tiers (matches pallas/mlp.py): the VPU arm is
+    # plain f32 arithmetic, so routing a mixed-precision tier through it
+    # would silently change the program being measured.
+    return "vpu" if precision in ("f32", "f32_high") else "dot"
 
 
 def fold_tables_mega(g: GridSpec, cfg: MLPGridConfig, params: mlp.Params, ts):
-    """Rank-1 layer-1 tables in the mega-kernel layout.
+    """Rank-1 layer-1 tables in the mega-kernel layout (the shared folds
+    from pallas/mlp.py, with AB kept as one unblocked [H, ny, nx] plane).
 
     Returns (AB [H, ny, nx], CD [nz, H, S], W2T [4, H], b2 [1, 4])."""
-    w1 = params["W1"]
-    cx = _axis_coord(g.nx, cfg.norm)
-    cy = _axis_coord(g.ny, cfg.norm)
-    cz = _axis_coord(g.nz, cfg.norm)
-    t_off = jnp.float32(0.0 if cfg.norm == CoordNorm.MinusOneToOne else 0.5)
-    ab = w1[0][:, None, None] * cx[None, None, :] + w1[1][:, None, None] * cy[
-        None, :, None
-    ]  # [H, ny, nx]
-    c = cz[:, None] * w1[2][None, :]  # [nz, H]
-    d = (jnp.asarray(ts, jnp.float32) + t_off)[:, None] * w1[3][None, :] + params[
-        "b1"
-    ][None, :]  # [S, H]
-    cd = c[:, :, None] + d.T[None, :, :]  # [nz, H, S]
+    from phys_autodiff_tpu.pallas.mlp import fold_ab_plane, fold_cd
+
+    ab = fold_ab_plane(g, cfg, params)
+    cd = fold_cd(g, cfg, params, ts)
     return ab, cd, params["W2"].T, params["b2"].reshape(1, -1)
+
+
+def mlp_rows_into_window(
+    window,
+    slot,
+    ab_ref,
+    cdv,
+    w2_ref,
+    w2hk_ref,
+    b2,
+    *,
+    n_chunks: int,
+    hk: int,
+    precision: str,
+    fwd_mode: str,
+    dot_prec,
+):
+    """Evaluate the 2-layer MLP for ONE z row (all 3 time slices) into a
+    rolling field window: window[slot, s*4 + o] = layer2(relu(AB + CD)).
+
+    Shared by the forward mega-kernel and the backward mega-kernel's
+    stage 1, so the contraction-strategy tuning ("vpu" per-channel
+    leading-dim weighted reduction for the f32 tiers vs the MXU dot for
+    bf16 — see the mode table in pallas/mega_bwd.py) and the H-chunk
+    contract live in one place. cdv: [H, 3]; ab_ref: [H, ny, nx]."""
+    ny, nx = ab_ref.shape[-2:]
+    dims = (((1,), (0,)), ((), ()))
+    for s in range(3):
+        if fwd_mode == "vpu":
+            accs = [jnp.zeros((ny, nx), jnp.float32) for _ in range(4)]
+            for c in range(n_chunks):
+                ab = ab_ref[pl.ds(c * hk, hk)]  # [hk, ny, nx]
+                z1 = ab + cdv[c * hk : (c + 1) * hk, s][:, None, None]
+                a1 = jnp.maximum(z1, 0.0)
+                for o in range(4):
+                    wcol = w2hk_ref[pl.ds(c * hk, hk), o : o + 1][..., None]
+                    accs[o] = accs[o] + jnp.sum(a1 * wcol, axis=0)
+            for o in range(4):
+                window[slot, s * 4 + o] = accs[o] + b2[0, o]
+        else:
+            acc = jnp.zeros((4, ny, nx), jnp.float32)
+            for c in range(n_chunks):
+                ab = ab_ref[pl.ds(c * hk, hk)]  # [hk, ny, nx]
+                z1 = ab + cdv[c * hk : (c + 1) * hk, s][:, None, None]
+                a1 = jnp.maximum(z1, 0.0)
+                w2c = w2_ref[:, pl.ds(c * hk, hk)]  # [4, hk]
+                if precision == "bf16":
+                    a1 = a1.astype(jnp.bfloat16)
+                    w2c = w2c.astype(jnp.bfloat16)
+                acc = acc + jax.lax.dot_general(
+                    w2c,
+                    a1,
+                    dimension_numbers=dims,
+                    preferred_element_type=jnp.float32,
+                    precision=dot_prec,
+                )
+            for o in range(4):
+                window[slot, s * 4 + o] = acc[o] + b2[0, o]
 
 
 def _build_mega_call(g: GridSpec, h: int, precision: str, interpret: bool):
@@ -88,8 +146,7 @@ def _build_mega_call(g: GridSpec, h: int, precision: str, interpret: bool):
     nx = -(-nx_true // 128) * 128
     nx_arg = nx_true if nx != nx_true else None
     n_prog = nz + 2
-    hk = 64 if h > 64 else h  # H-chunk for the layer-2 contraction
-    assert h % hk == 0
+    hk = pick_hk(h)
     n_chunks = h // hk
     # Mosaic's in-kernel dot lowering supports DEFAULT and HIGHEST only
     # (no HIGH): clamp f32_high to HIGHEST inside the kernel; the f32_high
@@ -99,7 +156,6 @@ def _build_mega_call(g: GridSpec, h: int, precision: str, interpret: bool):
         if precision == "bf16"
         else jax.lax.Precision.HIGHEST
     )
-    dims = (((1,), (0,)), ((), ()))
     fwd_mode = _resolve_fwd_mode(precision)
 
     def kernel(ab_ref, cd_ref, w2_ref, w2hk_ref, b2_ref, part_ref, window):
@@ -116,37 +172,11 @@ def _build_mega_call(g: GridSpec, h: int, precision: str, interpret: bool):
         cdv = cd_ref[z]  # [H, 3]
 
         # ---- MLP for row z, all 3 slices, into window[slot_w] -----------
-        for s in range(3):
-            if fwd_mode == "vpu":
-                accs = [jnp.zeros((ny, nx), jnp.float32) for _ in range(4)]
-                for c in range(n_chunks):
-                    ab = ab_ref[pl.ds(c * hk, hk)]  # [hk, ny, nx]
-                    z1 = ab + cdv[c * hk : (c + 1) * hk, s][:, None, None]
-                    a1 = jnp.maximum(z1, 0.0)
-                    for o in range(4):
-                        wcol = w2hk_ref[pl.ds(c * hk, hk), o : o + 1][..., None]
-                        accs[o] = accs[o] + jnp.sum(a1 * wcol, axis=0)
-                for o in range(4):
-                    window[slot_w, s * 4 + o] = accs[o] + b2[0, o]
-            else:
-                acc = jnp.zeros((4, ny, nx), jnp.float32)
-                for c in range(n_chunks):
-                    ab = ab_ref[pl.ds(c * hk, hk)]  # [hk, ny, nx]
-                    z1 = ab + cdv[c * hk : (c + 1) * hk, s][:, None, None]
-                    a1 = jnp.maximum(z1, 0.0)
-                    w2c = w2_ref[:, pl.ds(c * hk, hk)]  # [4, hk]
-                    if precision == "bf16":
-                        a1 = a1.astype(jnp.bfloat16)
-                        w2c = w2c.astype(jnp.bfloat16)
-                    acc = acc + jax.lax.dot_general(
-                        w2c,
-                        a1,
-                        dimension_numbers=dims,
-                        preferred_element_type=jnp.float32,
-                        precision=dot_prec,
-                    )
-                for o in range(4):
-                    window[slot_w, s * 4 + o] = acc[o] + b2[0, o]
+        mlp_rows_into_window(
+            window, slot_w, ab_ref, cdv, w2_ref, w2hk_ref, b2,
+            n_chunks=n_chunks, hk=hk, precision=precision,
+            fwd_mode=fwd_mode, dot_prec=dot_prec,
+        )
 
         # ---- residual + loss partials for logical row r = i-2 -----------
         @pl.when(i >= 2)

@@ -59,7 +59,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from phys_autodiff_tpu.models import mlp
 from phys_autodiff_tpu.ops import loss as ops_loss
-from phys_autodiff_tpu.pallas.mega import fold_tables_mega
+from phys_autodiff_tpu.pallas.mega import (
+    fold_tables_mega,
+    mlp_rows_into_window,
+    pick_hk,
+)
 from phys_autodiff_tpu.pallas.residuals import _shift_last, _shift_sub
 from phys_autodiff_tpu.utils.config import GridSpec, MLPGridConfig, PhysWeights
 
@@ -92,7 +96,9 @@ def _resolve_mode(which: str, precision) -> str:
     forced = {"dw2": _DW2_MODE, "da1": _DA1_MODE, "fwd": _FWD_MODE}[which]
     if forced != "auto":
         return forced
-    return "dot" if precision == "bf16" else "vpu"
+    # Whitelist the exact-f32 tiers (consistent with pallas/mlp.py and
+    # pallas/mega.py): the VPU arms are plain f32 arithmetic.
+    return "vpu" if precision in ("f32", "f32_high") else "dot"
 
 
 def _resolve_dw2_mode(precision) -> str:
@@ -142,14 +148,16 @@ def _build_bwd_call(
     (SMEM input) so one program serves every shard under shard_map. Halo
     rows are recomputed from the (replicated) MLP tables instead of
     communicated; clamp edge corrections key on GLOBAL row indices.
-    hk: H-chunk size for the per-chunk MLP loops (default: 64)."""
+    hk: H-chunk size for the per-chunk MLP loops (default: pick_hk(h),
+    the largest divisor of H <= 64; must divide H)."""
     assert g.scheme == "central"
     nz, ny, nx = g.shape
     if nz_local is None:
         nz_local = nz
     n_prog = nz_local + 4
     if hk is None:
-        hk = 64 if h > 64 else h
+        hk = pick_hk(h)
+    assert h % hk == 0, f"H-chunk {hk} must divide H={h}"
     n_chunks = h // hk
     dw2_mode = _resolve_mode("dw2", precision)
     da1_mode = _resolve_mode("da1", precision)
@@ -158,7 +166,6 @@ def _build_bwd_call(
         jax.lax.Precision.DEFAULT if precision == "bf16"
         else jax.lax.Precision.HIGHEST
     )
-    dims_w2 = (((1,), (0,)), ((), ()))          # [4,hk] @ [hk, ny, nx]
     # dW2T: Mosaic's tpu.matmul needs a single contracting dim, so the
     # [*, ny, nx] operands are collapsed to [*, ny*nx] first.
     dims_dw2 = (((1,), (1,)), ((), ()))         # [4,M] x [hk,M] -> [4,hk]
@@ -201,34 +208,11 @@ def _build_bwd_call(
         L = z0 + i - 2
         cdv = cd_ref[phys_row(L)]  # [H, 3]
         slot_f = fslot_i(i)
-        for s in range(3):
-            if fwd_mode == "vpu":
-                accs = [jnp.zeros((ny, nx), jnp.float32) for _ in range(4)]
-                for c in range(n_chunks):
-                    ab = ab_ref[pl.ds(c * hk, hk)]
-                    z1 = ab + cdv[c * hk : (c + 1) * hk, s][:, None, None]
-                    a1 = jnp.maximum(z1, 0.0)
-                    for o in range(4):
-                        wcol = w2hk_ref[pl.ds(c * hk, hk), o : o + 1][..., None]
-                        accs[o] = accs[o] + jnp.sum(a1 * wcol, axis=0)
-                for o in range(4):
-                    fwin[slot_f, s * 4 + o] = accs[o] + b2[0, o]
-            else:
-                acc = jnp.zeros((4, ny, nx), jnp.float32)
-                for c in range(n_chunks):
-                    ab = ab_ref[pl.ds(c * hk, hk)]
-                    z1 = ab + cdv[c * hk : (c + 1) * hk, s][:, None, None]
-                    a1 = jnp.maximum(z1, 0.0)
-                    w2c = w2_ref[:, pl.ds(c * hk, hk)]
-                    if precision == "bf16":
-                        a1 = a1.astype(jnp.bfloat16)
-                        w2c = w2c.astype(jnp.bfloat16)
-                    acc = acc + jax.lax.dot_general(
-                        w2c, a1, dimension_numbers=dims_w2,
-                        preferred_element_type=jnp.float32, precision=dot_prec,
-                    )
-                for o in range(4):
-                    fwin[slot_f, s * 4 + o] = acc[o] + b2[0, o]
+        mlp_rows_into_window(
+            fwin, slot_f, ab_ref, cdv, w2_ref, w2hk_ref, b2,
+            n_chunks=n_chunks, hk=hk, precision=precision,
+            fwd_mode=fwd_mode, dot_prec=dot_prec,
+        )
 
         def ddx(c):
             return (_shift_last(c, 1, per) - _shift_last(c, -1, per)) * inv2hx
@@ -285,7 +269,8 @@ def _build_bwd_call(
             gwin[sg, 3] = r_uz * su
 
         # ---- stage 3: adjoint + MLP backward, global row d = z0 + i-4 ----
-        @pl.when(jnp.logical_and(i >= 4, i - 4 < nz_local))
+        # (n_prog = nz_local + 4, so i-4 < nz_local holds for every program)
+        @pl.when(i >= 4)
         def _():
             d = z0 + i - 4
             g_md = gwin[gslot_i(i - 1)]
@@ -402,16 +387,6 @@ def _build_bwd_call(
                             dw2_ref[:, pl.ds(c * hk, hk)]
                             + jax.lax.dot_general(
                                 gy_in, a1_in, dimension_numbers=dims_dw2,
-                                preferred_element_type=jnp.float32,
-                                precision=dot_prec,
-                            )
-                        )
-                    elif dw2_mode == "dot_t":
-                        dw2_ref[pl.ds(c * hk, hk), :] = (
-                            dw2_ref[pl.ds(c * hk, hk), :]
-                            + jax.lax.dot_general(
-                                a1_in, gy_in,
-                                dimension_numbers=(((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32,
                                 precision=dot_prec,
                             )
@@ -543,7 +518,7 @@ def mega_loss_and_grad(
         z0, ab, ab.reshape(h, ny * nx), cd, w2t, w2t.T, b2
     )
     if _resolve_dw2_mode(precision) != "dot":
-        dw2g = dw2g.T  # the vpu/dot_t arms accumulate [h, 4]
+        dw2g = dw2g.T  # the vpu arm accumulates [h, 4]
     ls, lu = ops_loss.sum_partials(g, w, parts)
     dab = dabf.reshape(h, ny, nx)
     # dcdx/db2x carry the reduced value broadcast along lanes: column 0
@@ -598,7 +573,7 @@ def mega_loss_and_grad_sharded(
             z0, ab, ab.reshape(h, ny * nx), cd, w2t, w2t.T, b2
         )
         if _resolve_dw2_mode(precision) != "dot":
-            dw2g = dw2g.T  # the vpu/dot_t arms accumulate [h, 4]
+            dw2g = dw2g.T  # the vpu arm accumulates [h, 4]
         parts_all = jax.lax.all_gather(parts, Z_AXIS, axis=1, tiled=True)
         ls, lu = ops_loss.sum_partials(g, w, parts_all)
         dab = jax.lax.psum(dabf, Z_AXIS).reshape(h, ny, nx)

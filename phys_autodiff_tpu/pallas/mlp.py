@@ -85,6 +85,31 @@ def _pick_rb_flat(r: int, h: int, precision: str) -> int:
     return _pick_yb(r, h, 128)
 
 
+def fold_ab_plane(g: GridSpec, cfg: MLPGridConfig, params: mlp.Params):
+    """The in-plane rank-1 layer-1 table AB[h, y, x] = W1[x,h]*cx[x] +
+    W1[y,h]*cy[y] — shared by every fused-MLP kernel layout."""
+    w1 = params["W1"]  # [In, H]
+    cx = _axis_coord(g.nx, cfg.norm)
+    cy = _axis_coord(g.ny, cfg.norm)
+    a = w1[0][:, None] * cx[None, :]  # [H, nx]
+    b = w1[1][:, None] * cy[None, :]  # [H, ny]
+    return a[:, None, :] + b[:, :, None]  # [H, ny, nx]
+
+
+def fold_cd(g: GridSpec, cfg: MLPGridConfig, params: mlp.Params, ts):
+    """The per-(z, slice) layer-1 table CD[z, h, s] = W1[z,h]*cz[z] +
+    W1[t,h]*(t_s + t_off) + b1[h] — carries the ZeroToOne t+0.5 quirk
+    (reference src/mlp_grid.cpp:38) in ONE place."""
+    w1 = params["W1"]
+    cz = _axis_coord(g.nz, cfg.norm)
+    t_off = jnp.float32(0.0 if cfg.norm == CoordNorm.MinusOneToOne else 0.5)
+    c = cz[:, None] * w1[2][None, :]  # [nz, H]
+    d = (jnp.asarray(ts, jnp.float32) + t_off)[:, None] * w1[3][None, :] + params[
+        "b1"
+    ][None, :]  # [S, H]
+    return c[:, :, None] + d.T[None, :, :]  # [nz, H, S]
+
+
 def fold_tables(
     g: GridSpec,
     cfg: MLPGridConfig,
@@ -101,16 +126,8 @@ def fold_tables(
     and blocks over those instead: AB [R//yb, H, yb, 128] (the flat-layout
     pipeline for nx % 128 != 0).
     """
-    w1 = params["W1"]  # [In, H]
-    h = w1.shape[1]
-    cx = _axis_coord(g.nx, cfg.norm)
-    cy = _axis_coord(g.ny, cfg.norm)
-    cz = _axis_coord(g.nz, cfg.norm)
-    t_off = jnp.float32(0.0 if cfg.norm == CoordNorm.MinusOneToOne else 0.5)
-
-    a = w1[0][:, None] * cx[None, :]  # [H, nx]
-    b = w1[1][:, None] * cy[None, :]  # [H, ny]
-    ab = a[:, None, :] + b[:, :, None]  # [H, ny, nx]
+    h = params["W1"].shape[1]
+    ab = fold_ab_plane(g, cfg, params)
     if flat:
         r = (g.ny * g.nx) // 128
         ab = ab.reshape(h, r // yb, yb, 128)
@@ -118,12 +135,7 @@ def fold_tables(
     else:
         ab = jnp.moveaxis(ab, 1, 0).reshape(g.ny // yb, yb, h, g.nx)
         ab = jnp.moveaxis(ab, 1, 2)  # [ny//yb, H, yb, nx]
-
-    c = cz[:, None] * w1[2][None, :]  # [nz, H]
-    d = (jnp.asarray(ts, jnp.float32) + t_off)[:, None] * w1[3][None, :] + params[
-        "b1"
-    ][None, :]  # [S, H]
-    cd = c[:, :, None] + d.T[None, :, :]  # [nz, H, S]
+    cd = fold_cd(g, cfg, params, ts)
     return ab, cd, params["W2"].T, params["b2"].reshape(1, -1)
 
 
@@ -349,6 +361,10 @@ def grid_infer_fused(
 ):
     """Single-time grid inference -> [nz, ny, nx, 4] (reference
     mlp_grid_infer_* shape contract, src/mlp_grid.cpp:53-67)."""
+    if g.nx % 128 != 0:
+        # Mosaic's layer-2 lowering needs a 128-multiple lane dim (same
+        # guard as generate_fields_fused); the staged path is exact.
+        return fields_mod.grid_infer(g, cfg, params, t)
     ts = jnp.stack([jnp.float32(t)])
     sigma, u = _grid_infer_fused_fields(g, cfg, params, ts, precision, interpret)
     return jnp.concatenate([sigma[0][..., None], jnp.moveaxis(u[0], 0, -1)], axis=-1)
