@@ -44,3 +44,23 @@ def bench_train_step(g: GridSpec, h: int = 128, seed: int = 777) -> dict:
         state0 = train_loop.init_state(cfg, mcfg, seed=seed)
         out[name] = time_train_step(step, state0)
     return out
+
+
+def bench_ngp_train_step(g: GridSpec, seed: int = 777) -> float:
+    """ms/step for the NGP hash-encoded field model (framework extension —
+    no reference analogue), trained through the model-agnostic step with
+    jax.grad over the staged physics loss."""
+    from phys_autodiff_tpu.models import ngp
+    from phys_autodiff_tpu.utils.config import PhysWeights as _PW
+
+    ncfg = ngp.NGPFieldConfig()
+    params = ngp.init_ngp_params(ncfg, seed=seed)
+    cfg = train_loop.TrainConfig(t_sampling="fixed")
+    step, state0 = train_loop.make_generic_train_step(
+        g,
+        _PW(),
+        lambda p, t: ngp.generate_fields(g, ncfg, p, t, g.dt),
+        cfg,
+        params,
+    )
+    return time_train_step(lambda s: step(s), state0)

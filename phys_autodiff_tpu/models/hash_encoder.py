@@ -125,3 +125,59 @@ def encode(cfg: HashEncodingConfig, tables: jnp.ndarray, coords: jnp.ndarray):
     out = sum(feats)  # [L, N, F]
     out = jnp.moveaxis(out, 0, 1).reshape(n, cfg.out_dim)
     return out.reshape(*batch_shape, cfg.out_dim)
+
+
+def _axis_lerp(grid, n: int, r: int, axis: int):
+    """Linearly resample `grid` from r+1 samples to n samples along `axis`
+    using STATIC (numpy, trace-time) indices and weights — the regular-grid
+    target positions v/(n-1)*(r-1) are known at trace time, so this lowers
+    to two constant-index gathers + one FMA instead of per-point dynamic
+    gathers."""
+    if n == 1:
+        idx0 = np.zeros((1,), np.int32)
+        w = np.zeros((1,), np.float32)
+    else:
+        pos = np.arange(n, dtype=np.float64) / (n - 1) * (r - 1)
+        idx0 = np.floor(pos).astype(np.int32)
+        w = (pos - idx0).astype(np.float32)
+    lo = jnp.take(grid, jnp.asarray(idx0), axis=axis)
+    hi = jnp.take(grid, jnp.asarray(idx0 + 1), axis=axis)
+    shape = [1] * grid.ndim
+    shape[axis] = n
+    wv = jnp.asarray(w).reshape(shape)
+    return lo * (1.0 - wv) + hi * wv
+
+
+def encode_grid(cfg: HashEncodingConfig, tables: jnp.ndarray, g) -> jnp.ndarray:
+    """Hash-encode every point of a REGULAR grid (GridSpec g, coords
+    v/(n-1) in [0,1] per axis) -> [nz, ny, nx, L*F].
+
+    Mathematically the same trilinear hash encoding as `encode` on the
+    grid's coordinates, restructured TPU-first: per level, the (R_l+1)^3
+    corner-feature grid is gathered ONCE with hash indices precomputed in
+    numpy at trace time (a single constant-index gather instead of 8
+    dynamic gathers per cell x level — ~75M of them at 128x96x96), then
+    trilinear interpolation factorizes into three separable static-index
+    axis resamples (dense VPU FMAs). Equal to `encode` up to f32
+    re-association of the interpolation weights.
+    """
+    nz, ny, nx = g.shape
+    outs = []
+    for lvl, r in enumerate(cfg.level_resolutions()):
+        r = int(r)
+        # static corner hash indices for the full (r+1)^3 corner lattice
+        # (index r is reachable with weight 0 at the top edge; hashing it
+        # mirrors `encode`'s out-of-range corner behavior)
+        ii = np.arange(r + 1, dtype=np.uint32)
+        hx = ii * np.uint32(_PRIMES[0])
+        hy = ii * np.uint32(_PRIMES[1])
+        hz = ii * np.uint32(_PRIMES[2])
+        h = hz[:, None, None] ^ hy[None, :, None] ^ hx[None, None, :]
+        idx = (h & np.uint32(cfg.table_size - 1)).astype(np.int32)  # [z,y,x]
+        corner = jnp.take(tables[lvl], jnp.asarray(idx.ravel()), axis=0)
+        corner = corner.reshape(r + 1, r + 1, r + 1, cfg.features_per_level)
+        lev = _axis_lerp(corner, nz, r, 0)
+        lev = _axis_lerp(lev, ny, r, 1)
+        lev = _axis_lerp(lev, nx, r, 2)
+        outs.append(lev)
+    return jnp.concatenate(outs, axis=-1)

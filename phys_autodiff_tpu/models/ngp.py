@@ -89,17 +89,33 @@ def _unit_coords(g: GridSpec) -> jnp.ndarray:
 
 
 def grid_infer(g: GridSpec, cfg: NGPFieldConfig, params: dict, t):
-    """[nz, ny, nx, out] — hash-encoded analogue of models.fields.grid_infer."""
-    return forward(cfg, params, _unit_coords(g), t)
+    """[nz, ny, nx, out] — hash-encoded analogue of models.fields.grid_infer.
+
+    Uses the regular-grid encoder (per-level static-index corner gather +
+    separable resampling, hash_encoder.encode_grid) instead of per-cell
+    dynamic gathers."""
+    enc = hash_encoder.encode_grid(cfg.encoding, params["tables"], g)
+    t_chan = jnp.broadcast_to(jnp.float32(t), enc.shape[:-1] + (1,))
+    h = jnp.concatenate([enc, t_chan], axis=-1)
+    a1 = jnp.maximum(
+        jnp.dot(h, params["W1"], preferred_element_type=jnp.float32)
+        + params["b1"],
+        0.0,
+    )
+    return (
+        jnp.dot(a1, params["W2"], preferred_element_type=jnp.float32)
+        + params["b2"]
+    )
 
 
 def generate_fields(
     g: GridSpec, cfg: NGPFieldConfig, params: dict, t, dt
 ) -> FieldSnapshots:
     """Fields at t-dt, t, t+dt; the hash encoding is shared across the three
-    slices (time enters only through the head), so it is computed once."""
-    coords = _unit_coords(g)
-    enc = hash_encoder.encode(cfg.encoding, params["tables"], coords)
+    slices (time enters only through the head), so it is computed once —
+    with the regular-grid encoder (static-index corner gathers + separable
+    resampling; see hash_encoder.encode_grid)."""
+    enc = hash_encoder.encode_grid(cfg.encoding, params["tables"], g)
 
     def head(tt):
         t_chan = jnp.broadcast_to(jnp.float32(tt), enc.shape[:-1] + (1,))

@@ -101,3 +101,42 @@ def test_ngp_generate_fields_and_training():
     for _ in range(cfg.steps - 1):
         state, loss = step(state)
     assert float(loss) < 0.2 * float(loss0), (float(loss0), float(loss))
+
+
+def test_encode_grid_matches_pointwise_encode():
+    """The regular-grid encoder (static-index corner gathers + separable
+    resampling) is the same trilinear hash encoding as the pointwise
+    `encode`, up to f32 re-association of the interpolation weights."""
+    from phys_autodiff_tpu.models.ngp import _unit_coords
+
+    g = GridSpec(nx=12, ny=7, nz=5, hx=0.1, hy=0.1, hz=0.1, dt=1e-3)
+    tables = hash_encoder.init_hash_params(CFG, seed=9, scale=0.5)
+    ref = hash_encoder.encode(CFG, tables, _unit_coords(g))
+    out = hash_encoder.encode_grid(CFG, tables, g)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=1e-6)
+
+
+def test_encode_grid_degenerate_axis():
+    """nz=1 grids (degenerate axis) take the weight-0 corner path."""
+    g = GridSpec(nx=8, ny=6, nz=1, hx=0.1, hy=0.1, hz=0.1, dt=1e-3)
+    from phys_autodiff_tpu.models.ngp import _unit_coords
+
+    tables = hash_encoder.init_hash_params(CFG, seed=4, scale=0.5)
+    ref = hash_encoder.encode(CFG, tables, _unit_coords(g))
+    out = hash_encoder.encode_grid(CFG, tables, g)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=1e-6)
+
+
+def test_encode_grid_gradients_flow_to_tables():
+    """jax.grad reaches the hash tables through the grid encoder (the
+    static-index takes backward to scatter-adds)."""
+    g = GridSpec(nx=8, ny=8, nz=4, hx=0.1, hy=0.1, hz=0.1, dt=1e-3)
+    tables = hash_encoder.init_hash_params(CFG, seed=5, scale=0.5)
+
+    def loss(tb):
+        return jnp.sum(hash_encoder.encode_grid(CFG, tb, g) ** 2)
+
+    gr = jax.grad(loss)(tables)
+    assert gr.shape == tables.shape
+    assert float(jnp.sum(jnp.abs(gr))) > 0.0
