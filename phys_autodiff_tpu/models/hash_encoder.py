@@ -158,8 +158,11 @@ def encode_grid(cfg: HashEncodingConfig, tables: jnp.ndarray, g) -> jnp.ndarray:
     numpy at trace time (a single constant-index gather instead of 8
     dynamic gathers per cell x level — ~75M of them at 128x96x96), then
     trilinear interpolation factorizes into three separable static-index
-    axis resamples (dense VPU FMAs). Equal to `encode` up to f32
-    re-association of the interpolation weights.
+    axis resamples (dense VPU FMAs). Equal to `encode` up to interpolation-
+    weight precision: the static weights here are computed in float64,
+    while `encode` derives them from f32 scaled coordinates, so the two
+    drift by ~R*eps_f32 per level (~1e-5 absolute at R=128) — with THIS
+    path the more accurate one.
     """
     nz, ny, nx = g.shape
     outs = []

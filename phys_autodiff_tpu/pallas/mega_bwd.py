@@ -72,6 +72,14 @@ def _default_interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
+def mega_supported(g: GridSpec) -> bool:
+    """The ONE eligibility predicate for the backward mega-kernel (central
+    scheme, Mosaic lane/sublane alignment). Every dispatch site
+    (train/loop.py, train/slab_grad.py, parallel/sharded.py, and the
+    fallback below) must use this rather than re-deriving the condition."""
+    return g.scheme == "central" and g.nx % 128 == 0 and g.ny % 8 == 0
+
+
 # Contraction strategies for the three MLP matmuls whose shapes waste the
 # MXU (4-wide output rows or K=4 contractions leave >96% of the systolic
 # array idle). Each can run as the naive MXU dot ("dot") or as VPU
@@ -498,7 +506,7 @@ def mega_loss_and_grad(
     (upwind scheme, unaligned grids)."""
     if interpret is None:
         interpret = _default_interpret()
-    if g.scheme != "central" or g.nx % 128 != 0 or g.ny % 8 != 0:
+    if not mega_supported(g):
         from phys_autodiff_tpu.train.slab_grad import make_slab_loss_and_grad
 
         return make_slab_loss_and_grad(g, w, cfg, precision=precision)(params, t)
@@ -551,7 +559,9 @@ def mega_loss_and_grad_sharded(
 
     if interpret is None:
         interpret = _default_interpret()
-    assert g.scheme == "central" and g.nx % 128 == 0 and g.ny % 8 == 0
+    assert mega_supported(g), (
+        "backward mega-kernel needs central scheme, nx % 128 == 0, ny % 8 == 0"
+    )
     n_shards = mesh.shape[Z_AXIS]
     assert g.nz % n_shards == 0
     nz_local = g.nz // n_shards

@@ -682,6 +682,18 @@ def loss_backward_fused(
     return _run_fused(g, fields, (ss, su), False, interpret)
 
 
+def _scale_partials(g: GridSpec, w, parts):
+    """[2, nz] raw per-plane partials -> (L_sigma, L_u): one shared scaling
+    site for every fused-loss variant (plain/packed/flat), kept in lock-step
+    with ops/loss.py's weight and 1/N conventions."""
+    sums = jnp.sum(parts, axis=1)
+    inv_n = np.float32(1.0 / g.num_cells)
+    return (
+        np.float32(w.w_sigma) * sums[0] * inv_n,
+        np.float32(w.w_u) * sums[1] * inv_n,
+    )
+
+
 def loss_forward_fused(
     g: GridSpec, w: PhysWeights, fields: FieldSnapshots, interpret=None
 ):
@@ -696,12 +708,7 @@ def loss_forward_fused(
     (L_sigma, L_u).
     """
     parts = _run_fused(g, fields, None, True, interpret)
-    sums = jnp.sum(parts, axis=1)
-    inv_n = np.float32(1.0 / g.num_cells)
-    return (
-        np.float32(w.w_sigma) * sums[0] * inv_n,
-        np.float32(w.w_u) * sums[1] * inv_n,
-    )
+    return _scale_partials(g, w, parts)
 
 
 # ---------------------------------------------------------------------------
@@ -1003,12 +1010,7 @@ def loss_forward_fused_packed(
         rs, ru = ops_stencil.residuals(g, unpack_fields(packed))
         return ops_loss.loss_terms(g, w, rs, ru)
     parts = _build_packed_call(g, None, True, interpret)(packed)
-    sums = jnp.sum(parts, axis=1)
-    inv_n = np.float32(1.0 / g.num_cells)
-    return (
-        np.float32(w.w_sigma) * sums[0] * inv_n,
-        np.float32(w.w_u) * sums[1] * inv_n,
-    )
+    return _scale_partials(g, w, parts)
 
 
 # ---------------------------------------------------------------------------
@@ -1102,12 +1104,7 @@ def loss_forward_fused_flat(
     if interpret is None:
         interpret = _default_interpret()
     parts = _build_packed_call(g, None, True, interpret, flat=True)(flat)
-    sums = jnp.sum(parts, axis=1)
-    inv_n = np.float32(1.0 / g.num_cells)
-    return (
-        np.float32(w.w_sigma) * sums[0] * inv_n,
-        np.float32(w.w_u) * sums[1] * inv_n,
-    )
+    return _scale_partials(g, w, parts)
 
 
 def _lff_fwd(g, w, flat, interpret):

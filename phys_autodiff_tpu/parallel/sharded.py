@@ -137,13 +137,36 @@ def _halo_extend_z(f, periodic: bool, axis: int = 0):
     return jnp.concatenate([lower, f, upper], axis=axis)
 
 
+def _local_grid(g: GridSpec, nz_local: int) -> GridSpec:
+    """The per-shard GridSpec for a halo-extended z-slab: identical to the
+    global grid (INCLUDING the advection scheme and boundary mode) except
+    for nz. The kept rows ext[1:-1] only ever read ext[0:-2] and ext[2:],
+    so the z boundary mode never triggers for them — x/y keep the global
+    wrap/clamp behavior, and z neighbors come from the halos."""
+    import dataclasses
+
+    return dataclasses.replace(g, nz=nz_local + 2)
+
+
+def _halo_extend_fields(fs_local: FieldSnapshots, periodic: bool) -> FieldSnapshots:
+    """Extend every local field slab with one exchanged halo plane per side."""
+    return FieldSnapshots(
+        sigma_tm1=_halo_extend_z(fs_local.sigma_tm1, periodic),
+        sigma_t=_halo_extend_z(fs_local.sigma_t, periodic),
+        sigma_tp1=_halo_extend_z(fs_local.sigma_tp1, periodic),
+        u_tm1=_halo_extend_z(fs_local.u_tm1, periodic, axis=1),
+        u_t=_halo_extend_z(fs_local.u_t, periodic, axis=1),
+        u_tp1=_halo_extend_z(fs_local.u_tp1, periodic, axis=1),
+    )
+
+
 def residuals_fused_sharded(g: GridSpec, mesh, fields: FieldSnapshots, interpret=None):
     """Fused Pallas residuals under explicit z-domain decomposition.
 
     Each device extends its local slab with exchanged halo planes, then runs
-    the single-chip fused kernel in CLAMP mode on the extended slab (the
-    halos make clamp-at-local-edges produce exactly the interior/wrap global
-    stencil) and drops the halo rows of the result.
+    the single-chip fused kernel on the extended slab (the halos make the
+    local z edges produce exactly the interior/wrap global stencil) and
+    drops the halo rows of the result.
     """
     from phys_autodiff_tpu.pallas.residuals import residuals_fused
 
@@ -151,25 +174,10 @@ def residuals_fused_sharded(g: GridSpec, mesh, fields: FieldSnapshots, interpret
     assert g.nz % n_shards == 0, (
         f"nz={g.nz} must divide evenly over the {n_shards}-way '{Z_AXIS}' axis"
     )
-    nz_local = g.nz // n_shards
-    # The local kernel runs on the halo-extended slab with the global
-    # periodic flag: the kept rows ext[1:-1] only ever read ext[0:-2] and
-    # ext[2:], so the z boundary mode never triggers for them — x/y keep the
-    # global wrap/clamp behavior, and z neighbors come from the halos.
-    g_local = GridSpec(
-        nx=g.nx, ny=g.ny, nz=nz_local + 2,
-        hx=g.hx, hy=g.hy, hz=g.hz, dt=g.dt, periodic=g.periodic,
-    )
+    g_local = _local_grid(g, g.nz // n_shards)
 
     def local(fs_local: FieldSnapshots):
-        ext = FieldSnapshots(
-            sigma_tm1=_halo_extend_z(fs_local.sigma_tm1, g.periodic),
-            sigma_t=_halo_extend_z(fs_local.sigma_t, g.periodic),
-            sigma_tp1=_halo_extend_z(fs_local.sigma_tp1, g.periodic),
-            u_tm1=_halo_extend_z(fs_local.u_tm1, g.periodic, axis=1),
-            u_t=_halo_extend_z(fs_local.u_t, g.periodic, axis=1),
-            u_tp1=_halo_extend_z(fs_local.u_tp1, g.periodic, axis=1),
-        )
+        ext = _halo_extend_fields(fs_local, g.periodic)
         rs, ru = residuals_fused(g_local, ext, interpret)
         return rs[1:-1], ru[:, 1:-1]
 
@@ -201,24 +209,13 @@ def loss_forward_fused_sharded(
     """
     n_shards = mesh.shape[Z_AXIS]
     assert g.nz % n_shards == 0
-    nz_local = g.nz // n_shards
-    g_local = GridSpec(
-        nx=g.nx, ny=g.ny, nz=nz_local + 2,
-        hx=g.hx, hy=g.hy, hz=g.hz, dt=g.dt, periodic=g.periodic,
-    )
+    g_local = _local_grid(g, g.nz // n_shards)
 
     def local(fs_local: FieldSnapshots):
-        ext = FieldSnapshots(
-            sigma_tm1=_halo_extend_z(fs_local.sigma_tm1, g.periodic),
-            sigma_t=_halo_extend_z(fs_local.sigma_t, g.periodic),
-            sigma_tp1=_halo_extend_z(fs_local.sigma_tp1, g.periodic),
-            u_tm1=_halo_extend_z(fs_local.u_tm1, g.periodic, axis=1),
-            u_t=_halo_extend_z(fs_local.u_t, g.periodic, axis=1),
-            u_tp1=_halo_extend_z(fs_local.u_tp1, g.periodic, axis=1),
-        )
-        # Per-plane raw partial sums on the extended slab; the halo planes'
-        # partials are dropped. loss_forward_fused normalizes by the LOCAL
-        # cell count and applies weights — undo both to recover raw sums.
+        ext = _halo_extend_fields(fs_local, g.periodic)
+        # Raw (unscaled, unweighted) per-plane partial sums on the extended
+        # slab; the halo planes' partials are dropped and scaling/weights
+        # are applied once, globally, by sum_partials below.
         parts = _fused_plane_partials(g_local, ext, interpret)  # [2, nz_local+2]
         parts = parts[:, 1:-1]
         gathered = jax.lax.all_gather(parts, Z_AXIS, axis=1, tiled=True)  # [2, nz]
@@ -243,12 +240,13 @@ def loss_forward_fused_sharded(
 
 
 def _fused_plane_partials(g_local: GridSpec, ext: FieldSnapshots, interpret):
-    """Raw per-plane partial sums [2, nz_local] from the fused loss kernel
-    (undo its 1/N_local and weight scaling to recover the in-kernel sums)."""
+    """RAW per-plane partial sums [2, nz_local+2] straight from the fused
+    loss kernel (scales=None, reduce_loss=True): no 1/N normalization and
+    no loss weights are applied here — both happen exactly once in the
+    caller's global fixed-order sum_partials."""
     from phys_autodiff_tpu.pallas import residuals as pr
 
-    parts = pr._run_fused(g_local, ext, None, True, interpret)
-    return parts
+    return pr._run_fused(g_local, ext, None, True, interpret)
 
 
 def make_sharded_fused_train_step(
@@ -268,11 +266,14 @@ def make_sharded_fused_train_step(
     MLP-generated fields); gradients are psum'd and the loss combined from
     all-gathered per-plane/per-slab partials in a fixed order.
 
-    backward="mega" (or "auto" on central 128-aligned grids) runs the fused
-    backward MEGA-kernel per shard (pallas/mega_bwd.py — ONE kernel per
-    device for loss + all gradients); backward="slab" scans the slab-blocked
-    recompute gradient (train/slab_grad.py), which also serves upwind and
-    unaligned configurations.
+    backward="mega" (or "auto" on supported grids — pallas/mega_bwd.py's
+    mega_supported) runs the fused backward MEGA-kernel per shard (ONE
+    kernel per device for loss + all gradients); backward="slab" scans the
+    slab-blocked recompute gradient (train/slab_grad.py), which also serves
+    upwind and unaligned configurations. sz is the slab arm's z-block size;
+    passing it explicitly under backward="auto" selects the slab arm (the
+    mega kernel has no slab knob, so a tuning request must not silently
+    no-op).
 
     Memory: nothing grid-sized materializes on any device — this is the
     path past the single-chip ceiling AND the per-device ceiling.
@@ -282,35 +283,39 @@ def make_sharded_fused_train_step(
     """
     import optax
 
+    from phys_autodiff_tpu.pallas.mega_bwd import mega_supported
     from phys_autodiff_tpu.train.slab_grad import make_slab_raw
 
     opt = optax.adam(learning_rate)
+    rep = NamedSharding(mesh, P())
 
-    use_mega = backward == "mega" or (
-        backward == "auto"
-        and g.scheme == "central"
-        and g.nx % 128 == 0
-        and g.ny % 8 == 0
-    )
-    if use_mega:
-        from phys_autodiff_tpu.pallas.mega_bwd import mega_loss_and_grad_sharded
-
-        mega_lg = mega_loss_and_grad_sharded(g, w, mcfg, mesh, precision)
-
+    def make_step_and_init(loss_and_grad):
         @partial(jax.jit, donate_argnums=(0, 1))
         def step(params, opt_state, t):
-            loss, (grads, _) = mega_lg(params, t)
+            loss, grads = loss_and_grad(params, t)
             updates, opt_state = opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
-
-        rep = NamedSharding(mesh, P())
 
         def init(params):
             params = jax.device_put(params, rep)
             return params, jax.device_put(opt.init(params), rep)
 
         return step, init
+
+    use_mega = backward == "mega" or (
+        backward == "auto" and sz is None and mega_supported(g)
+    )
+    if use_mega:
+        from phys_autodiff_tpu.pallas.mega_bwd import mega_loss_and_grad_sharded
+
+        mega_lg = mega_loss_and_grad_sharded(g, w, mcfg, mesh, precision)
+
+        def mega_loss_grad(params, t):
+            loss, (grads, _) = mega_lg(params, t)
+            return loss, grads
+
+        return make_step_and_init(mega_loss_grad)
     slab_raw, sz = make_slab_raw(g, w, mcfg, sz, precision)
     n_slabs = g.nz // sz
     n_shards = mesh.shape[Z_AXIS]
@@ -348,21 +353,7 @@ def make_sharded_fused_train_step(
         out_specs=(P(), P()),
         check_vma=False,
     )
-
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def step(params, opt_state, t):
-        loss, grads = sharded_lg(params, t)
-        updates, opt_state = opt.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
-
-    rep = NamedSharding(mesh, P())
-
-    def init(params):
-        params = jax.device_put(params, rep)
-        return params, jax.device_put(opt.init(params), rep)
-
-    return step, init
+    return make_step_and_init(sharded_lg)
 
 
 def make_sharded_train_step_2d(

@@ -67,13 +67,16 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
 def init_state(
     cfg: TrainConfig, mcfg: MLPGridConfig, seed: int | None = None
 ) -> TrainState:
-    params = mlp.init_params(mcfg.dims, seed=cfg.seed if seed is None else seed)
+    seed = cfg.seed if seed is None else seed
+    params = mlp.init_params(mcfg.dims, seed=seed)
     opt = make_optimizer(cfg)
     return TrainState(
         params=params,
         opt_state=opt.init(params),
         step=jnp.int32(0),
-        key=jax.random.PRNGKey(cfg.seed),
+        # the PRNG stream follows the same seed override as the params, so
+        # multi-seed runs are independent in BOTH init and t-sampling
+        key=jax.random.PRNGKey(seed),
     )
 
 
@@ -144,10 +147,9 @@ def _make_step_fn(g, w, mcfg, cfg):
     # Fused step on supported configs: ONE kernel computes the loss AND all
     # parameter gradients (pallas/mega_bwd.py); otherwise value_and_grad of
     # the (possibly fused-forward) loss.
-    use_mega_bwd = (
-        cfg.use_fused and g.scheme == "central" and g.nx % 128 == 0
-        and g.ny % 8 == 0
-    )
+    from phys_autodiff_tpu.pallas.mega_bwd import mega_supported
+
+    use_mega_bwd = cfg.use_fused and mega_supported(g)
 
     def step(state: TrainState):
         key, sub = jax.random.split(state.key)
@@ -189,7 +191,9 @@ def fit(
     state: TrainState | None = None,
     callback: Callable[[int, float], None] | None = None,
 ):
-    """Run the loop; returns (final_state, loss_history list[float]).
+    """Run the loop; returns (final_state, history, elapsed_seconds) where
+    history is a list of (step, loss) pairs sampled every cfg.log_every
+    steps (plus the final step).
 
     The reference's acceptance criterion (REQUIREMENT.md:164-169): the loss
     should drop >= 90% within the configured number of steps.
@@ -221,8 +225,8 @@ def fit_scan(
 ):
     """Like fit(), but runs the loop on-device with lax.scan: one dispatch
     per `steps_per_call` steps (default: log_every). Returns the same
-    (state, history, elapsed) with the full per-step loss trace folded into
-    history at log_every granularity."""
+    (state, history, elapsed); history holds one (step, loss) pair per
+    chunk — the LAST loss of each scan call, not a per-step trace."""
     if state is None:
         state = init_state(cfg, mcfg)
     chunk = steps_per_call or max(1, cfg.log_every)

@@ -230,7 +230,9 @@ def make_fused_loss(
         def forward_pipeline(params, t):
             return mega_loss_pipeline(g, w, cfg, params, t, precision, interpret)
 
-    if backward == "mega" and g.scheme == "central" and g.nx % 128 == 0:
+    from phys_autodiff_tpu.pallas.mega_bwd import mega_supported
+
+    if backward == "mega" and mega_supported(g):
         from phys_autodiff_tpu.pallas.mega_bwd import mega_loss_and_grad
 
         def lg(params, t):

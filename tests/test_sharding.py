@@ -227,3 +227,40 @@ def test_sharded_mega_bwd_step_matches_single(mesh):
     assert abs(float(ln) - float(l1)) / abs(float(l1)) <= 5e-6
     for k in p1:
         assert rel_l2_err(pn[k], p1[k]) <= 1e-6, k
+
+
+def test_shard_map_fused_residuals_upwind_scheme(mesh):
+    """Regression: the per-shard local GridSpec must inherit the advection
+    scheme — the round-2 bug built it without scheme=, silently computing
+    CENTRAL differences for upwind grids on the mesh."""
+    import dataclasses
+
+    g = dataclasses.replace(_grid(), scheme="upwind")
+    fs = _snapshots(g)
+    rs_1, ru_1 = jax.jit(lambda x: ops.residuals(g, x))(fs)
+    rs_n, ru_n = jax.jit(
+        lambda x: residuals_fused_sharded(g, mesh, x, interpret=True)
+    )(shard_fields(mesh, fs))
+    assert rel_l2_err(rs_n, rs_1) <= 1e-7
+    assert max_abs_err(rs_n, rs_1) <= 1e-6
+    assert rel_l2_err(ru_n, ru_1) <= 1e-7
+
+
+def test_sharded_fused_loss_upwind_1e7(mesh):
+    """The fixed-order sharded fused loss honors the upwind scheme too
+    (compared against the single-chip fused loss, like the central-scheme
+    1e-7 doctrine test — the staged arm differs by f32 reduction order)."""
+    import dataclasses
+
+    from phys_autodiff_tpu.pallas.residuals import loss_forward_fused
+    from phys_autodiff_tpu.parallel.sharded import loss_forward_fused_sharded
+
+    g = dataclasses.replace(_grid(), scheme="upwind")
+    fs = _snapshots(g)
+    w = PhysWeights(w_sigma=1.1, w_u=0.6)
+    ls_1, lu_1 = jax.jit(lambda x: loss_forward_fused(g, w, x, True))(fs)
+    ls_n, lu_n = jax.jit(
+        lambda x: loss_forward_fused_sharded(g, w, mesh, x, interpret=True)
+    )(shard_fields(mesh, fs))
+    assert abs(float(ls_n) - float(ls_1)) / abs(float(ls_1)) <= 1e-7
+    assert abs(float(lu_n) - float(lu_1)) / abs(float(lu_1)) <= 1e-7
