@@ -45,33 +45,41 @@ def main():
     w = PhysWeights()
     nz_per_dev = 8
     print("devices available:", len(jax.devices()))
-    print("n_dev  nz   cells/dev   ms/step (1-core wall)  ms/step/dev-work")
-    base = None
-    for n_dev in (1, 2, 4, 8):
-        devices = jax.devices()[:n_dev]
-        mesh = Mesh(np.asarray(devices), ("z",))
-        g = GridSpec(
-            nx=64, ny=32, nz=nz_per_dev * n_dev,
-            hx=0.1, hy=0.1, hz=0.1, dt=1e-2,
-        )
-        step, init = make_sharded_fused_train_step(g, w, mcfg, mesh, sz=2)
-        params, opt = init(mlp.init_params(mcfg.dims, seed=0))
-        params, opt, loss = step(params, opt, jnp.float32(0.25))  # compile
-        jax.block_until_ready(loss)
-        n_it = 3
-        t0 = time.perf_counter()
-        for _ in range(n_it):
-            params, opt, loss = step(params, opt, jnp.float32(0.25))
-        loss = float(jax.block_until_ready(loss))
-        ms = (time.perf_counter() - t0) / n_it * 1e3
-        per_work = ms / n_dev
-        if base is None:
-            base = per_work
-        print(
-            f"{n_dev:5d}  {g.nz:3d}  {g.num_cells // n_dev:9d}  "
-            f"{ms:10.2f}            {per_work:8.2f}  "
-            f"(x{per_work / base:.2f} vs 1-dev; loss={loss:.4f})"
-        )
+    # Two backward arms: "slab" (unaligned nx=64 grid, slab-recompute
+    # gradients) and "mega" (128-aligned grid, the per-shard backward
+    # mega-kernel in interpret mode on CPU).
+    arms = (
+        ("slab", dict(nx=64, ny=32), dict(sz=2)),
+        ("mega", dict(nx=128, ny=32), dict(backward="mega")),
+    )
+    for arm, dims, kw in arms:
+        print(f"\n[{arm} backward]")
+        print("n_dev  nz   cells/dev   ms/step (1-core wall)  ms/step/dev-work")
+        base = None
+        for n_dev in (1, 2, 4, 8):
+            devices = jax.devices()[:n_dev]
+            mesh = Mesh(np.asarray(devices), ("z",))
+            g = GridSpec(
+                nz=nz_per_dev * n_dev, hx=0.1, hy=0.1, hz=0.1, dt=1e-2, **dims
+            )
+            step, init = make_sharded_fused_train_step(g, w, mcfg, mesh, **kw)
+            params, opt = init(mlp.init_params(mcfg.dims, seed=0))
+            params, opt, loss = step(params, opt, jnp.float32(0.25))  # compile
+            jax.block_until_ready(loss)
+            n_it = 3
+            t0 = time.perf_counter()
+            for _ in range(n_it):
+                params, opt, loss = step(params, opt, jnp.float32(0.25))
+            loss = float(jax.block_until_ready(loss))
+            ms = (time.perf_counter() - t0) / n_it * 1e3
+            per_work = ms / n_dev
+            if base is None:
+                base = per_work
+            print(
+                f"{n_dev:5d}  {g.nz:3d}  {g.num_cells // n_dev:9d}  "
+                f"{ms:10.2f}            {per_work:8.2f}  "
+                f"(x{per_work / base:.2f} vs 1-dev; loss={loss:.4f})"
+            )
     print(
         "\nper-device-work time should stay ~flat (structure scales); on a "
         "real ICI mesh this sweep is the weak-scaling measurement proper."
