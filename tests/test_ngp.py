@@ -140,3 +140,24 @@ def test_encode_grid_gradients_flow_to_tables():
     gr = jax.grad(loss)(tables)
     assert gr.shape == tables.shape
     assert float(jnp.sum(jnp.abs(gr))) > 0.0
+
+
+def test_encode_grid_gradients_match_pointwise():
+    """The sorted-segment-sum adjoint of the grid encoder's corner gather
+    produces the same table gradients as autodiff of the pointwise
+    encoder (weight-precision noise only)."""
+    from phys_autodiff_tpu.models.ngp import _unit_coords
+
+    g = GridSpec(nx=10, ny=6, nz=4, hx=0.1, hy=0.1, hz=0.1, dt=1e-3)
+    tables = hash_encoder.init_hash_params(CFG, seed=12, scale=0.5)
+
+    def loss_point(tb):
+        return jnp.sum(hash_encoder.encode(CFG, tb, _unit_coords(g)) ** 2)
+
+    def loss_grid(tb):
+        return jnp.sum(hash_encoder.encode_grid(CFG, tb, g) ** 2)
+
+    g1 = np.asarray(jax.grad(loss_point)(tables), np.float64)
+    g2 = np.asarray(jax.grad(loss_grid)(tables), np.float64)
+    scale = np.max(np.abs(g1)) + 1e-30
+    assert np.max(np.abs(g1 - g2)) / scale < 1e-4
