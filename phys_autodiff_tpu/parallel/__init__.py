@@ -14,6 +14,7 @@ from phys_autodiff_tpu.parallel.sharded import (
     make_sharded_train_step,
     make_sharded_fused_train_step,
     make_sharded_train_step_2d,
+    make_generic_sharded_train_step,
 )
 
 __all__ = [
@@ -30,4 +31,5 @@ __all__ = [
     "make_sharded_train_step",
     "make_sharded_fused_train_step",
     "make_sharded_train_step_2d",
+    "make_generic_sharded_train_step",
 ]

@@ -356,6 +356,51 @@ def make_sharded_fused_train_step(
     return make_step_and_init(sharded_lg)
 
 
+def make_generic_sharded_train_step(
+    g: GridSpec,
+    w: PhysWeights,
+    generate_fn,
+    mesh,
+    params0,
+    learning_rate: float = 1e-3,
+):
+    """Model-agnostic sharded training step (GSPMD arm) for ANY
+    differentiable field generator `generate_fn(params, t) ->
+    FieldSnapshots` — the multi-chip counterpart of
+    train.make_generic_train_step, so extension models (e.g. the NGP hash
+    field) train on a mesh exactly like the core MLP: params replicated,
+    fields z-sharded, halo collectives and the gradient all-reduce
+    inserted by the partitioner.
+
+    Returns (step_fn, init_fn): step(params, opt_state, t) ->
+    (params', opt_state', loss).
+    """
+    import optax
+
+    opt = optax.adam(learning_rate)
+    rep = replicated(mesh)
+
+    def loss_of(params, t):
+        fs = generate_fn(params, t)
+        fs = jax.tree_util.tree_map(
+            jax.lax.with_sharding_constraint, fs, field_shardings(mesh)
+        )
+        return ops.total_loss(g, w, fs)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, t):
+        loss, grads = jax.value_and_grad(loss_of)(params, t)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    def init(params=None):
+        params = jax.device_put(params0 if params is None else params, rep)
+        return params, jax.device_put(opt.init(params), rep)
+
+    return step, init
+
+
 def make_sharded_train_step_2d(
     g: GridSpec,
     w: PhysWeights,
