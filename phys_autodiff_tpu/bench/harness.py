@@ -163,7 +163,7 @@ def _residual_feedback_body(res_fn):
     output generations, so every output is a full-shape carry element."""
 
     def body(i, carry):
-        eps, rs_a, ru_a, rs_b, ru_b, rs_c, ru_c = carry
+        rs_a, ru_a, rs_b, ru_b, rs_c, ru_c, eps = carry
         fields = FieldSnapshots(
             sigma_tm1=rs_c, sigma_t=rs_a, sigma_tp1=rs_b,
             u_tm1=ru_c, u_t=ru_a, u_tp1=ru_b,
@@ -171,17 +171,22 @@ def _residual_feedback_body(res_fn):
         rs, ru = res_fn(fields)
         # Damp with the carried runtime scalar (cannot be constant-folded);
         # fuses into the stencil epilogue.
-        return eps, rs * eps, ru * eps, rs_a, ru_a, rs_b, ru_b
+        return rs * eps, ru * eps, rs_a, ru_a, rs_b, ru_b, eps
 
     return body
 
 
 def _residual_feedback_carry(fields: FieldSnapshots):
+    # The FIRST leaf is the newest output generation: time_loop fetches
+    # leaf 0 as its completion fence, so it must be data-dependent on the
+    # whole loop (the loop-invariant eps scalar goes last — as leaf 0 it
+    # could in principle unblock before the loop finishes on a runtime
+    # with per-buffer readiness).
     return (
-        jnp.float32(1e-3),
         fields.sigma_t, fields.u_t,
         fields.sigma_tp1, fields.u_tp1,
         fields.sigma_tm1, fields.u_tm1,
+        jnp.float32(1e-3),
     )
 
 
@@ -218,7 +223,15 @@ def check_timed_hlo(
 ) -> str:
     """Compile the exact timed loop and assert the optimized HLO retains the
     required signatures (full shapes for feedback mode, the opaque custom
-    call for Pallas probe mode). Returns the HLO text."""
+    call for Pallas probe mode). Returns the HLO text.
+
+    Feedback mode asserts each required SHAPE appears as the result type of
+    a COMPUTE op (fusion/arithmetic), not merely anywhere in the text — the
+    carry shapes always appear in the while-loop parameter signature, so a
+    plain substring match would be vacuously true even with the body
+    narrowed away."""
+    import re
+
     if mode == "feedback":
         run = _make_run(_residual_feedback_body(op_fn))
         args = (_residual_feedback_carry(fields), jnp.int32(4))
@@ -227,7 +240,19 @@ def check_timed_hlo(
         args = ((jnp.float32(0.0), x), jnp.int32(4))
     txt = run.lower(*args).compile().as_text()
     for sig in required:
-        assert sig in txt, f"timed HLO lost required signature {sig!r} — DCE?"
+        is_shape = re.fullmatch(r"\w+\[[\d,]+\]", sig) is not None
+        if mode == "feedback" and is_shape:
+            pat = re.compile(
+                r"= " + re.escape(sig)
+                + r"\S*\s+(fusion|add|multiply|subtract|divide|concatenate)\("
+            )
+            assert pat.search(txt), (
+                f"timed HLO has no compute op producing {sig!r} — DCE?"
+            )
+        else:
+            assert sig in txt, (
+                f"timed HLO lost required signature {sig!r} — DCE?"
+            )
     return txt
 
 
@@ -371,6 +396,13 @@ def bench_pipeline(g: GridSpec, h=128, iters=DEFAULT_ITERS, seed=777) -> list:
       fused(_bf16) ms_kernel=packed residual kernel, ms_phys_e2e=packed
                   in-kernel-reduction loss kernel, ms_mlp=packed fused
                   fieldgen, ms_total=packed fused loss pipeline
+
+    The fused_bf16 row shares ms_kernel/ms_phys_e2e with the fused row BY
+    DESIGN: the bf16 pipeline tier runs bf16 only inside the MLP fieldgen
+    (its physics kernels are the same f32 packed/flat kernels that its own
+    ms_total uses), so identical physics columns are the honest report.
+    The separately-labeled bf16-I/O residual kernel is a bench_phys arm,
+    not part of any pipeline.
     """
     from phys_autodiff_tpu.pallas.mlp import (
         fused_loss_pipeline,
