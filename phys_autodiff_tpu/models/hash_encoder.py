@@ -51,16 +51,18 @@ class HashEncodingConfig:
         return self.num_levels * self.features_per_level
 
     def level_resolutions(self) -> np.ndarray:
-        """Geometric schedule N_l = floor(N_min * b^l)."""
+        """Geometric schedule N_l = round(N_min * b^l). Rounded (not
+        floored): fp rounding makes b^(L-1) land a hair under its exact
+        value, and flooring that would top the schedule out at
+        N_max - 1 — the configured max_resolution must be reachable."""
         if self.num_levels == 1:
             return np.asarray([self.base_resolution])
-        b = np.exp(
-            (np.log(self.max_resolution) - np.log(self.base_resolution))
-            / (self.num_levels - 1)
+        ln = np.linspace(
+            np.log(self.base_resolution),
+            np.log(self.max_resolution),
+            self.num_levels,
         )
-        return np.floor(
-            self.base_resolution * b ** np.arange(self.num_levels)
-        ).astype(np.int64)
+        return np.floor(np.exp(ln) + 0.5).astype(np.int64)
 
 
 def init_hash_params(

@@ -52,31 +52,38 @@ def init_ngp_params(cfg: NGPFieldConfig, seed: int = 0) -> dict:
     }
 
 
-def forward(cfg: NGPFieldConfig, params: dict, coords: jnp.ndarray, t):
-    """coords: [..., 3] spatial in [0, 1]; t: scalar. Returns [..., out]."""
-    enc = hash_encoder.encode(cfg.encoding, params["tables"], coords)
+def _apply_head(params: dict, enc: jnp.ndarray, t):
+    """The 2-layer decode head on a precomputed encoding — the ONE place
+    its semantics live (time channel concat, relu, f32-accumulated dots)."""
     t_chan = jnp.broadcast_to(jnp.float32(t), enc.shape[:-1] + (1,))
     h = jnp.concatenate([enc, t_chan], axis=-1)
-    z1 = (
+    a1 = jnp.maximum(
         jnp.dot(h, params["W1"], preferred_element_type=jnp.float32)
-        + params["b1"]
+        + params["b1"],
+        0.0,
     )
-    a1 = jnp.maximum(z1, 0.0)
     return (
         jnp.dot(a1, params["W2"], preferred_element_type=jnp.float32)
         + params["b2"]
     )
 
 
+def forward(cfg: NGPFieldConfig, params: dict, coords: jnp.ndarray, t):
+    """coords: [..., 3] spatial in [0, 1]; t: scalar. Returns [..., out]."""
+    enc = hash_encoder.encode(cfg.encoding, params["tables"], coords)
+    return _apply_head(params, enc, t)
+
+
 def _unit_coords(g: GridSpec) -> jnp.ndarray:
-    """Spatial grid coordinates in [0, 1], [nz, ny, nx, 3]."""
+    """Spatial grid coordinates in [0, 1], [nz, ny, nx, 3] — the shared
+    per-axis v/(n-1) logic of coords._axis_coord (incl. the degenerate-axis
+    zero), stacked without the MLP path's time channel."""
+    from phys_autodiff_tpu.models.coords import _axis_coord
+    from phys_autodiff_tpu.utils.config import CoordNorm
 
-    def axis(n):
-        if n <= 1:
-            return jnp.zeros((max(n, 1),), jnp.float32)
-        return jnp.arange(n, dtype=jnp.float32) / jnp.float32(n - 1)
-
-    cx, cy, cz = axis(g.nx), axis(g.ny), axis(g.nz)
+    cx = _axis_coord(g.nx, CoordNorm.ZeroToOne)
+    cy = _axis_coord(g.ny, CoordNorm.ZeroToOne)
+    cz = _axis_coord(g.nz, CoordNorm.ZeroToOne)
     shape = g.shape
     return jnp.stack(
         [
@@ -95,17 +102,7 @@ def grid_infer(g: GridSpec, cfg: NGPFieldConfig, params: dict, t):
     separable resampling, hash_encoder.encode_grid) instead of per-cell
     dynamic gathers."""
     enc = hash_encoder.encode_grid(cfg.encoding, params["tables"], g)
-    t_chan = jnp.broadcast_to(jnp.float32(t), enc.shape[:-1] + (1,))
-    h = jnp.concatenate([enc, t_chan], axis=-1)
-    a1 = jnp.maximum(
-        jnp.dot(h, params["W1"], preferred_element_type=jnp.float32)
-        + params["b1"],
-        0.0,
-    )
-    return (
-        jnp.dot(a1, params["W2"], preferred_element_type=jnp.float32)
-        + params["b2"]
-    )
+    return _apply_head(params, enc, t)
 
 
 def generate_fields(
@@ -118,17 +115,7 @@ def generate_fields(
     enc = hash_encoder.encode_grid(cfg.encoding, params["tables"], g)
 
     def head(tt):
-        t_chan = jnp.broadcast_to(jnp.float32(tt), enc.shape[:-1] + (1,))
-        h = jnp.concatenate([enc, t_chan], axis=-1)
-        a1 = jnp.maximum(
-            jnp.dot(h, params["W1"], preferred_element_type=jnp.float32)
-            + params["b1"],
-            0.0,
-        )
-        return (
-            jnp.dot(a1, params["W2"], preferred_element_type=jnp.float32)
-            + params["b2"]
-        )
+        return _apply_head(params, enc, tt)
 
     ys = [head(jnp.float32(t) - jnp.float32(dt)), head(t), head(jnp.float32(t) + jnp.float32(dt))]
     sigmas = [y[..., 0] for y in ys]

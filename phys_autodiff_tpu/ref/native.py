@@ -27,11 +27,22 @@ _lib = None
 
 
 def build(force: bool = False) -> str:
-    """Compile the shared library if needed; returns its path."""
+    """Compile the shared library if needed; returns its path. A prebuilt
+    .so is usable even when csrc/ is absent (deployments that ship only
+    build/)."""
     os.makedirs(_BUILD_DIR, exist_ok=True)
-    if force or not os.path.exists(_LIB) or (
-        os.path.getmtime(_LIB) < os.path.getmtime(_SRC)
-    ):
+    have_src = os.path.exists(_SRC)
+    stale = (
+        force
+        or not os.path.exists(_LIB)
+        or (have_src and os.path.getmtime(_LIB) < os.path.getmtime(_SRC))
+    )
+    if stale:
+        if not have_src:
+            raise FileNotFoundError(
+                f"native oracle source {_SRC} is missing and no usable "
+                f"prebuilt library exists at {_LIB}"
+            )
         subprocess.run(
             ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", _LIB],
             check=True,

@@ -26,35 +26,51 @@ def _flatten(tree: Any):
 
 
 def save_npz(path: str, tree: Any) -> None:
-    """Save any pytree (TrainState, params dict, ...) to <path>.npz +
-    <path>.tree.json. Writes are atomic (temp file + os.replace), so a crash
-    mid-save never leaves a corrupt .npz next to a stale manifest."""
+    """Save any pytree (TrainState, params dict, ...) to <path>.npz (+ a
+    human-readable <path>.tree.json sidecar). The manifest is EMBEDDED in
+    the .npz itself, so the checkpoint is a single atomically-replaced
+    file — a crash can never pair a new .npz with a stale manifest, and a
+    copied-alone .npz keeps its structure validation."""
     leaves, treedef = _flatten(tree)
     os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
     npz_path = path if path.endswith(".npz") else path + ".npz"
+    meta = json.dumps({"treedef": str(treedef), "n_leaves": len(leaves)})
     tmp = npz_path + ".tmp.npz"
-    np.savez(tmp, **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)})
+    np.savez(
+        tmp,
+        __manifest__=np.frombuffer(meta.encode(), dtype=np.uint8),
+        **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)},
+    )
     os.replace(tmp, npz_path)
+    # non-authoritative human-readable sidecar
     manifest = npz_path[: -len(".npz")] + ".tree.json"
     tmp_manifest = manifest + ".tmp"
     with open(tmp_manifest, "w") as f:
-        json.dump({"treedef": str(treedef), "n_leaves": len(leaves)}, f)
+        f.write(meta)
     os.replace(tmp_manifest, manifest)
 
 
 def restore_npz(path: str, like: Any) -> Any:
     """Restore into the structure of `like` (a pytree with the same shape).
 
-    The saved .tree.json manifest is validated against `like` (leaf count
-    and treedef string) so a structurally different `like` cannot silently
-    mis-assign leaves by index."""
+    The manifest (embedded in the .npz; legacy checkpoints fall back to the
+    .tree.json sidecar) is validated against `like` (leaf count and treedef
+    string) so a structurally different `like` cannot silently mis-assign
+    leaves by index. A checkpoint with no manifest at all is refused."""
     npz_path = path if path.endswith(".npz") else path + ".npz"
-    data = np.load(npz_path)
     leaves_like, treedef = _flatten(like)
-    manifest = npz_path[: -len(".npz")] + ".tree.json"
-    if os.path.exists(manifest):
-        with open(manifest) as f:
-            meta = json.load(f)
+    sidecar = npz_path[: -len(".npz")] + ".tree.json"
+    with np.load(npz_path) as data:
+        if "__manifest__" in data.files:
+            meta = json.loads(bytes(data["__manifest__"].tobytes()).decode())
+        elif os.path.exists(sidecar):
+            with open(sidecar) as f:
+                meta = json.load(f)
+        else:
+            raise ValueError(
+                f"checkpoint {npz_path} has no embedded manifest and no "
+                f"{sidecar} sidecar — cannot validate the tree structure"
+            )
         if meta.get("n_leaves") != len(leaves_like):
             raise ValueError(
                 f"checkpoint has {meta.get('n_leaves')} leaves but `like` has "
@@ -65,12 +81,7 @@ def restore_npz(path: str, like: Any) -> Any:
                 "checkpoint treedef does not match `like`:\n"
                 f"  saved: {meta.get('treedef')}\n  like:  {treedef}"
             )
-    if len(data.files) != len(leaves_like):
-        raise ValueError(
-            f"checkpoint stores {len(data.files)} leaves but `like` has "
-            f"{len(leaves_like)}"
-        )
-    leaves = [jnp.asarray(data[f"leaf_{i}"]) for i in range(len(data.files))]
+        leaves = [jnp.asarray(data[f"leaf_{i}"]) for i in range(len(leaves_like))]
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 

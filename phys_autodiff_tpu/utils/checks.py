@@ -22,12 +22,17 @@ from jax.experimental import checkify
 
 def assert_all_finite(tree, name: str = "tree") -> None:
     leaves = jax.tree_util.tree_leaves(tree)
-    for i, leaf in enumerate(leaves):
-        arr = jnp.asarray(leaf)
-        if not bool(jnp.all(jnp.isfinite(arr))):
-            raise FloatingPointError(
-                f"non-finite values in {name} (leaf {i}, shape {arr.shape})"
-            )
+    if not leaves:
+        return
+    # One host sync for the whole tree: per-leaf reductions dispatch
+    # asynchronously, then a single stacked flag vector crosses the (slow,
+    # ~25 ms round-trip) device link — not one blocking float() per leaf.
+    flags = jax.device_get(
+        jnp.stack([jnp.all(jnp.isfinite(jnp.asarray(l))) for l in leaves])
+    )
+    if not flags.all():
+        bad = [i for i, ok in enumerate(flags) if not ok]
+        raise FloatingPointError(f"non-finite values in {name} (leaves {bad})")
 
 
 def guard_fields(fields, name: str = "fields"):

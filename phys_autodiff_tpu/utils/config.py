@@ -38,6 +38,15 @@ class GridSpec:
     periodic: bool = True
     scheme: str = "central"  # "central" | "upwind"
 
+    def __post_init__(self):
+        if self.scheme not in ("central", "upwind"):
+            # every arm selects upwind by exact string match, so a typo
+            # would silently run central differencing in ALL arms (and
+            # cross-arm parity tests would still pass) — fail loudly here
+            raise ValueError(
+                f"unknown scheme {self.scheme!r}: expected 'central' or 'upwind'"
+            )
+
     @property
     def num_cells(self) -> int:
         return self.nx * self.ny * self.nz
