@@ -24,8 +24,14 @@ from phys_autodiff_tpu.utils.config import GridSpec
 
 @dataclasses.dataclass(frozen=True)
 class NGPFieldConfig:
+    # Default encoding stores oversubscribed levels densely: the hashed
+    # top levels' backward scatter-add (~2.8M corner rows into 16K-row
+    # tables) dominated the train step at every grid size; dense levels
+    # make it a transposed matmul (hash_encoder module docstring). Pass an
+    # explicit HashEncodingConfig(dense_oversubscribed=False) for the pure
+    # hash-table variant.
     encoding: HashEncodingConfig = dataclasses.field(
-        default_factory=HashEncodingConfig
+        default_factory=lambda: HashEncodingConfig(dense_oversubscribed=True)
     )
     hidden: int = 64
     out: int = 4  # [sigma, ux, uy, uz]
@@ -68,10 +74,27 @@ def _apply_head(params: dict, enc: jnp.ndarray, t):
     )
 
 
-def forward(cfg: NGPFieldConfig, params: dict, coords: jnp.ndarray, t):
-    """coords: [..., 3] spatial in [0, 1]; t: scalar. Returns [..., out]."""
-    enc = hash_encoder.encode(cfg.encoding, params["tables"], coords)
+def forward(
+    cfg: NGPFieldConfig, params: dict, coords: jnp.ndarray, t, *,
+    allow_large: bool = False,
+):
+    """coords: [..., 3] spatial in [0, 1]; t: scalar. Returns [..., out].
+
+    Pointwise path — guarded against grid-scale batches (it has wedged the
+    TPU worker; see hash_encoder.MAX_POINTWISE_POINTS). Use grid_infer /
+    generate_fields for regular grids."""
+    enc = hash_encoder.encode(
+        cfg.encoding, params["tables"], coords, allow_large=allow_large
+    )
     return _apply_head(params, enc, t)
+
+
+def checkpoint_meta(cfg: NGPFieldConfig) -> dict:
+    """Metadata to embed when checkpointing NGP params (see
+    train.checkpoint.save_npz(meta=...)): detects encoding-schedule or
+    dense-level mismatches on restore instead of decoding silently-different
+    fields (round-2 ADVICE #2)."""
+    return {"ngp_encoding": hash_encoder.schedule_meta(cfg.encoding)}
 
 
 def _unit_coords(g: GridSpec) -> jnp.ndarray:

@@ -107,5 +107,7 @@ def main(nx=128, ny=96, nz=96):
 
 
 if __name__ == "__main__":
+    if len(sys.argv) not in (1, 4):
+        sys.exit("usage: python scripts/ngp_profile.py [nx ny nz]")
     dims = [int(a) for a in sys.argv[1:4]]
     main(*dims) if dims else main()

@@ -170,3 +170,55 @@ def test_mega_bwd_scaled_weights():
     l, (gp, _) = mega_loss_and_grad(g, w, cfg, params, t, "f32", True)
     assert abs(float(l) - float(l_ref)) / abs(float(l_ref)) < 5e-6
     assert _rel(_cat(gp_ref), _cat(gp)) < 1e-4
+
+
+# --- FLAT layout: unaligned nx (round-3 VERDICT #3) -------------------------
+
+FLAT_GRIDS = [
+    dict(nx=64, ny=16, nz=6, hx=0.3, hy=0.35, hz=0.4, dt=1e-2),   # R=8
+    dict(nx=96, ny=16, nz=5, hx=0.25, hy=0.3, hz=0.5, dt=2e-2),   # R=12
+]
+
+
+def test_mega_supported_accepts_flat_grids():
+    from phys_autodiff_tpu.pallas.mega_bwd import mega_flat, mega_supported
+
+    for spec in FLAT_GRIDS:
+        g = GridSpec(**spec)
+        assert mega_supported(g) and mega_flat(g), spec
+    # the reference's own unaligned benchmark grids are now one-kernel
+    assert mega_supported(GridSpec(nx=64, ny=64, nz=64, hx=.05, hy=.05, hz=.05, dt=1e-3))
+    assert mega_supported(GridSpec(nx=96, ny=96, nz=64, hx=.05, hy=.05, hz=.05, dt=1e-3))
+    # ny*nx % 128 != 0 still falls back
+    assert not mega_supported(GridSpec(nx=12, ny=7, nz=5, hx=.1, hy=.1, hz=.1, dt=1e-3))
+    # upwind still falls back (slab arm)
+    assert not mega_supported(
+        GridSpec(nx=64, ny=16, nz=6, hx=.1, hy=.1, hz=.1, dt=1e-3, scheme="upwind")
+    )
+
+
+@pytest.mark.parametrize("spec", FLAT_GRIDS, ids=["64x16", "96x16"])
+@pytest.mark.parametrize("periodic", [True, False], ids=["periodic", "clamp"])
+def test_mega_bwd_flat_matches_jax_grad(spec, periodic):
+    """The flat-layout kernel (planes as [R, 128] lane rows, flat
+    cyclic-shift adjoint) reproduces jax.grad of the staged loss on the
+    unaligned grids the packed layout cannot serve."""
+    g = GridSpec(periodic=periodic, **spec)
+    w = PhysWeights(w_sigma=1.1, w_u=0.9)
+    cfg = MLPGridConfig(dims=MLPDims(H=32))
+    params = mlp.init_params(cfg.dims, seed=3)
+    t = jnp.float32(0.25)
+
+    def staged(p, tt):
+        return ops.total_loss(g, w, generate_fields(g, cfg, p, tt, g.dt))
+
+    l_ref, (gp_ref, gt_ref) = jax.value_and_grad(staged, argnums=(0, 1))(params, t)
+    l, (gp, gt) = jax.jit(
+        lambda p, tt: mega_loss_and_grad(g, w, cfg, p, tt, "f32", True)
+    )(params, t)
+
+    assert abs(float(l) - float(l_ref)) / abs(float(l_ref)) < 5e-6
+    assert _rel(_cat(gp_ref), _cat(gp)) < 1e-4
+    for k in gp_ref:
+        assert _rel(gp_ref[k], gp[k]) < 1e-3, k
+    assert abs(float(gt_ref) - float(gt)) / max(abs(float(gt_ref)), 1e-30) < 1e-3

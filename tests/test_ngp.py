@@ -161,3 +161,181 @@ def test_encode_grid_gradients_match_pointwise():
     g2 = np.asarray(jax.grad(loss_grid)(tables), np.float64)
     scale = np.max(np.abs(g1)) + 1e-30
     assert np.max(np.abs(g1 - g2)) / scale < 1e-4
+
+
+# --- Dense-level encoder (round-3: the NGP backward bottleneck fix) --------
+
+# Oversubscribed top levels: T=256, resolutions [4, 8, 16] -> corner counts
+# 125, 729, 4913; levels 1 and 2 exceed T and go dense.
+DENSE_CFG = HashEncodingConfig(
+    num_levels=3, features_per_level=2, log2_table_size=8,
+    base_resolution=4, max_resolution=16, dense_oversubscribed=True,
+)
+
+
+def test_dense_level_selection_and_param_structure():
+    assert DENSE_CFG.dense_levels() == [1, 2]
+    assert DENSE_CFG.hash_levels() == [0]
+    params = hash_encoder.init_hash_params(DENSE_CFG, seed=7)
+    assert set(params) == {"hash", "dense"}
+    assert params["hash"].shape == (1, 256, 2)
+    assert params["dense"]["l1"].shape == (9, 9, 9, 2)
+    assert params["dense"]["l2"].shape == (17, 17, 17, 2)
+    # all-hash config keeps the legacy array (and the identical draw order)
+    legacy_cfg = HashEncodingConfig(
+        num_levels=3, features_per_level=2, log2_table_size=8,
+        base_resolution=4, max_resolution=16,
+    )
+    legacy = hash_encoder.init_hash_params(legacy_cfg, seed=7)
+    assert legacy.shape == (3, 256, 2)
+
+
+def test_dense_config_rejects_legacy_array():
+    import pytest
+
+    legacy = jnp.zeros((3, 256, 2), jnp.float32)
+    with pytest.raises(TypeError, match="dense levels"):
+        hash_encoder.encode(DENSE_CFG, legacy, jnp.zeros((4, 3)))
+
+
+def test_dense_encode_grid_matches_pointwise():
+    """The matmul-resampled dense levels equal the pointwise dense lerp (and
+    hashed level 0 keeps its existing path) on a regular grid."""
+    from phys_autodiff_tpu.models.ngp import _unit_coords
+
+    g = GridSpec(nx=12, ny=7, nz=5, hx=0.1, hy=0.1, hz=0.1, dt=1e-3)
+    params = hash_encoder.init_hash_params(DENSE_CFG, seed=9, scale=0.5)
+    ref = hash_encoder.encode(DENSE_CFG, params, _unit_coords(g))
+    out = hash_encoder.encode_grid(DENSE_CFG, params, g)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=1e-6)
+
+
+def test_dense_encode_grid_gradients_match_pointwise():
+    """The transposed-matmul backward of dense levels produces the same
+    parameter gradients as autodiff of the pointwise dense path."""
+    from phys_autodiff_tpu.models.ngp import _unit_coords
+
+    g = GridSpec(nx=10, ny=6, nz=4, hx=0.1, hy=0.1, hz=0.1, dt=1e-3)
+    params = hash_encoder.init_hash_params(DENSE_CFG, seed=12, scale=0.5)
+
+    def loss_point(p):
+        return jnp.sum(hash_encoder.encode(DENSE_CFG, p, _unit_coords(g)) ** 2)
+
+    def loss_grid(p):
+        return jnp.sum(hash_encoder.encode_grid(DENSE_CFG, p, g) ** 2)
+
+    g1 = jax.grad(loss_point)(params)
+    g2 = jax.grad(loss_grid)(params)
+    for k1, k2 in [
+        (g1["hash"], g2["hash"]),
+        (g1["dense"]["l1"], g2["dense"]["l1"]),
+        (g1["dense"]["l2"], g2["dense"]["l2"]),
+    ]:
+        a = np.asarray(k1, np.float64)
+        b = np.asarray(k2, np.float64)
+        scale = np.max(np.abs(a)) + 1e-30
+        assert np.max(np.abs(a - b)) / scale < 1e-4
+
+
+def test_dense_grid_backward_has_no_scatter():
+    """The point of dense levels: their encode_grid backward must lower to
+    transposed matmuls, with NO scatter for the dense parameters. (Hashed
+    level 0 still scatters into its table — only the dense grids are
+    checked by excluding the hash path from the program.)"""
+    dense_only = HashEncodingConfig(
+        num_levels=1, features_per_level=2, log2_table_size=4,
+        base_resolution=8, max_resolution=8, dense_oversubscribed=True,
+    )
+    assert dense_only.dense_levels() == [0]
+    g = GridSpec(nx=12, ny=8, nz=6, hx=0.1, hy=0.1, hz=0.1, dt=1e-3)
+    params = hash_encoder.init_hash_params(dense_only, seed=1)
+
+    def loss(p):
+        return jnp.sum(hash_encoder.encode_grid(dense_only, p, g) ** 2)
+
+    import re
+
+    txt = jax.jit(jax.grad(loss)).lower(params).compile().as_text()
+    # match scatter OPS (e.g. "= f32[9,9,9,2] scatter(..."), not the test's
+    # own name echoed in op metadata
+    assert not re.search(r"\bscatter\(", txt), "dense backward lowered a scatter"
+
+
+def test_dense_encode_degenerate_axis():
+    from phys_autodiff_tpu.models.ngp import _unit_coords
+
+    g = GridSpec(nx=8, ny=6, nz=1, hx=0.1, hy=0.1, hz=0.1, dt=1e-3)
+    params = hash_encoder.init_hash_params(DENSE_CFG, seed=4, scale=0.5)
+    ref = hash_encoder.encode(DENSE_CFG, params, _unit_coords(g))
+    out = hash_encoder.encode_grid(DENSE_CFG, params, g)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=1e-6)
+
+
+def test_pointwise_guard_blocks_grid_scale(monkeypatch):
+    """VERDICT weak #8: the pointwise encoder must refuse grid-scale batches
+    (it has twice wedged the TPU worker) unless explicitly overridden."""
+    import pytest
+
+    monkeypatch.setattr(hash_encoder, "MAX_POINTWISE_POINTS", 16)
+    tables = hash_encoder.init_hash_params(CFG, seed=3)
+    coords = jnp.zeros((17, 3), jnp.float32)
+    with pytest.raises(ValueError, match="encode_grid"):
+        hash_encoder.encode(CFG, tables, coords)
+    out = hash_encoder.encode(CFG, tables, coords, allow_large=True)
+    assert out.shape == (17, CFG.out_dim)
+
+
+def test_ngp_dense_default_trains():
+    """The new default NGPFieldConfig (dense oversubscribed levels) trains
+    through the physics loss like the hash variant."""
+    g = GridSpec(nx=12, ny=8, nz=6, hx=0.4, hy=0.4, hz=0.8, dt=1e-2)
+    enc = HashEncodingConfig(
+        num_levels=3, features_per_level=2, log2_table_size=8,
+        base_resolution=4, max_resolution=16, dense_oversubscribed=True,
+    )
+    ncfg = ngp.NGPFieldConfig(encoding=enc, hidden=16)
+    params = ngp.init_ngp_params(ncfg, seed=0)
+    fs = jax.jit(lambda p: ngp.generate_fields(g, ncfg, p, 0.25, g.dt))(params)
+    for arr in fs:
+        assert bool(jnp.all(jnp.isfinite(arr)))
+
+    cfg = TrainConfig(steps=120, learning_rate=5e-3, seed=0)
+    step, state = make_generic_train_step(
+        g, PhysWeights(), lambda p, t: ngp.generate_fields(g, ncfg, p, t, g.dt),
+        cfg, params,
+    )
+    state, loss0 = step(state)
+    for _ in range(cfg.steps - 1):
+        state, loss = step(state)
+    assert float(loss) < 0.25 * float(loss0), (float(loss0), float(loss))
+
+
+def test_ngp_checkpoint_meta_roundtrip(tmp_path):
+    """NGP checkpoints record their encoding schedule; restoring with a
+    different schedule fails loudly instead of decoding different fields
+    (round-2 ADVICE #2)."""
+    import pytest
+
+    from phys_autodiff_tpu.train import checkpoint
+
+    ncfg = ngp.NGPFieldConfig(encoding=DENSE_CFG, hidden=8)
+    params = ngp.init_ngp_params(ncfg, seed=0)
+    path = str(tmp_path / "ngp_ckpt")
+    checkpoint.save_npz(path, params, meta=ngp.checkpoint_meta(ncfg))
+    restored = checkpoint.restore_npz(
+        path, params, expect_meta=ngp.checkpoint_meta(ncfg)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(restored["tables"]["dense"]["l2"]),
+        np.asarray(params["tables"]["dense"]["l2"]),
+    )
+    other = ngp.NGPFieldConfig(
+        encoding=HashEncodingConfig(
+            num_levels=3, features_per_level=2, log2_table_size=8,
+            base_resolution=4, max_resolution=24, dense_oversubscribed=True,
+        ),
+        hidden=8,
+    )
+    with pytest.raises(ValueError, match="meta"):
+        checkpoint.restore_npz(path, params, expect_meta=ngp.checkpoint_meta(other))
