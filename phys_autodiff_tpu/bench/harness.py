@@ -343,6 +343,7 @@ def bench_phys(g: GridSpec, iters=DEFAULT_ITERS) -> list:
         residuals_fused_flat_bf16,
         residuals_fused_packed,
         residuals_fused_packed_bf16,
+        residuals_fused_packed_mixed_out,
     )
 
     fs = random_fields(g)
@@ -357,12 +358,17 @@ def bench_phys(g: GridSpec, iters=DEFAULT_ITERS) -> list:
         ms_bf16 = time_packed_op(
             lambda p: residuals_fused_packed_bf16(g, p), packed_bf16
         )
+        ms_mixed = time_packed_op(
+            lambda p: residuals_fused_packed_mixed_out(g, p), packed
+        )
         rows += [
             PhysRow("fused", g.nx, g.ny, g.nz, iters, ms_packed),
             PhysRow("fused_multistream", g.nx, g.ny, g.nz, iters, ms_multi),
-            # mixed-precision arm (bf16 I/O, f32 in-kernel arithmetic):
-            # labeled separately; the headline JSON only considers f32 arms.
+            # mixed-precision arms, labeled separately (the headline JSON
+            # only considers f32 arms): bf16 I/O, and f32-in/bf16-out
+            # (56 B/cell — round-2 VERDICT #4's traffic-trim experiment).
             PhysRow("fused_bf16io", g.nx, g.ny, g.nz, iters, ms_bf16),
+            PhysRow("fused_f32in_bf16out", g.nx, g.ny, g.nz, iters, ms_mixed),
         ]
     elif flat_rows(g) is not None:
         # unaligned nx: the fused arm is the FLAT-layout one-DMA kernel

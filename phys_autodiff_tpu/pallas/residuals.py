@@ -778,8 +778,17 @@ def _build_packed_call(
     interpret: bool,
     dtype=jnp.float32,
     flat: bool = False,
+    out_dtype=None,
+    split_streams: bool = False,
 ):
+    """out_dtype: residual output dtype (defaults to dtype). f32 inputs with
+    bf16 outputs cut the op's traffic 64 -> 56 B/cell — a separately-labeled
+    mixed arm (round-2 VERDICT #4). split_streams: the 12 channels arrive as
+    TWO independent [6, nz, py, px] HBM arrays with independent DMAs — the
+    two-source-array engine-parallelism experiment (distinct from the failed
+    same-array semaphore split)."""
     nz, ny, nx = g.shape
+    out_dtype = dtype if out_dtype is None else out_dtype
     if flat:
         # Flat layout: planes are [R, 128] lane rows (see flat_rows) — the
         # route to lane-aligned manual DMAs when nx % 128 != 0.
@@ -790,63 +799,82 @@ def _build_packed_call(
         shifters = None
     sz = pick_packed_slab(g)
     n_slabs = nz // sz
+    streams = 2 if split_streams else 1
+    chs = 12 // streams
 
-    def start(slab, buf, sems, hbm, slot):
+    def copies_interior(slab, buf, sems, hbms, slot):
         z0 = slab * sz
+        return [
+            pltpu.make_async_copy(
+                hbms[k].at[:, pl.ds(z0 - 1, sz + 2)],
+                buf.at[slot, pl.ds(k * chs, chs)],
+                sems.at[slot, 3 * k],
+            )
+            for k in range(streams)
+        ]
+
+    def copies_edge(slab, buf, sems, hbms, slot):
+        out = []
+        for k in range(streams):
+            out += _packed_edge(
+                g, sz, slab, hbms[k], buf, sems, slot,
+                ch0=k * chs, nch=chs, sem0=3 * k,
+            )
+        return out
+
+    def start(slab, buf, sems, hbms, slot):
         if n_slabs <= 2:  # every slab touches a boundary; sz+2 may exceed nz
-            for c in _packed_edge(g, sz, slab, hbm, buf, sems, slot):
+            for c in copies_edge(slab, buf, sems, hbms, slot):
                 c.start()
             return
         is_edge = jnp.logical_or(slab == 0, slab == n_slabs - 1)
 
         @pl.when(jnp.logical_not(is_edge))
         def _():
-            pltpu.make_async_copy(
-                hbm.at[:, pl.ds(z0 - 1, sz + 2)], buf.at[slot], sems.at[slot, 0]
-            ).start()
+            for c in copies_interior(slab, buf, sems, hbms, slot):
+                c.start()
 
         @pl.when(is_edge)
         def _():
-            for c in _packed_edge(g, sz, slab, hbm, buf, sems, slot):
+            for c in copies_edge(slab, buf, sems, hbms, slot):
                 c.start()
 
-    def wait(slab, buf, sems, hbm, slot):
-        z0 = slab * sz
+    def wait(slab, buf, sems, hbms, slot):
         if n_slabs <= 2:
-            for c in _packed_edge(g, sz, slab, hbm, buf, sems, slot):
+            for c in copies_edge(slab, buf, sems, hbms, slot):
                 c.wait()
             return
         is_edge = jnp.logical_or(slab == 0, slab == n_slabs - 1)
 
         @pl.when(jnp.logical_not(is_edge))
         def _():
-            pltpu.make_async_copy(
-                hbm.at[:, pl.ds(z0 - 1, sz + 2)], buf.at[slot], sems.at[slot, 0]
-            ).wait()
+            for c in copies_interior(slab, buf, sems, hbms, slot):
+                c.wait()
 
         @pl.when(is_edge)
         def _():
-            for c in _packed_edge(g, sz, slab, hbm, buf, sems, slot):
+            for c in copies_edge(slab, buf, sems, hbms, slot):
                 c.wait()
 
-    def kernel(hbm, *outs_and_scratch):
+    def kernel(*refs):
+        hbms = refs[:streams]
         if reduce_loss:
-            part_ref, buf, sems = outs_and_scratch
+            part_ref, buf, sems = refs[streams:]
         else:
-            out_ref, buf, sems = outs_and_scratch
+            out_ref, buf, sems = refs[streams:]
         i = pl.program_id(0)
         slot = jax.lax.rem(i, 2)
         next_slot = jax.lax.rem(i + 1, 2)
 
         @pl.when(i == 0)
         def _():
-            start(i, buf, sems, hbm, slot)
+            start(i, buf, sems, hbms, slot)
 
         @pl.when(i + 1 < n_slabs)
         def _():
-            start(i + 1, buf, sems, hbm, next_slot)
+            start(i + 1, buf, sems, hbms, next_slot)
 
-        wait(i, buf, sems, hbm, slot)
+        wait(i, buf, sems, hbms, slot)
 
         slab = buf[slot]  # [12, sz+2, py, px]
         if dtype != jnp.float32:
@@ -876,30 +904,31 @@ def _build_packed_call(
                     + jnp.sum(r_uz[k] * r_uz[k])
                 )
         else:
-            out_ref[0] = r_sigma.astype(dtype)
-            out_ref[1] = r_ux.astype(dtype)
-            out_ref[2] = r_uy.astype(dtype)
-            out_ref[3] = r_uz.astype(dtype)
+            out_ref[0] = r_sigma.astype(out_dtype)
+            out_ref[1] = r_ux.astype(out_dtype)
+            out_ref[2] = r_uy.astype(out_dtype)
+            out_ref[3] = r_uz.astype(out_dtype)
 
     if reduce_loss:
         out_shape = jax.ShapeDtypeStruct((2, nz), jnp.float32)
         out_specs = pl.BlockSpec((2, nz), lambda i: (0, 0), memory_space=pltpu.SMEM)
     else:
-        out_shape = jax.ShapeDtypeStruct((4, nz, py, px), dtype)
+        out_shape = jax.ShapeDtypeStruct((4, nz, py, px), out_dtype)
         out_specs = pl.BlockSpec(
             (4, sz, py, px), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
         )
 
-    itemsize = jnp.dtype(dtype).itemsize
+    in_item = jnp.dtype(dtype).itemsize
+    out_item = jnp.dtype(out_dtype).itemsize
     return pl.pallas_call(
         kernel,
         grid=(n_slabs,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * streams,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((2, 12, sz + 2, py, px), dtype),
-            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((2, 3 * streams)),
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
@@ -908,14 +937,19 @@ def _build_packed_call(
         ),
         cost_estimate=pl.CostEstimate(
             flops=60 * g.num_cells,
-            bytes_accessed=16 * itemsize * g.num_cells,
+            bytes_accessed=(12 * in_item + 4 * out_item) * g.num_cells,
             transcendentals=0,
         ),
     )
 
 
-def _packed_edge(g: GridSpec, sz: int, slab, hbm, buf, sems, slot):
-    """Edge slabs: main block + two wrap/clamp halo planes (3 DMAs)."""
+def _packed_edge(
+    g: GridSpec, sz: int, slab, hbm, buf, sems, slot,
+    ch0: int = 0, nch: int = 12, sem0: int = 0,
+):
+    """Edge slabs: main block + two wrap/clamp halo planes (3 DMAs).
+    ch0/nch/sem0 select the channel range and semaphore base for the
+    split-stream experiment (two independent source arrays)."""
     nz = g.nz
     z0 = slab * sz
     if g.periodic:
@@ -924,17 +958,20 @@ def _packed_edge(g: GridSpec, sz: int, slab, hbm, buf, sems, slot):
     else:
         zlo = jnp.maximum(z0 - 1, 0)
         zhi = jnp.minimum(z0 + sz, nz - 1)
+    chd = pl.ds(ch0, nch)
     return [
         pltpu.make_async_copy(
-            hbm.at[:, pl.ds(z0, sz)], buf.at[slot, :, pl.ds(1, sz)], sems.at[slot, 0]
+            hbm.at[:, pl.ds(z0, sz)], buf.at[slot, chd, pl.ds(1, sz)],
+            sems.at[slot, sem0],
         ),
         pltpu.make_async_copy(
-            hbm.at[:, pl.ds(zlo, 1)], buf.at[slot, :, pl.ds(0, 1)], sems.at[slot, 1]
+            hbm.at[:, pl.ds(zlo, 1)], buf.at[slot, chd, pl.ds(0, 1)],
+            sems.at[slot, sem0 + 1],
         ),
         pltpu.make_async_copy(
             hbm.at[:, pl.ds(zhi, 1)],
-            buf.at[slot, :, pl.ds(sz + 1, 1)],
-            sems.at[slot, 2],
+            buf.at[slot, chd, pl.ds(sz + 1, 1)],
+            sems.at[slot, sem0 + 2],
         ),
     ]
 
@@ -977,6 +1014,33 @@ def residuals_fused_packed_bf16(g: GridSpec, packed_bf16, interpret=None):
         )
     call = _build_packed_call(g, None, False, interpret, dtype=jnp.bfloat16)
     return call(packed_bf16)
+
+
+def residuals_fused_packed_mixed_out(g: GridSpec, packed, interpret=None):
+    """f32 fields in, f32 arithmetic, bfloat16 residuals OUT: trims the op's
+    traffic 64 -> 56 B/cell while keeping exact-f32 inputs (round-2 VERDICT
+    #4's separately-labeled mixed arm). Output tolerance class: bf16
+    rounding of exact-f32 residuals (~1e-3 relative). Not differentiable."""
+    if interpret is None:
+        interpret = _default_interpret()
+    if g.nx % 128 != 0 and not interpret:
+        return _packed_residuals_ops(g, packed).astype(jnp.bfloat16)
+    call = _build_packed_call(g, None, False, interpret, out_dtype=jnp.bfloat16)
+    return call(packed)
+
+
+def residuals_fused_packed_split(g: GridSpec, sigma6, u6, interpret=None):
+    """The split-stream experiment arm: the 12 channels arrive as TWO
+    independent HBM arrays ([6, nz, ny, nx] each: the three sigma slices +
+    u_tm1, and u_t + u_tp1) with independent per-slab DMAs — probes whether
+    two source arrays reach DMA-engine parallelism that one array's
+    semaphore split (a measured round-2 negative) could not. Same math and
+    outputs as residuals_fused_packed."""
+    if interpret is None:
+        interpret = _default_interpret()
+    assert g.nx % 128 == 0, "split-stream arm is packed-layout only"
+    call = _build_packed_call(g, None, False, interpret, split_streams=True)
+    return call(sigma6, u6)
 
 
 def _rfp_fwd(g, packed, interpret):

@@ -187,6 +187,73 @@ def run_flat(nx, ny, nz, periodic=True, scheme="central"):
     check("flat mlp fieldgen rel", rel_l2_err(gen, gen_ref), tol.MLP_INFER_REL)
 
 
+def run_round3(nx, ny, nz, periodic=True, scheme="central"):
+    """Round-3 kernels on hardware: the backward mega-kernel in its FLAT
+    layout (unaligned nx) and/or with the hand-derived UPWIND adjoint,
+    against jax.grad of the staged loss."""
+    from phys_autodiff_tpu.pallas.mega_bwd import (
+        mega_flat,
+        mega_loss_and_grad,
+        mega_supported,
+    )
+
+    g = GridSpec(nx=nx, ny=ny, nz=nz, hx=L / nx, hy=L / ny, hz=L / nz,
+                 dt=1e-3, periodic=periodic, scheme=scheme)
+    assert mega_supported(g)
+    w = PhysWeights(w_sigma=1.3, w_u=0.7)
+    print(f"round-3 mega-bwd {nx}x{ny}x{nz} periodic={periodic} {scheme} "
+          f"flat={mega_flat(g)}")
+    cfg = MLPGridConfig(dims=MLPDims(H=128))
+    params = mlp.init_params(cfg.dims, seed=777)
+    t = jnp.float32(0.25)
+
+    def staged_total(p, tt):
+        f2 = fields_mod.generate_fields(g, cfg, p, tt, g.dt)
+        return ops.total_loss(g, w, f2)
+
+    l_ref, gp_ref = jax.jit(jax.value_and_grad(staged_total))(params, t)
+    l_b, (gp_b, _) = jax.jit(
+        lambda p, tt: mega_loss_and_grad(g, w, cfg, p, tt)
+    )(params, t)
+    tag = f"{scheme}{'-flat' if mega_flat(g) else ''}"
+    check(f"mega-bwd[{tag}] loss rel",
+          abs(float(l_b) - float(l_ref)) / abs(float(l_ref)), 1e-5)
+    cat = lambda gp: np.concatenate(
+        [np.asarray(gp[k], np.float64).ravel() for k in sorted(gp)]
+    )
+    check(f"mega-bwd[{tag}] grads rel", rel_l2_err(cat(gp_b), cat(gp_ref)), 1e-4)
+
+
+def run_ngp_dense(nx, ny, nz):
+    """Round-3 NGP dense-level encoder on hardware: the matmul-resampled
+    grid encoding equals the pointwise encoder (small grid — the pointwise
+    path is guarded at grid scale) and its gradient is scatter-free."""
+    from phys_autodiff_tpu.models import ngp
+    from phys_autodiff_tpu.models.hash_encoder import encode, encode_grid
+    from phys_autodiff_tpu.models.ngp import _unit_coords
+
+    g = GridSpec(nx=nx, ny=ny, nz=nz, dt=1e-3)
+    ncfg = ngp.NGPFieldConfig()
+    assert ncfg.encoding.dense_levels(), "default NGP config must be dense"
+    print(f"round-3 ngp dense encoder {nx}x{ny}x{nz} "
+          f"dense_levels={ncfg.encoding.dense_levels()}")
+    params = ngp.init_ngp_params(ncfg, seed=777)
+    out = jax.jit(lambda p: encode_grid(ncfg.encoding, p["tables"], g))(params)
+    ref = jax.jit(
+        lambda p: encode(ncfg.encoding, p["tables"], _unit_coords(g))
+    )(params)
+    check("ngp dense encode_grid rel", rel_l2_err(out, ref), 2e-5)
+
+    def loss(p):
+        return jnp.sum(encode_grid(ncfg.encoding, p["tables"], g) ** 2)
+
+    gr = jax.jit(jax.grad(loss))(params)
+    flat_norm = float(
+        sum(jnp.sum(jnp.abs(x)) for x in jax.tree_util.tree_leaves(gr))
+    )
+    check("ngp dense grad finite/nonzero", 0.0 if flat_norm > 0 else 1.0, 0.5)
+
+
 if __name__ == "__main__":
     print("devices:", jax.devices())
     run(128, 96, 96, True)   # slab kernel
@@ -198,6 +265,11 @@ if __name__ == "__main__":
     run_flat(96, 96, 64)
     run_flat(64, 64, 64, periodic=False)
     run_flat(64, 64, 64, scheme="upwind")
+    run_round3(64, 64, 64)                      # flat backward mega-kernel
+    run_round3(96, 96, 64, periodic=False)      # flat + clamp
+    run_round3(128, 96, 96, scheme="upwind")    # upwind adjoint, shaped
+    run_round3(64, 64, 64, scheme="upwind")     # upwind adjoint, flat
+    run_ngp_dense(32, 16, 16)
     if FAILURES:
         print("FAILURES:", FAILURES)
         sys.exit(1)

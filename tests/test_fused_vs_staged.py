@@ -352,3 +352,28 @@ def test_flat_mlp_pipeline_matches_plain():
     gs = jax.jit(jax.grad(ls_fn))(params)
     cat = lambda gr: np.concatenate([np.asarray(gr[k]).ravel() for k in sorted(gr)])
     assert rel_l2_err(cat(gp), cat(gs)) <= 5e-3
+
+
+def test_packed_mixed_out_and_split_arms_match_base():
+    """Round-3 DMA-experiment arms: the f32-in/bf16-out kernel equals the
+    base kernel up to bf16 output rounding, and the split-stream kernel is
+    BIT-IDENTICAL (same arithmetic, only the DMA structure differs)."""
+    from phys_autodiff_tpu.bench.harness import random_fields
+    from phys_autodiff_tpu.pallas.residuals import (
+        pack_fields,
+        residuals_fused_packed,
+        residuals_fused_packed_mixed_out,
+        residuals_fused_packed_split,
+    )
+
+    g = GridSpec(nx=128, ny=16, nz=6, hx=0.3, hy=0.35, hz=0.4, dt=1e-2)
+    packed = pack_fields(random_fields(g, seed=5))
+    base = np.asarray(residuals_fused_packed(g, packed, True))
+
+    mixed = residuals_fused_packed_mixed_out(g, packed, True)
+    assert mixed.dtype == jnp.bfloat16
+    scale = np.max(np.abs(base))
+    assert np.max(np.abs(np.asarray(mixed, np.float32) - base)) <= 1e-2 * scale
+
+    split = residuals_fused_packed_split(g, packed[:6], packed[6:], True)
+    np.testing.assert_array_equal(np.asarray(split), base)

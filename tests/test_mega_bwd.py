@@ -75,16 +75,44 @@ def test_mega_bwd_h64_single_chunk():
     assert _rel(_cat(gp_ref), _cat(gp)) < 1e-4
 
 
-def test_mega_bwd_upwind_falls_back_to_slab():
-    """Upwind routes through the slab gradient (same answer)."""
-    g = GridSpec(scheme="upwind", **GRID)
+@pytest.mark.parametrize("periodic", [True, False], ids=["periodic", "clamp"])
+def test_mega_bwd_upwind_matches_jax_grad(periodic):
+    """The hand-derived UPWIND adjoint (frozen wind selectors, split
+    backward/forward branch weights — round-2 VERDICT #5) reproduces
+    jax.grad of the staged upwind loss; previously this config fell back to
+    the slab-scan gradient."""
+    g = GridSpec(scheme="upwind", periodic=periodic, **GRID)
+    w = PhysWeights(w_sigma=1.2, w_u=0.8)
+    cfg = MLPGridConfig(dims=MLPDims(H=32))
+    params = mlp.init_params(cfg.dims, seed=1)
+    t = jnp.float32(0.25)
+
+    def staged(p, tt):
+        return ops.total_loss(g, w, generate_fields(g, cfg, p, tt, g.dt))
+
+    l_ref, (gp_ref, gt_ref) = jax.value_and_grad(staged, argnums=(0, 1))(params, t)
+    l, (gp, gt) = jax.jit(
+        lambda p, tt: mega_loss_and_grad(g, w, cfg, p, tt, "f32", True)
+    )(params, t)
+    assert abs(float(l) - float(l_ref)) / abs(float(l_ref)) < 5e-6
+    assert _rel(_cat(gp_ref), _cat(gp)) < 1e-4
+    for k in gp_ref:
+        assert _rel(gp_ref[k], gp[k]) < 1e-3, k
+    assert abs(float(gt_ref) - float(gt)) / max(abs(float(gt_ref)), 1e-30) < 1e-3
+
+
+def test_mega_bwd_unsupported_plane_falls_back_to_slab():
+    """ny*nx % 128 != 0 routes through the slab gradient (same answer)."""
+    g = GridSpec(nx=12, ny=10, nz=5, hx=0.3, hy=0.35, hz=0.4, dt=1e-2)
     w = PhysWeights()
     cfg = MLPGridConfig(dims=MLPDims(H=16))
     params = mlp.init_params(cfg.dims, seed=1)
     t = jnp.float32(0.25)
 
+    from phys_autodiff_tpu.pallas.mega_bwd import mega_supported
     from phys_autodiff_tpu.train.slab_grad import make_slab_loss_and_grad
 
+    assert not mega_supported(g)
     l_ref, (gp_ref, _) = make_slab_loss_and_grad(g, w, cfg)(params, t)
     l, (gp, _) = mega_loss_and_grad(g, w, cfg, params, t, "f32", True)
     assert float(l) == float(l_ref)
@@ -191,8 +219,8 @@ def test_mega_supported_accepts_flat_grids():
     assert mega_supported(GridSpec(nx=96, ny=96, nz=64, hx=.05, hy=.05, hz=.05, dt=1e-3))
     # ny*nx % 128 != 0 still falls back
     assert not mega_supported(GridSpec(nx=12, ny=7, nz=5, hx=.1, hy=.1, hz=.1, dt=1e-3))
-    # upwind still falls back (slab arm)
-    assert not mega_supported(
+    # upwind is served by the hand-derived adjoint (round-3)
+    assert mega_supported(
         GridSpec(nx=64, ny=16, nz=6, hx=.1, hy=.1, hz=.1, dt=1e-3, scheme="upwind")
     )
 
@@ -222,3 +250,25 @@ def test_mega_bwd_flat_matches_jax_grad(spec, periodic):
     for k in gp_ref:
         assert _rel(gp_ref[k], gp[k]) < 1e-3, k
     assert abs(float(gt_ref) - float(gt)) / max(abs(float(gt_ref)), 1e-30) < 1e-3
+
+
+@pytest.mark.parametrize("periodic", [True, False], ids=["periodic", "clamp"])
+def test_mega_bwd_upwind_flat_matches_jax_grad(periodic):
+    """Upwind adjoint x flat layout (both round-3 additions composed)."""
+    g = GridSpec(scheme="upwind", periodic=periodic, **FLAT_GRIDS[0])
+    w = PhysWeights()
+    cfg = MLPGridConfig(dims=MLPDims(H=16))
+    params = mlp.init_params(cfg.dims, seed=2)
+    t = jnp.float32(0.3)
+
+    def staged(p, tt):
+        return ops.total_loss(g, w, generate_fields(g, cfg, p, tt, g.dt))
+
+    l_ref, (gp_ref, _) = jax.value_and_grad(staged, argnums=(0, 1))(params, t)
+    l, (gp, _) = jax.jit(
+        lambda p, tt: mega_loss_and_grad(g, w, cfg, p, tt, "f32", True)
+    )(params, t)
+    assert abs(float(l) - float(l_ref)) / abs(float(l_ref)) < 5e-6
+    assert _rel(_cat(gp_ref), _cat(gp)) < 1e-4
+    for k in gp_ref:
+        assert _rel(gp_ref[k], gp[k]) < 1e-3, k
