@@ -269,7 +269,7 @@ def main():
             EMIT.emit(partial=True)
             return
 
-    valid = check_monotonic(phys_rows)
+    valid = check_monotonic(phys_rows) and check_floor(phys_rows)
     refresh_headline(phys_rows, valid=valid)
     # --- Section 4: pipeline rows ------------------------------------------
     log("# mlp_phys,variant,nx,ny,nz,iters,ms_kernel,ms_phys_e2e,ms_mlp,ms_total")
@@ -305,18 +305,55 @@ def main():
 def family(r):
     """Monotonicity-gate kernel family for a PhysRow. Honest per-arm times
     grow with N (the round-1 staged numbers shrank with N — the DCE tell);
-    rows are compared within the same KERNEL FAMILY: "fused"/"fused_bf16io"
+    rows are compared within the same KERNEL FAMILY: "fused"-class arms
     switch kernels with nx%128 alignment (packed vs flat) so those split by
-    alignment; the per-plane kernel is ONE program labeled fused_multistream
-    (aligned) / fused_plane (unaligned), so both labels map to one family
-    and its chain is checked ACROSS alignment classes (round-2 ADVICE #1);
-    the staged "nonfused" arm is one program everywhere and is compared
-    across all grids."""
-    if r.variant in ("fused", "fused_bf16io"):
-        return (r.variant, r.nx % 128 == 0)
-    if r.variant in ("fused_multistream", "fused_plane"):
-        return ("plane",)
+    alignment; the staged "nonfused" arm is one program everywhere and is
+    compared across all grids.
+
+    The per-plane kernel (labeled fused_multistream on aligned grids /
+    fused_plane on unaligned — round-2 ADVICE #1) is ONE program, but its
+    per-cell cost genuinely differs by lane alignment (masked tiles +
+    narrower DMA rows at nx % 128 != 0: measured 1.67x per padded cell in
+    r03, making the LARGER aligned grid honestly faster in wall time), so
+    wall-time monotonicity across alignment classes encodes a false
+    assumption and it too splits by alignment. The cross-class DCE risk is
+    covered by check_floor below — and a Pallas custom call cannot be
+    narrowed in the first place (probe-mode soundness, bench/harness.py)."""
+    if r.variant in (
+        "fused", "fused_bf16io", "fused_f32in_bf16out",
+        "fused_multistream", "fused_plane",
+    ):
+        base = (
+            "plane" if r.variant in ("fused_multistream", "fused_plane")
+            else r.variant
+        )
+        return (base, r.nx % 128 == 0)
     return (r.variant,)
+
+
+# Physically-required bytes/cell per arm: 12 field planes read + 4 residual
+# planes written at the arm's I/O width. No correct implementation can move
+# less, so a row FASTER than this floor at generous bandwidth is dead code.
+_FLOOR_BYTES = {"fused_bf16io": 32, "fused_f32in_bf16out": 56}
+_FLOOR_TBS = 3.0  # above the 2.85 TB/s copy probe measured on this chip
+
+
+def check_floor(phys_rows):
+    """Roofline-floor gate: every residual row must be slower than moving
+    its mandatory traffic at 3 TB/s (the chip's copy probe peaks at 2.85).
+    Catches DCE in ANY family regardless of grid-size ordering."""
+    valid = True
+    for r in phys_rows:
+        bpc = _FLOOR_BYTES.get(r.variant, 64)
+        floor_ms = r.nx * r.ny * r.nz * bpc / (_FLOOR_TBS * 1e12) * 1e3
+        if r.ms < floor_ms:
+            valid = False
+            log(
+                f"# WARNING: {r.variant} at {r.nx}x{r.ny}x{r.nz} runs "
+                f"{r.ms:.5f} ms, FASTER than its {floor_ms:.5f} ms roofline "
+                "floor — physically impossible, dead code suspected"
+            )
+    return valid
 
 
 def check_monotonic(phys_rows):

@@ -138,13 +138,29 @@ def mlp_rows_into_window(
                 window[slot, s * 4 + o] = acc[o] + b2[0, o]
 
 
-def _build_mega_call(g: GridSpec, h: int, precision: str, interpret: bool):
+def _build_mega_call(
+    g: GridSpec, h: int, precision: str, interpret: bool, flat: bool = False
+):
     nz, ny, nx_true = g.shape
-    # pad the lane dim to a 128 multiple; junk lanes are masked out of the
-    # loss reduction and the boundary-corrected x-shifts never read them
-    # into real lanes (residuals._shift_last with nx_true)
-    nx = -(-nx_true // 128) * 128
-    nx_arg = nx_true if nx != nx_true else None
+    if flat:
+        # FLAT layout (round 3): planes as [ny*nx/128, 128] lane rows — no
+        # padded junk lanes, no wasted MLP/stencil work (at 64^3 the padded
+        # path doubled the lane work; that was most of the mega-vs-two-kernel
+        # gap). Same reinterpretation as the flat residual kernels; stencil
+        # shifts come from make_flat_shifters.
+        from phys_autodiff_tpu.pallas.residuals import make_flat_shifters
+
+        assert (ny * nx_true) % 128 == 0
+        ny, nx = (ny * nx_true) // 128, 128
+        nx_arg = None
+        shifters = make_flat_shifters(g)
+    else:
+        # pad the lane dim to a 128 multiple; junk lanes are masked out of
+        # the loss reduction and the boundary-corrected x-shifts never read
+        # them into real lanes (residuals._shift_last with nx_true)
+        nx = -(-nx_true // 128) * 128
+        nx_arg = nx_true if nx != nx_true else None
+        shifters = None
     n_prog = nz + 2
     hk = pick_hk(h)
     n_chunks = h // hk
@@ -204,6 +220,7 @@ def _build_mega_call(g: GridSpec, h: int, precision: str, interpret: bool):
                 (w_mid[1][None], w_mid[2][None], w_mid[3][None]),   # u_tm1
                 (w_mid[9][None], w_mid[10][None], w_mid[11][None]),  # u_tp1
                 nx_true=nx_arg,
+                shifters=shifters,
             )
             if nx_arg is not None:
                 lane = jax.lax.broadcasted_iota(jnp.int32, r_sigma.shape, 2)
@@ -249,9 +266,12 @@ def _build_mega_call(g: GridSpec, h: int, precision: str, interpret: bool):
 
 
 def _mega_impl(g, w, cfg, params, t, precision, interpret):
+    from phys_autodiff_tpu.pallas.residuals import flat_rows
+
     if interpret is None:
         interpret = _default_interpret()
-    if g.ny % 8 != 0 or g.nx < 3:
+    flat = g.nx % 128 != 0 and flat_rows(g) is not None and g.nx >= 3 and g.ny >= 3
+    if not flat and (g.ny % 8 != 0 or g.nx < 3):
         # Mosaic sublane alignment fallback: staged pipeline.
         return _staged_loss(g, w, cfg, params, t)
     t = jnp.float32(t)
@@ -259,10 +279,16 @@ def _mega_impl(g, w, cfg, params, t, precision, interpret):
     ts = jnp.stack([t - dt, t, t + dt])
     h = params["W1"].shape[1]
     ab, cd, w2t, b2 = fold_tables_mega(g, cfg, params, ts)
-    nxp = -(-g.nx // 128) * 128
-    if nxp != g.nx:
-        ab = jnp.pad(ab, ((0, 0), (0, 0), (0, nxp - g.nx)))
-    parts = _build_mega_call(g, h, precision, interpret)(ab, cd, w2t, w2t.T, b2)
+    if flat:
+        # pure C-order reshape: the flat plane IS the shaped plane's cells
+        ab = ab.reshape(h, (g.ny * g.nx) // 128, 128)
+    else:
+        nxp = -(-g.nx // 128) * 128
+        if nxp != g.nx:
+            ab = jnp.pad(ab, ((0, 0), (0, 0), (0, nxp - g.nx)))
+    parts = _build_mega_call(g, h, precision, interpret, flat=flat)(
+        ab, cd, w2t, w2t.T, b2
+    )
     return ops_loss.sum_partials(g, w, parts)
 
 

@@ -89,11 +89,26 @@ def test_mega_gradients_route_through_staged_adjoint():
 
 @pytest.mark.parametrize("nx", [48, 96])
 @pytest.mark.parametrize("periodic", [True, False], ids=["periodic", "clamp"])
-def test_mega_unaligned_nx_lane_padding(nx, periodic):
-    """nx not 128-aligned runs the kernel with a padded lane dim: the
-    boundary-corrected x-shifts wrap/clamp at the TRUE extent and junk
-    lanes are masked out of the loss reduction."""
-    g, w, cfg, params = _setup(nx=nx, periodic=periodic)
+@pytest.mark.parametrize("scheme", ["central", "upwind"])
+def test_mega_unaligned_nx_flat_layout(nx, periodic, scheme):
+    """nx not 128-aligned with ny*nx % 128 == 0 runs the FLAT plane layout
+    (round 3 — no padded junk lanes; at 64^3 the padding doubled the lane
+    work, most of the mega-vs-two-kernel gap)."""
+    g, w, cfg, params = _setup(nx=nx, periodic=periodic, scheme=scheme)
+    t = jnp.float32(0.25)
+    ls_ref, lu_ref = _staged(g, w, cfg, params, t)
+    ls, lu = mega_loss_pipeline(g, w, cfg, params, t, "f32", True)
+    assert abs(float(ls) - float(ls_ref)) / abs(float(ls_ref)) <= 1e-5
+    assert abs(float(lu) - float(lu_ref)) / abs(float(lu_ref)) <= 1e-5
+
+
+@pytest.mark.parametrize("periodic", [True, False], ids=["periodic", "clamp"])
+def test_mega_unaligned_plane_lane_padding(periodic):
+    """ny*nx % 128 != 0 still runs the padded-lane path: boundary-corrected
+    x-shifts wrap/clamp at the TRUE extent, junk lanes masked out of the
+    loss reduction."""
+    g, w, cfg, params = _setup(nx=12, periodic=periodic)
+    assert (g.ny * g.nx) % 128 != 0
     t = jnp.float32(0.25)
     ls_ref, lu_ref = _staged(g, w, cfg, params, t)
     ls, lu = mega_loss_pipeline(g, w, cfg, params, t, "f32", True)
