@@ -256,11 +256,35 @@ def make_generic_train_step(
     generate_fn,
     cfg: TrainConfig,
     params0,
+    physics_loss: str = "auto",
 ):
     """Model-agnostic training step for any differentiable field generator
     `generate_fn(params, t) -> FieldSnapshots` (plain MLP, fused-MLP, NGP
-    hash field, ...). Returns (jitted_step, initial TrainState)."""
+    hash field, ...). Returns (jitted_step, initial TrainState).
+
+    physics_loss: "staged" runs the XLA residual chain; "fused" runs the
+    in-kernel-reduction Pallas loss (differentiable — its custom_vjp is the
+    exact field adjoint; loss_forward_fused_packed falls back to staged ops
+    itself on planes no fused kernel serves). "auto" picks fused on real
+    accelerators and staged on the CPU backend (where Pallas would run in
+    slow interpret mode)."""
     opt = make_optimizer(cfg)
+    if physics_loss == "auto":
+        physics_loss = "fused" if jax.default_backend() != "cpu" else "staged"
+
+    if physics_loss == "fused":
+        from phys_autodiff_tpu.pallas.residuals import (
+            loss_forward_fused_packed,
+            pack_fields,
+        )
+
+        def total_loss_of(p, t):
+            ls, lu = loss_forward_fused_packed(g, w, pack_fields(generate_fn(p, t)))
+            return ls + lu
+    else:
+
+        def total_loss_of(p, t):
+            return ops.total_loss(g, w, generate_fn(p, t))
 
     def step(state: TrainState):
         key, sub = jax.random.split(state.key)
@@ -269,10 +293,7 @@ def make_generic_train_step(
         else:
             t = jnp.float32(cfg.t)
 
-        def loss_of(p):
-            return ops.total_loss(g, w, generate_fn(p, t))
-
-        loss, grads = jax.value_and_grad(loss_of)(state.params)
+        loss, grads = jax.value_and_grad(lambda p: total_loss_of(p, t))(state.params)
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1, key), loss

@@ -339,3 +339,44 @@ def test_ngp_checkpoint_meta_roundtrip(tmp_path):
     )
     with pytest.raises(ValueError, match="meta"):
         checkpoint.restore_npz(path, params, expect_meta=ngp.checkpoint_meta(other))
+
+
+def test_head_base_factoring_matches_apply_head():
+    """generate_fields' shared layer-1 base (time as a rank-1 term) equals
+    the concat formulation of _apply_head up to one f32 reassociation."""
+    ncfg = ngp.NGPFieldConfig(encoding=CFG, hidden=32)
+    params = ngp.init_ngp_params(ncfg, seed=3)
+    enc = jnp.asarray(
+        np.random.default_rng(2).standard_normal((7, 9, CFG.out_dim)), jnp.float32
+    )
+    for t in (0.0, 0.25, 0.9):
+        ref = ngp._apply_head(params, enc, t)
+        out = ngp._head_from_base(params, ngp._head_base(params, enc), t)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-6, atol=2e-6
+        )
+
+
+def test_generic_step_fused_physics_matches_staged():
+    """The generic train step's fused physics loss (Pallas in-kernel
+    reduction + exact field adjoint) takes the same step as the staged
+    loss within f32 noise."""
+    from phys_autodiff_tpu.train import loop as train_loop
+
+    g = GridSpec(nx=128, ny=8, nz=6, hx=0.3, hy=0.3, hz=0.3, dt=1e-2)
+    ncfg = ngp.NGPFieldConfig(encoding=CFG, hidden=16)
+    params = ngp.init_ngp_params(ncfg, seed=1)
+    cfg = TrainConfig(t_sampling="fixed", learning_rate=1e-3, seed=0)
+    gen = lambda p, t: ngp.generate_fields(g, ncfg, p, t, g.dt)
+
+    step_s, st_s = train_loop.make_generic_train_step(
+        g, PhysWeights(), gen, cfg, params, physics_loss="staged")
+    step_f, st_f = train_loop.make_generic_train_step(
+        g, PhysWeights(), gen, cfg, params, physics_loss="fused")
+    st_s, l_s = step_s(st_s)
+    st_f, l_f = step_f(st_f)
+    assert abs(float(l_f) - float(l_s)) <= 1e-5 * abs(float(l_s))
+    for a, b in zip(jax.tree_util.tree_leaves(st_s.params),
+                    jax.tree_util.tree_leaves(st_f.params)):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        assert np.linalg.norm(a - b) <= 1e-4 * max(np.linalg.norm(a), 1e-30)
