@@ -138,6 +138,16 @@ def mlp_rows_into_window(
                 window[slot, s * 4 + o] = acc[o] + b2[0, o]
 
 
+def pick_mega_sz(nz: int, max_sz: int = 8) -> int:
+    """z rows per program for the slab-batched mega kernel. The one-row
+    rolling kernel's cost was dominated by per-program overhead (~7 us x
+    (nz+2) programs — measured r03: 64^3 mega 0.43 ms vs 0.32 ms two-kernel,
+    unchanged by the flat layout, i.e. NOT lane-bound); batching SZ rows per
+    program amortizes it SZ-fold with zero recompute (a 2-row VMEM window
+    carry-over between programs)."""
+    return max(d for d in range(1, max_sz + 1) if nz % d == 0)
+
+
 def _build_mega_call(
     g: GridSpec, h: int, precision: str, interpret: bool, flat: bool = False
 ):
@@ -161,7 +171,8 @@ def _build_mega_call(
         nx = -(-nx_true // 128) * 128
         nx_arg = nx_true if nx != nx_true else None
         shifters = None
-    n_prog = nz + 2
+    sz = pick_mega_sz(nz)
+    n_prog = nz // sz
     hk = pick_hk(h)
     n_chunks = h // hk
     # Mosaic's in-kernel dot lowering supports DEFAULT and HIGHEST only
@@ -174,67 +185,82 @@ def _build_mega_call(
     )
     fwd_mode = _resolve_fwd_mode(precision)
 
-    def kernel(ab_ref, cd_ref, w2_ref, w2hk_ref, b2_ref, part_ref, window):
-        i = pl.program_id(0)
-        # logical row L = i-1 in [-1, nz]; physical row under the boundary
-        lz = i - 1
+    def phys_row(lz):
         if g.periodic:
-            z = jax.lax.rem(lz + nz, nz)
-        else:
-            z = jnp.clip(lz, 0, nz - 1)
+            return jax.lax.rem(lz + 2 * nz, nz)
+        return jnp.clip(lz, 0, nz - 1)
 
+    # Slab-batched pipeline (round 3): program j holds field rows for
+    # logical z in [j*sz - 1, j*sz + sz] in a (sz+2)-row window. The first
+    # two rows arrive by VMEM copy from the previous program's last two
+    # (scratch persists across the sequential grid — zero recompute); the
+    # remaining sz rows are MLP-evaluated fresh. Residuals for the slab's
+    # sz rows then run in one _slab_residuals pass. The former one-row
+    # rolling kernel spent ~7 us/program of fixed overhead over nz+2
+    # programs (r03 measurement: 64^3 unchanged by the flat layout);
+    # batching divides that by sz.
+    def kernel(ab_ref, cd_ref, w2_ref, w2hk_ref, b2_ref, part_ref, window):
+        j = pl.program_id(0)
         b2 = b2_ref[...]  # [1, 4]
-        slot_w = jax.lax.rem(i, 3)
-        cdv = cd_ref[z]  # [H, 3]
 
-        # ---- MLP for row z, all 3 slices, into window[slot_w] -----------
-        mlp_rows_into_window(
-            window, slot_w, ab_ref, cdv, w2_ref, w2hk_ref, b2,
-            n_chunks=n_chunks, hk=hk, precision=precision,
-            fwd_mode=fwd_mode, dot_prec=dot_prec,
-        )
-
-        # ---- residual + loss partials for logical row r = i-2 -----------
-        @pl.when(i >= 2)
+        @pl.when(j > 0)
         def _():
-            r = i - 2
-            # program j writes logical row j-1 into slot j%3, so at program i:
-            lo = jax.lax.rem(i + 1, 3)    # slot of row i-3 == r-1
-            mid = jax.lax.rem(i + 2, 3)   # slot of row i-2 == r
-            hi = jax.lax.rem(i, 3)        # slot of row i-1 == r+1
-            w_lo, w_mid, w_hi = window[lo], window[mid], window[hi]
+            # logical rows j*sz-1, j*sz == previous program's last two rows
+            window[0] = window[sz]
+            window[1] = window[sz + 1]
 
-            def zstack(ch):  # [3(z), ny, nx] for channel ch at slice t
-                return jnp.stack([w_lo[ch], w_mid[ch], w_hi[ch]])
+        @pl.when(j == 0)
+        def _():
+            for r in range(2):
+                mlp_rows_into_window(
+                    window, r, ab_ref, cd_ref[phys_row(r - 1)],
+                    w2_ref, w2hk_ref, b2,
+                    n_chunks=n_chunks, hk=hk, precision=precision,
+                    fwd_mode=fwd_mode, dot_prec=dot_prec,
+                )
 
-            # window channel layout: s*4 + o, slices (tm1, t, tp1),
-            # channels (sigma, ux, uy, uz)
-            s_halo = zstack(4 + 0)
-            u_halo = (zstack(4 + 1), zstack(4 + 2), zstack(4 + 3))
-            r_sigma, r_ux, r_uy, r_uz = _slab_residuals(
-                g,
-                s_halo,
-                u_halo,
-                w_mid[0][None],   # sigma_tm1, center row
-                w_mid[8][None],   # sigma_tp1
-                (w_mid[1][None], w_mid[2][None], w_mid[3][None]),   # u_tm1
-                (w_mid[9][None], w_mid[10][None], w_mid[11][None]),  # u_tp1
-                nx_true=nx_arg,
-                shifters=shifters,
+        for r in range(2, sz + 2):
+            lz = j * sz + r - 1
+            mlp_rows_into_window(
+                window, r, ab_ref, cd_ref[phys_row(lz)],
+                w2_ref, w2hk_ref, b2,
+                n_chunks=n_chunks, hk=hk, precision=precision,
+                fwd_mode=fwd_mode, dot_prec=dot_prec,
             )
-            if nx_arg is not None:
-                lane = jax.lax.broadcasted_iota(jnp.int32, r_sigma.shape, 2)
-                msk = lane < nx_true
 
-                def sq(r):
-                    return jnp.sum(jnp.where(msk, r * r, 0.0))
-            else:
+        # ---- residuals + loss partials for the slab's sz rows -----------
+        # window channel layout: s*4 + o, slices (tm1, t, tp1),
+        # channels (sigma, ux, uy, uz); window[:, ch] is the z-halo slab.
+        r_sigma, r_ux, r_uy, r_uz = _slab_residuals(
+            g,
+            window[:, 4],
+            (window[:, 5], window[:, 6], window[:, 7]),
+            window[1:-1, 0],   # sigma_tm1, center rows
+            window[1:-1, 8],   # sigma_tp1
+            (window[1:-1, 1], window[1:-1, 2], window[1:-1, 3]),    # u_tm1
+            (window[1:-1, 9], window[1:-1, 10], window[1:-1, 11]),  # u_tp1
+            nx_true=nx_arg,
+            shifters=shifters,
+        )
+        if nx_arg is not None:
+            # 2-D mask: sq() takes per-ROW [py, px] slices, so a 3-D mask
+            # would broadcast each row back to [sz, py, px] and inflate the
+            # partial sz-fold
+            lane = jax.lax.broadcasted_iota(jnp.int32, r_sigma.shape[1:], 1)
+            msk = lane < nx_true
 
-                def sq(r):
-                    return jnp.sum(r * r)
+            def sq(r):
+                return jnp.sum(jnp.where(msk, r * r, 0.0))
+        else:
 
-            part_ref[0, r] = sq(r_sigma)
-            part_ref[1, r] = sq(r_ux) + sq(r_uy) + sq(r_uz)
+            def sq(r):
+                return jnp.sum(r * r)
+
+        for k in range(sz):
+            part_ref[0, j * sz + k] = sq(r_sigma[k])
+            part_ref[1, k + j * sz] = (
+                sq(r_ux[k]) + sq(r_uy[k]) + sq(r_uz[k])
+            )
 
     in_specs = [
         pl.BlockSpec((h, ny, nx), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
@@ -250,12 +276,12 @@ def _build_mega_call(
         out_specs=pl.BlockSpec((2, nz), lambda i: (0, 0), memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((2, nz), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((3, 12, ny, nx), jnp.float32),  # rolling field window
+            pltpu.VMEM((sz + 2, 12, ny, nx), jnp.float32),  # field window
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024,
-            dimension_semantics=("arbitrary",),  # rolling window is in-order
+            dimension_semantics=("arbitrary",),  # window carry is in-order
         ),
         cost_estimate=pl.CostEstimate(
             flops=(2 * h * 4 + h) * g.num_cells * 3 + 60 * g.num_cells,
