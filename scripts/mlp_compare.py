@@ -18,6 +18,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# remote TPU compiles cost 1-2 min each; cache them across runs
+jax.config.update("jax_compilation_cache_dir", "/root/repo/build/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from phys_autodiff_tpu.models import mlp
 from phys_autodiff_tpu.ref import mlp_oracle
 from phys_autodiff_tpu.utils.config import MLPDims

@@ -29,6 +29,10 @@ import sys
 import jax
 import jax.numpy as jnp
 
+# remote TPU compiles cost 1-2 min each; cache them across runs
+jax.config.update("jax_compilation_cache_dir", "/root/repo/build/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from phys_autodiff_tpu.bench.harness import time_loop
 from phys_autodiff_tpu.models import ngp
 from phys_autodiff_tpu.models.hash_encoder import encode_grid
