@@ -46,10 +46,14 @@ def bench_train_step(g: GridSpec, h: int = 128, seed: int = 777) -> dict:
     return out
 
 
-def bench_ngp_train_step(g: GridSpec, seed: int = 777) -> float:
+def bench_ngp_train_step(
+    g: GridSpec, seed: int = 777, precision: str = "f32"
+) -> float:
     """ms/step for the NGP hash-encoded field model (framework extension —
-    no reference analogue), trained through the model-agnostic step with
-    jax.grad over the staged physics loss."""
+    no reference analogue): dense-level encoder, model-agnostic step,
+    physics loss fused on real accelerators (train.make_generic_train_step
+    physics_loss="auto"). precision="bf16" runs the decode-head matmuls in
+    the mixed tier."""
     from phys_autodiff_tpu.models import ngp
     from phys_autodiff_tpu.utils.config import PhysWeights as _PW
 
@@ -59,7 +63,7 @@ def bench_ngp_train_step(g: GridSpec, seed: int = 777) -> float:
     step, state0 = train_loop.make_generic_train_step(
         g,
         _PW(),
-        lambda p, t: ngp.generate_fields(g, ncfg, p, t, g.dt),
+        lambda p, t: ngp.generate_fields(g, ncfg, p, t, g.dt, precision),
         cfg,
         params,
     )

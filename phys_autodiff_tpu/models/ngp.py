@@ -74,28 +74,34 @@ def _apply_head(params: dict, enc: jnp.ndarray, t):
     )
 
 
-def _head_base(params: dict, enc: jnp.ndarray):
+def _head_base(params: dict, enc: jnp.ndarray, precision: str = "f32"):
     """enc @ W1[:-1] + b1 — the time-independent part of layer 1. Time is
     the LAST input channel (see _apply_head's concat), so it enters layer 1
     only as the rank-1 term t * W1[-1]: one [N, L*F] x [L*F, H] matmul
     serves all three time slices (the NGP analogue of the coordinate MLP's
-    CD-table folding, pallas/mlp.py fold_cd)."""
+    CD-table folding, pallas/mlp.py fold_cd).
+
+    precision="bf16": bf16 matmul operands with f32 accumulation — the 2x
+    MXU-rate mixed tier (same 1e-3-class doctrine as the coordinate MLP's
+    bf16 fieldgen; the encoder stays exact f32)."""
+    w1 = params["W1"][:-1]
+    if precision == "bf16":
+        enc, w1 = enc.astype(jnp.bfloat16), w1.astype(jnp.bfloat16)
     return (
-        jnp.dot(enc, params["W1"][:-1], preferred_element_type=jnp.float32)
-        + params["b1"]
+        jnp.dot(enc, w1, preferred_element_type=jnp.float32) + params["b1"]
     )
 
 
-def _head_from_base(params: dict, base: jnp.ndarray, t):
+def _head_from_base(params: dict, base: jnp.ndarray, t, precision: str = "f32"):
     """Finish the decode head from the shared layer-1 base at time t.
     Mathematically equal to _apply_head up to one f32 reassociation (the
     concat dot reduces 17 terms in one chain; here 16 + 1)."""
     z1 = base + jnp.float32(t) * params["W1"][-1]
     a1 = jnp.maximum(z1, 0.0)
-    return (
-        jnp.dot(a1, params["W2"], preferred_element_type=jnp.float32)
-        + params["b2"]
-    )
+    w2 = params["W2"]
+    if precision == "bf16":
+        a1, w2 = a1.astype(jnp.bfloat16), w2.astype(jnp.bfloat16)
+    return jnp.dot(a1, w2, preferred_element_type=jnp.float32) + params["b2"]
 
 
 def forward(
@@ -153,17 +159,20 @@ def grid_infer(g: GridSpec, cfg: NGPFieldConfig, params: dict, t):
 
 
 def generate_fields(
-    g: GridSpec, cfg: NGPFieldConfig, params: dict, t, dt
+    g: GridSpec, cfg: NGPFieldConfig, params: dict, t, dt,
+    precision: str = "f32",
 ) -> FieldSnapshots:
     """Fields at t-dt, t, t+dt; the hash encoding is shared across the three
     slices (time enters only through the head), so it is computed once —
     with the regular-grid encoder (static-index corner gathers + separable
-    resampling; see hash_encoder.encode_grid)."""
+    resampling; see hash_encoder.encode_grid). precision="bf16" runs the
+    decode-head matmuls with bf16 operands (f32 accumulation, exact-f32
+    encoder) — the mixed tier."""
     enc = hash_encoder.encode_grid(cfg.encoding, params["tables"], g)
-    base = _head_base(params, enc)  # shared first-layer matmul (1x, not 3x)
+    base = _head_base(params, enc, precision)  # shared layer-1 matmul (1x)
 
     def head(tt):
-        return _head_from_base(params, base, tt)
+        return _head_from_base(params, base, tt, precision)
 
     ys = [head(jnp.float32(t) - jnp.float32(dt)), head(t), head(jnp.float32(t) + jnp.float32(dt))]
     sigmas = [y[..., 0] for y in ys]

@@ -209,17 +209,8 @@ def _build_mega_call(
             window[0] = window[sz]
             window[1] = window[sz + 1]
 
-        @pl.when(j == 0)
-        def _():
-            for r in range(2):
-                mlp_rows_into_window(
-                    window, r, ab_ref, cd_ref[phys_row(r - 1)],
-                    w2_ref, w2hk_ref, b2,
-                    n_chunks=n_chunks, hk=hk, precision=precision,
-                    fwd_mode=fwd_mode, dot_prec=dot_prec,
-                )
-
-        for r in range(2, sz + 2):
+        def mlp_row(r):
+            # r may be traced: dynamic window-slot writes and cd row reads
             lz = j * sz + r - 1
             mlp_rows_into_window(
                 window, r, ab_ref, cd_ref[phys_row(lz)],
@@ -228,39 +219,59 @@ def _build_mega_call(
                 fwd_mode=fwd_mode, dot_prec=dot_prec,
             )
 
-        # ---- residuals + loss partials for the slab's sz rows -----------
+        @pl.when(j == 0)
+        def _():
+            mlp_row(0)
+            mlp_row(1)
+
+        # fori_loop (not a python unroll): at sz=8 the unrolled body's live
+        # values made Mosaic's register allocator spill ~215 MB of scoped
+        # VMEM and refuse to compile; the loop keeps one row's working set
+        # live at a time.
+        def mlp_body(r, carry):
+            mlp_row(r)
+            return carry
+
+        jax.lax.fori_loop(2, sz + 2, mlp_body, 0, unroll=False)
+
+        # ---- residuals + loss partials, one row at a time ----------------
         # window channel layout: s*4 + o, slices (tm1, t, tp1),
-        # channels (sigma, ux, uy, uz); window[:, ch] is the z-halo slab.
-        r_sigma, r_ux, r_uy, r_uz = _slab_residuals(
-            g,
-            window[:, 4],
-            (window[:, 5], window[:, 6], window[:, 7]),
-            window[1:-1, 0],   # sigma_tm1, center rows
-            window[1:-1, 8],   # sigma_tp1
-            (window[1:-1, 1], window[1:-1, 2], window[1:-1, 3]),    # u_tm1
-            (window[1:-1, 9], window[1:-1, 10], window[1:-1, 11]),  # u_tp1
-            nx_true=nx_arg,
-            shifters=shifters,
-        )
-        if nx_arg is not None:
-            # 2-D mask: sq() takes per-ROW [py, px] slices, so a 3-D mask
-            # would broadcast each row back to [sz, py, px] and inflate the
-            # partial sz-fold
-            lane = jax.lax.broadcasted_iota(jnp.int32, r_sigma.shape[1:], 1)
-            msk = lane < nx_true
+        # channels (sigma, ux, uy, uz).
+        def res_body(k, carry):
+            w_lo = window[k]
+            w_mid = window[k + 1]
+            w_hi = window[k + 2]
 
-            def sq(r):
-                return jnp.sum(jnp.where(msk, r * r, 0.0))
-        else:
+            def zstack(ch):  # [3(z), py, px] for channel ch at slice t
+                return jnp.stack([w_lo[ch], w_mid[ch], w_hi[ch]])
 
-            def sq(r):
-                return jnp.sum(r * r)
-
-        for k in range(sz):
-            part_ref[0, j * sz + k] = sq(r_sigma[k])
-            part_ref[1, k + j * sz] = (
-                sq(r_ux[k]) + sq(r_uy[k]) + sq(r_uz[k])
+            r_sigma, r_ux, r_uy, r_uz = _slab_residuals(
+                g,
+                zstack(4),
+                (zstack(5), zstack(6), zstack(7)),
+                w_mid[0][None],   # sigma_tm1, center row
+                w_mid[8][None],   # sigma_tp1
+                (w_mid[1][None], w_mid[2][None], w_mid[3][None]),    # u_tm1
+                (w_mid[9][None], w_mid[10][None], w_mid[11][None]),  # u_tp1
+                nx_true=nx_arg,
+                shifters=shifters,
             )
+            if nx_arg is not None:
+                lane = jax.lax.broadcasted_iota(jnp.int32, r_sigma.shape, 2)
+                msk = lane < nx_true
+
+                def sq(r):
+                    return jnp.sum(jnp.where(msk, r * r, 0.0))
+            else:
+
+                def sq(r):
+                    return jnp.sum(r * r)
+
+            part_ref[0, j * sz + k] = sq(r_sigma)
+            part_ref[1, j * sz + k] = sq(r_ux) + sq(r_uy) + sq(r_uz)
+            return carry
+
+        jax.lax.fori_loop(0, sz, res_body, 0, unroll=False)
 
     in_specs = [
         pl.BlockSpec((h, ny, nx), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),

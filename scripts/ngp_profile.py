@@ -1,9 +1,11 @@
 """Component-level timing breakdown of the NGP train step.
 
-The NGP hash-encoded extension trains ~10x slower than the coordinate-MLP
-fused step (docs/BENCHMARK_REPORT.md: ~41.5 ms vs 4.09 ms at the flagship
-grid); this script slope-times its stages separately so the optimization
-target is data, not guesswork:
+Round-2 state: the hash-encoded extension trained ~10x slower than the
+coordinate-MLP fused step (41.5 vs 4.09 ms at the flagship grid); this
+script's breakdown pinned the cost on the encoder backward's scatter-adds,
+which round 3 deleted (dense oversubscribed levels -> transposed-matmul
+backward; 10.4 ms measured). It still slope-times the stages separately so
+further optimization targets stay data, not guesswork:
 
     encode_grid fwd       per-level static corner gather + separable lerps
     generate_fields fwd   encoder + 3 decode-head evaluations

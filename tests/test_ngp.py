@@ -380,3 +380,18 @@ def test_generic_step_fused_physics_matches_staged():
                     jax.tree_util.tree_leaves(st_f.params)):
         a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
         assert np.linalg.norm(a - b) <= 1e-4 * max(np.linalg.norm(a), 1e-30)
+
+
+def test_generate_fields_bf16_head_within_mixed_tolerance():
+    """The bf16 decode-head tier (exact-f32 encoder, bf16 matmul operands
+    with f32 accumulation) stays in the few-percent mixed class on the
+    FIELDS (two bf16 dots; the same 5e-2 doctrine as the mega bf16 loss)."""
+    g = GridSpec(nx=12, ny=8, nz=6, hx=0.3, hy=0.3, hz=0.3, dt=1e-2)
+    ncfg = ngp.NGPFieldConfig(encoding=DENSE_CFG, hidden=32)
+    params = ngp.init_ngp_params(ncfg, seed=5)
+    ref = ngp.generate_fields(g, ncfg, params, 0.25, g.dt)
+    out = ngp.generate_fields(g, ncfg, params, 0.25, g.dt, precision="bf16")
+    for a, b in zip(ref, out):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        scale = np.max(np.abs(a)) + 1e-30
+        assert np.max(np.abs(a - b)) / scale < 5e-2
