@@ -296,6 +296,8 @@ def main():
             log(f"train,{variant},{gf.nx},{gf.ny},{gf.nz},128,{ms:.5f}")
         ms_ngp = bench_ngp_train_step(gf)
         log(f"train,ngp,{gf.nx},{gf.ny},{gf.nz},-,{ms_ngp:.5f}")
+        ms_ngp_bf16 = bench_ngp_train_step(gf, precision="bf16")
+        log(f"train,ngp_bf16,{gf.nx},{gf.ny},{gf.nz},-,{ms_ngp_bf16:.5f}")
 
     _, keep = section("train", 2400, train_rows)
 
