@@ -51,6 +51,26 @@ def _default_interpret() -> bool:
 # wins; bf16 keeps the native-rate MXU dot. Same measured trade as the
 # backward mega-kernel's fwd stage (pallas/mega_bwd.py mode table).
 _FWD_MODE = "auto"
+# Stage-granularity knobs (hardware-measured r03 ablation; DESIGN.md
+# "Mega forward granularity"):
+# _SLAB_EVAL: "auto" = batch ONLY for flat-bf16 planes without a 16-multiple
+#   sublane count (the one measured win: the merged-rows cast dodges the
+#   bf16 (16,128)-tile relayout, 96x96x64 bf16 1.32 -> 0.93 ms); "row"/
+#   "batch" force per-row fori / wide multi-row passes. Everywhere else
+#   batching measured neutral (bf16) or VMEM-OOMed (f32 VPU transients).
+# _MEGA_HK: "auto" = pick_hk (<=64 chunks); "full" = whole-H single pass
+#   (measured neutral).
+# _RES_EVAL: "slab" = one whole-window _slab_residuals pass (measured 2-5%
+#   faster at every grid/precision), "row" = per-row fori.
+_SLAB_EVAL = "auto"
+_MEGA_HK = "auto"
+_RES_EVAL = "slab"
+
+
+def _resolve_slab_eval(precision: str, flat: bool, py: int) -> str:
+    if _SLAB_EVAL != "auto":
+        return _SLAB_EVAL
+    return "batch" if (precision == "bf16" and flat and py % 16 != 0) else "row"
 
 
 def pick_hk(h: int) -> int:
@@ -139,13 +159,133 @@ def mlp_rows_into_window(
 
 
 def pick_mega_sz(nz: int, max_sz: int = 8) -> int:
-    """z rows per program for the slab-batched mega kernel. The one-row
-    rolling kernel's cost was dominated by per-program overhead (~7 us x
-    (nz+2) programs — measured r03: 64^3 mega 0.43 ms vs 0.32 ms two-kernel,
-    unchanged by the flat layout, i.e. NOT lane-bound); batching SZ rows per
-    program amortizes it SZ-fold with zero recompute (a 2-row VMEM window
-    carry-over between programs)."""
+    """z rows per program for the slab-batched mega kernel. Batching SZ rows
+    per program lets the MLP stage evaluate many rows in ONE wide VPU/MXU
+    pass (mlp_slab_into_window) instead of nz narrow per-row passes — the
+    r03 ablation pinned the mega-vs-two-kernel gap on per-row op granularity
+    (program-count batching alone left 64^3 at 0.43 ms, identical to the
+    one-row kernel)."""
     return max(d for d in range(1, max_sz + 1) if nz % d == 0)
+
+
+def pick_rb(n_rows: int, hk: int, py: int, px: int,
+            budget_bytes: int = 12 * 1024 * 1024) -> int:
+    """Rows per batched MLP evaluation: the z1/a1 transient is
+    [hk, rb, py, px] f32, so rb is capped by a VMEM transient budget."""
+    per_row = hk * py * px * 4
+    return max(1, min(n_rows, budget_bytes // max(per_row, 1)))
+
+
+def mlp_slab_into_window(
+    window,
+    first_slot: int,
+    n_rows: int,
+    ab_ref,
+    cd_rows,
+    w2_ref,
+    w2hk_ref,
+    b2,
+    *,
+    n_chunks: int,
+    hk: int,
+    precision: str,
+    fwd_mode: str,
+    dot_prec,
+):
+    """Evaluate the 2-layer MLP for N_ROWS consecutive z rows (3 time
+    slices) into window slots [first_slot, first_slot + n_rows) in BATCHED
+    passes: one [hk, rb, py, px] elementwise layer-1 + one wide layer-2
+    contraction per H-chunk, instead of n_rows narrow per-row passes (the
+    per-row granularity was the measured mega-vs-two-kernel gap, r03).
+
+    cd_rows: [n_rows, H, 3] layer-1 row constants (already gathered).
+    first_slot and the row split are STATIC: all window writes are
+    static-index stores. For bf16 the activation is merged to
+    [hk, rb*py, px] before the cast when rb*py is a 16-multiple — planes
+    whose sublane count is not (the flat 96x96 layout's R=72) would
+    otherwise pay a bf16 (16,128)-tile relayout on every chunk (the root
+    cause of the r02 96x96x64 bf16 inversion)."""
+    ny, nx = ab_ref.shape[-2:]
+    rb = pick_rb(n_rows, hk, ny, nx)
+    if precision == "bf16" and ny % 16 == 8 and rb > 1 and rb % 2 == 1:
+        rb -= 1  # keep rb*ny a 16-multiple so the merged bf16 cast is clean
+    dims = (((1,), (0,)), ((), ()))
+    for r0 in range(0, n_rows, rb):
+        m = min(rb, n_rows - r0)
+        for s in range(3):
+            if fwd_mode == "vpu":
+                accs = [jnp.zeros((m, ny, nx), jnp.float32) for _ in range(4)]
+                for c in range(n_chunks):
+                    ab = ab_ref[pl.ds(c * hk, hk)]  # [hk, ny, nx]
+                    # per-row z1 build (a [hk] -> [hk,1,1] broadcast, the
+                    # lowering the per-row path already proves; a 2-D
+                    # [hk, m] -> [hk, m, 1, 1] reshape is NOT supported by
+                    # Mosaic's layout inference), stacked into one wide
+                    # [hk, m, ny, nx] activation for the batched reduction.
+                    a1 = jnp.stack(
+                        [
+                            jnp.maximum(
+                                ab
+                                + cd_rows[r0 + r, c * hk : (c + 1) * hk, s][
+                                    :, None, None
+                                ],
+                                0.0,
+                            )
+                            for r in range(m)
+                        ],
+                        axis=1,
+                    )  # [hk, m, ny, nx]
+                    for o in range(4):
+                        wcol = w2hk_ref[pl.ds(c * hk, hk), o : o + 1]
+                        accs[o] = accs[o] + jnp.sum(
+                            a1 * wcol[..., None, None], axis=0
+                        )
+                for o in range(4):
+                    for r in range(m):
+                        window[first_slot + r0 + r, s * 4 + o] = (
+                            accs[o][r] + b2[0, o]
+                        )
+            else:
+                merge = (m * ny) % 16 == 0 and ny % 8 == 0
+                acc = jnp.zeros((4, m, ny, nx), jnp.float32)
+                for c in range(n_chunks):
+                    ab = ab_ref[pl.ds(c * hk, hk)]
+                    a1 = jnp.stack(
+                        [
+                            jnp.maximum(
+                                ab
+                                + cd_rows[r0 + r, c * hk : (c + 1) * hk, s][
+                                    :, None, None
+                                ],
+                                0.0,
+                            )
+                            for r in range(m)
+                        ],
+                        axis=1,
+                    )  # [hk, m, ny, nx]
+                    w2c = w2_ref[:, pl.ds(c * hk, hk)]  # [4, hk]
+                    if precision == "bf16":
+                        if merge:
+                            a1 = a1.reshape(hk, m * ny, nx)
+                        a1 = a1.astype(jnp.bfloat16)
+                        w2c = w2c.astype(jnp.bfloat16)
+                    elif merge:
+                        a1 = a1.reshape(hk, m * ny, nx)
+                    part = jax.lax.dot_general(
+                        w2c,
+                        a1,
+                        dimension_numbers=dims,
+                        preferred_element_type=jnp.float32,
+                        precision=dot_prec,
+                    )
+                    acc = acc + (
+                        part.reshape(4, m, ny, nx) if merge else part
+                    )
+                for o in range(4):
+                    for r in range(m):
+                        window[first_slot + r0 + r, s * 4 + o] = (
+                            acc[o, r] + b2[0, o]
+                        )
 
 
 def _build_mega_call(
@@ -173,7 +313,8 @@ def _build_mega_call(
         shifters = None
     sz = pick_mega_sz(nz)
     n_prog = nz // sz
-    hk = pick_hk(h)
+    hk = h if _MEGA_HK == "full" else pick_hk(h)
+    slab_eval = _resolve_slab_eval(precision, flat, ny)
     n_chunks = h // hk
     # Mosaic's in-kernel dot lowering supports DEFAULT and HIGHEST only
     # (no HIGH): clamp f32_high to HIGHEST inside the kernel; the f32_high
@@ -224,19 +365,62 @@ def _build_mega_call(
             mlp_row(0)
             mlp_row(1)
 
-        # fori_loop (not a python unroll): at sz=8 the unrolled body's live
-        # values made Mosaic's register allocator spill ~215 MB of scoped
-        # VMEM and refuse to compile; the loop keeps one row's working set
-        # live at a time.
-        def mlp_body(r, carry):
-            mlp_row(r)
-            return carry
+        # Slots 2..sz hold logical rows j*sz+1 .. j*sz+sz-1 — always
+        # in-range (no z wrap), so they batch into wide static-slot MLP
+        # passes; only the top row (slot sz+1, logical (j+1)*sz, which
+        # wraps/clamps at the last program) stays per-row.
+        if sz > 1 and slab_eval == "batch":
+            cd_rows = cd_ref[pl.ds(j * sz + 1, sz - 1)]  # [sz-1, H, 3]
+            mlp_slab_into_window(
+                window, 2, sz - 1, ab_ref, cd_rows, w2_ref, w2hk_ref, b2,
+                n_chunks=n_chunks, hk=hk, precision=precision,
+                fwd_mode=fwd_mode, dot_prec=dot_prec,
+            )
+            mlp_row(sz + 1)
+        else:
+            # per-row fori (ablation arm): one row's working set at a time
+            jax.lax.fori_loop(
+                2, sz + 2, lambda r, c: (mlp_row(r), c)[1], 0, unroll=False
+            )
 
-        jax.lax.fori_loop(2, sz + 2, mlp_body, 0, unroll=False)
-
-        # ---- residuals + loss partials, one row at a time ----------------
+        # ---- residuals + loss partials -----------------------------------
         # window channel layout: s*4 + o, slices (tm1, t, tp1),
         # channels (sigma, ux, uy, uz).
+        if _RES_EVAL == "slab":
+            wv = window[...]  # [sz+2, 12, py, px]
+            r_sigma, r_ux, r_uy, r_uz = _slab_residuals(
+                g,
+                wv[:, 4],
+                (wv[:, 5], wv[:, 6], wv[:, 7]),
+                wv[1:-1, 0],
+                wv[1:-1, 8],
+                (wv[1:-1, 1], wv[1:-1, 2], wv[1:-1, 3]),
+                (wv[1:-1, 9], wv[1:-1, 10], wv[1:-1, 11]),
+                nx_true=nx_arg,
+                shifters=shifters,
+            )
+            if nx_arg is not None:
+                # 2-D mask: sq() takes per-ROW [py, px] slices, so a 3-D
+                # mask would broadcast each row back to [sz, py, px]
+                lane = jax.lax.broadcasted_iota(
+                    jnp.int32, r_sigma.shape[1:], 1
+                )
+                msk = lane < nx_true
+
+                def sq(r):
+                    return jnp.sum(jnp.where(msk, r * r, 0.0))
+            else:
+
+                def sq(r):
+                    return jnp.sum(r * r)
+
+            for k in range(sz):
+                part_ref[0, j * sz + k] = sq(r_sigma[k])
+                part_ref[1, j * sz + k] = (
+                    sq(r_ux[k]) + sq(r_uy[k]) + sq(r_uz[k])
+                )
+            return
+
         def res_body(k, carry):
             w_lo = window[k]
             w_mid = window[k + 1]
@@ -308,6 +492,18 @@ def _mega_impl(g, w, cfg, params, t, precision, interpret):
     if interpret is None:
         interpret = _default_interpret()
     flat = g.nx % 128 != 0 and flat_rows(g) is not None and g.nx >= 3 and g.ny >= 3
+    if flat and precision == "bf16":
+        # Layout is precision-aware (hardware-measured, DESIGN.md "Mega
+        # forward granularity"): a flat plane whose row count is not a
+        # 16-multiple pays a bf16 (16,128)-tile relayout per H-chunk that
+        # outweighs modest lane padding (96x96x64: flat 0.90 ms vs padded
+        # 0.56). Route bf16 to the padded layout when the pad ratio is
+        # small and the padded plane's sublane count is tile-clean; wide
+        # pads (nx < ~85: >1.5x junk lanes, e.g. 64^3's 2x) stay flat.
+        if flat_rows(g) % 16 != 0 and g.ny % 16 == 0:
+            pad_ratio = (-(-g.nx // 128) * 128) / g.nx
+            if pad_ratio <= 1.5:
+                flat = False
     if not flat and (g.ny % 8 != 0 or g.nx < 3):
         # Mosaic sublane alignment fallback: staged pipeline.
         return _staged_loss(g, w, cfg, params, t)

@@ -61,8 +61,17 @@ def main(nx=128, ny=96, nz=96):
     )
     report("mixed_out", ms, 56)
 
-    # ambient roofline: a pure device copy of the input bytes
-    ms = harness.time_op(lambda p: (p + jnp.float32(0.0),), packed, mode="probe")
+    # ambient roofline: a full read+write pass over the input bytes. NOT
+    # probe/reduce mode — an XLA elementwise op would be narrowed (probe) or
+    # fused into the reduction without materializing (reduce). Carrying the
+    # scaled buffer forward forces the full 56 MB write each iteration; the
+    # runtime scalar blocks constant folding.
+    def copy_body(i, carry):
+        acc, x = carry
+        y = x * (jnp.float32(1.0) + acc * jnp.float32(1e-30))
+        return acc + y.reshape(-1)[0] * jnp.float32(1e-6), y
+
+    ms = harness.time_loop(copy_body, (jnp.float32(0.0), packed))
     report("copy_probe", ms, 96)  # 12 planes read + 12 written
 
 

@@ -116,6 +116,42 @@ def test_mega_unaligned_plane_lane_padding(periodic):
     assert abs(float(lu) - float(lu_ref)) / abs(float(lu_ref)) <= 1e-5
 
 
+@pytest.mark.parametrize(
+    "nx,ny,want_flat",
+    [
+        # rows=96*16/128=12 (not a 16-mult), ny%16==0, pad 128/96=1.33:
+        # bf16 routes to the PADDED layout (flat would pay the (16,128)
+        # bf16 tile relayout per H-chunk — hardware-measured, DESIGN.md)
+        (96, 16, False),
+        # rows=32*16/128=4 but pad 128/32=4x junk lanes: stays FLAT
+        (32, 16, True),
+        # rows=96*24/128=18... not integer -> (64,32): rows=16, a 16-mult:
+        # tile-clean flat, stays FLAT
+        (64, 32, True),
+    ],
+)
+def test_mega_bf16_layout_routing(nx, ny, want_flat, monkeypatch):
+    """bf16 layout choice is precision-aware: parity holds on whichever
+    layout the router picks, and the router picks the measured winner."""
+    from phys_autodiff_tpu.pallas import mega
+
+    picked = {}
+    orig = mega._build_mega_call
+
+    def spy(g, h, precision, interpret, flat=False):
+        picked["flat"] = flat
+        return orig(g, h, precision, interpret, flat=flat)
+
+    monkeypatch.setattr(mega, "_build_mega_call", spy)
+    g, w, cfg, params = _setup(nx=nx, ny=ny)
+    t = jnp.float32(0.25)
+    ls_ref, lu_ref = _staged(g, w, cfg, params, t)
+    ls, lu = mega_loss_pipeline(g, w, cfg, params, t, "bf16", True)
+    assert picked["flat"] == want_flat
+    assert abs(float(ls) - float(ls_ref)) / abs(float(ls_ref)) <= 5e-2
+    assert abs(float(lu) - float(lu_ref)) / abs(float(lu_ref)) <= 5e-2
+
+
 def test_mega_bf16_within_mixed_precision_tolerance():
     g, w, cfg, params = _setup()
     t = jnp.float32(0.25)
