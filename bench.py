@@ -294,6 +294,15 @@ def main():
         log("# train,variant,nx,ny,nz,H,ms_step")
         for variant, ms in bench_train_step(gf, h=128).items():
             log(f"train,{variant},{gf.nx},{gf.ny},{gf.nz},128,{ms:.5f}")
+        # fused-only rows at the unaligned benchmark grids (the flat-layout
+        # backward mega-kernel, round-2 VERDICT #3)
+        for nx, ny, nz in ((64, 64, 64), (96, 96, 64)):
+            g2 = GridSpec(nx=nx, ny=ny, nz=nz, hx=0.05, hy=0.05, hz=0.05,
+                          dt=1e-3)
+            for variant, ms in bench_train_step(
+                g2, h=128, variants=("fused", "fused_bf16")
+            ).items():
+                log(f"train,{variant},{nx},{ny},{nz},128,{ms:.5f}")
         ms_ngp = bench_ngp_train_step(gf)
         log(f"train,ngp,{gf.nx},{gf.ny},{gf.nz},-,{ms_ngp:.5f}")
         ms_ngp_bf16 = bench_ngp_train_step(gf, precision="bf16")

@@ -28,18 +28,25 @@ def time_train_step(step_fn, state0) -> float:
     return time_loop(body, (jnp.float32(0.0), state0), target_seconds=2.0)
 
 
-def bench_train_step(g: GridSpec, h: int = 128, seed: int = 777) -> dict:
-    """ms/step for the staged and fused training steps at grid g."""
+def bench_train_step(
+    g: GridSpec, h: int = 128, seed: int = 777, variants=None
+) -> dict:
+    """ms/step for the staged and fused training steps at grid g.
+    `variants` restricts to a subset (e.g. fused arms only at the unaligned
+    benchmark grids, where the staged arm's cost adds bench time without
+    information)."""
     w = PhysWeights()
     mcfg = MLPGridConfig(dims=MLPDims(H=h))
     out = {}
-    variants = {
+    all_variants = {
         "staged": train_loop.TrainConfig(use_fused=False),
         "fused": train_loop.TrainConfig(use_fused=True),
         "fused_f32h": train_loop.TrainConfig(use_fused=True, precision="f32_high"),
         "fused_bf16": train_loop.TrainConfig(use_fused=True, precision="bf16"),
     }
-    for name, cfg in variants.items():
+    for name, cfg in all_variants.items():
+        if variants is not None and name not in variants:
+            continue
         step = train_loop._make_step_fn(g, w, mcfg, cfg)
         state0 = train_loop.init_state(cfg, mcfg, seed=seed)
         out[name] = time_train_step(step, state0)

@@ -999,13 +999,17 @@ def _packed_residuals_ops(g: GridSpec, packed: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([rs[None], ru], axis=0)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 2))
 def residuals_fused_packed_bf16(g: GridSpec, packed_bf16, interpret=None):
     """Mixed-precision residual kernel: bfloat16 fields in, f32 stencil
     arithmetic in-kernel, bfloat16 residuals out — halves the HBM traffic
     (the op is bandwidth-bound). Tolerance class 1e-3 amplified by the
     1/h stencil factors (the reference's planned M4 mixed-precision mode,
-    REQUIREMENT.md:124-130). Not differentiable; the bf16 training path
-    uses the mega kernel + slab gradient instead."""
+    REQUIREMENT.md:124-130). Differentiable (round 3): the backward is the
+    f32 field adjoint of the staged op on the upcast inputs, with the
+    input cotangent rounded back to bf16 (the exact VJP of
+    residuals(cast_f32(x)) followed by the output cast — output rounding
+    is straight-through, like every bf16 matmul tier here)."""
     if interpret is None:
         interpret = _default_interpret()
     if g.nx % 128 != 0 and not interpret:
@@ -1016,17 +1020,53 @@ def residuals_fused_packed_bf16(g: GridSpec, packed_bf16, interpret=None):
     return call(packed_bf16)
 
 
+def _rfp16_fwd(g, packed_bf16, interpret):
+    return residuals_fused_packed_bf16(g, packed_bf16, interpret), packed_bf16
+
+
+def _rfp16_bwd(g, interpret, packed_bf16, cot):
+    _, vjp = jax.vjp(
+        lambda p: _packed_residuals_ops(g, p.astype(jnp.float32)).astype(
+            jnp.bfloat16
+        ),
+        packed_bf16,
+    )
+    (d_packed,) = vjp(cot)
+    return (d_packed,)
+
+
+residuals_fused_packed_bf16.defvjp(_rfp16_fwd, _rfp16_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 2))
 def residuals_fused_packed_mixed_out(g: GridSpec, packed, interpret=None):
     """f32 fields in, f32 arithmetic, bfloat16 residuals OUT: trims the op's
     traffic 64 -> 56 B/cell while keeping exact-f32 inputs (round-2 VERDICT
     #4's separately-labeled mixed arm). Output tolerance class: bf16
-    rounding of exact-f32 residuals (~1e-3 relative). Not differentiable."""
+    rounding of exact-f32 residuals (~1e-3 relative). Differentiable
+    (round 3): f32 field adjoint with the output cast's straight-through
+    cotangent upcast."""
     if interpret is None:
         interpret = _default_interpret()
     if g.nx % 128 != 0 and not interpret:
         return _packed_residuals_ops(g, packed).astype(jnp.bfloat16)
     call = _build_packed_call(g, None, False, interpret, out_dtype=jnp.bfloat16)
     return call(packed)
+
+
+def _rfpmo_fwd(g, packed, interpret):
+    return residuals_fused_packed_mixed_out(g, packed, interpret), packed
+
+
+def _rfpmo_bwd(g, interpret, packed, cot):
+    _, vjp = jax.vjp(
+        lambda p: _packed_residuals_ops(g, p).astype(jnp.bfloat16), packed
+    )
+    (d_packed,) = vjp(cot)
+    return (d_packed,)
+
+
+residuals_fused_packed_mixed_out.defvjp(_rfpmo_fwd, _rfpmo_bwd)
 
 
 def residuals_fused_packed_split(g: GridSpec, sigma6, u6, interpret=None):
@@ -1135,13 +1175,33 @@ def _rff_bwd(g, interpret, flat, cot):
 residuals_fused_flat.defvjp(_rff_fwd, _rff_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 2))
 def residuals_fused_flat_bf16(g: GridSpec, flat_bf16, interpret=None):
     """bf16-I/O variant of residuals_fused_flat (f32 in-kernel arithmetic,
-    1e-3 tolerance class). Not differentiable."""
+    1e-3 tolerance class). Differentiable (round 3): same
+    upcast-adjoint-recast VJP as residuals_fused_packed_bf16."""
     if interpret is None:
         interpret = _default_interpret()
     call = _build_packed_call(g, None, False, interpret, dtype=jnp.bfloat16, flat=True)
     return call(flat_bf16)
+
+
+def _rff16_fwd(g, flat_bf16, interpret):
+    return residuals_fused_flat_bf16(g, flat_bf16, interpret), flat_bf16
+
+
+def _rff16_bwd(g, interpret, flat_bf16, cot):
+    _, vjp = jax.vjp(
+        lambda p: _flat_residuals_ops(g, p.astype(jnp.float32)).astype(
+            jnp.bfloat16
+        ),
+        flat_bf16,
+    )
+    (d_flat,) = vjp(cot)
+    return (d_flat,)
+
+
+residuals_fused_flat_bf16.defvjp(_rff16_fwd, _rff16_bwd)
 
 
 def loss_backward_fused_packed(

@@ -221,6 +221,85 @@ def test_packed_bf16io_mixed_precision_class():
     assert rel_l2_err(ru, ru_ref) <= 4e-3
 
 
+def test_bf16_io_kernels_differentiable():
+    """Round 3: the mixed-precision residual kernels carry custom VJPs (the
+    f32 field adjoint of the staged op with straight-through dtype casts),
+    checked against jax.grad of the explicit cast-wrapped staged function.
+    Closes the round-2 'bf16 arms are non-differentiable' API hole."""
+    from phys_autodiff_tpu.pallas.residuals import (
+        grid_to_flat,
+        pack_fields,
+        residuals_fused_flat_bf16,
+        residuals_fused_packed_bf16,
+        residuals_fused_packed_mixed_out,
+        _flat_residuals_ops,
+        _packed_residuals_ops,
+    )
+
+    g = GridSpec(nx=128, ny=16, nz=8, hx=0.3, hy=0.3, hz=0.3, dt=1e-2)
+    fs = _snapshots(g)
+    packed = pack_fields(fs)
+    probe = jnp.asarray(
+        np.random.Generator(np.random.MT19937(5)).standard_normal(
+            (4,) + g.shape
+        ),
+        jnp.float32,
+    )
+
+    def check(kernel_fn, ref_fn, x):
+        gk = jax.grad(
+            lambda p: jnp.sum(kernel_fn(p).astype(jnp.float32) * probe)
+        )(x)
+        gr = jax.grad(
+            lambda p: jnp.sum(ref_fn(p).astype(jnp.float32) * probe)
+        )(x)
+        assert gk.dtype == gr.dtype == x.dtype
+        assert rel_l2_err(
+            gk.astype(jnp.float32), gr.astype(jnp.float32)
+        ) <= 1e-6
+
+    # bf16 in / bf16 out (packed)
+    check(
+        lambda p: residuals_fused_packed_bf16(g, p, True),
+        lambda p: _packed_residuals_ops(g, p.astype(jnp.float32)).astype(
+            jnp.bfloat16
+        ),
+        packed.astype(jnp.bfloat16),
+    )
+    # f32 in / bf16 out (packed)
+    check(
+        lambda p: residuals_fused_packed_mixed_out(g, p, True),
+        lambda p: _packed_residuals_ops(g, p).astype(jnp.bfloat16),
+        packed,
+    )
+    # bf16 in / bf16 out (flat layout)
+    gfl = GridSpec(nx=24, ny=16, nz=6, hx=0.3, hy=0.3, hz=0.3, dt=1e-2)
+    fsf = _snapshots(gfl)
+    flat16 = grid_to_flat(gfl, pack_fields(fsf)).astype(jnp.bfloat16)
+    probe_f = jnp.asarray(
+        np.random.Generator(np.random.MT19937(7)).standard_normal(
+            (4, gfl.nz, (gfl.ny * gfl.nx) // 128, 128)
+        ),
+        jnp.float32,
+    )
+
+    def scalf(fn):
+        return lambda p: jnp.sum(fn(p).astype(jnp.float32) * probe_f)
+
+    gk = jax.grad(scalf(lambda p: residuals_fused_flat_bf16(gfl, p, True)))(
+        flat16
+    )
+    gr = jax.grad(
+        scalf(
+            lambda p: _flat_residuals_ops(gfl, p.astype(jnp.float32)).astype(
+                jnp.bfloat16
+            )
+        )
+    )(flat16)
+    assert gk.dtype == gr.dtype == jnp.bfloat16
+    assert rel_l2_err(gk.astype(jnp.float32), gr.astype(jnp.float32)) <= 1e-6
+
+
 # ---------------------------------------------------------------------------
 # FLAT-layout kernels (nx % 128 != 0, ny*nx % 128 == 0)
 # ---------------------------------------------------------------------------
