@@ -54,24 +54,22 @@ def bench_train_step(
 
 
 def bench_ngp_train_step(
-    g: GridSpec, seed: int = 777, precision: str = "f32"
+    g: GridSpec, seed: int = 777, precision: str = "f32",
+    backward: str = "auto",
 ) -> float:
     """ms/step for the NGP hash-encoded field model (framework extension —
-    no reference analogue): dense-level encoder, model-agnostic step,
-    physics loss fused on real accelerators (train.make_generic_train_step
-    physics_loss="auto"). precision="bf16" runs the decode-head matmuls in
-    the mixed tier."""
+    no reference analogue): dense-level encoder + either the one-kernel NGP
+    backward mega-kernel (backward="mega"/"auto" on hardware) or
+    jax.value_and_grad through the XLA pipeline with the fused physics loss
+    (backward="xla"). precision="bf16" runs the head matmuls in the mixed
+    tier."""
     from phys_autodiff_tpu.models import ngp
     from phys_autodiff_tpu.utils.config import PhysWeights as _PW
 
     ncfg = ngp.NGPFieldConfig()
     params = ngp.init_ngp_params(ncfg, seed=seed)
     cfg = train_loop.TrainConfig(t_sampling="fixed")
-    step, state0 = train_loop.make_generic_train_step(
-        g,
-        _PW(),
-        lambda p, t: ngp.generate_fields(g, ncfg, p, t, g.dt, precision),
-        cfg,
-        params,
+    step, state0 = train_loop.make_ngp_train_step(
+        g, _PW(), ncfg, cfg, params, precision=precision, backward=backward
     )
     return time_train_step(lambda s: step(s), state0)

@@ -317,6 +317,49 @@ def _axis_lerp_dense(grid, n: int, r: int, axis: int):
     return jnp.moveaxis(out, -1, axis)
 
 
+def encode_grid_zcf(cfg: HashEncodingConfig, tables, g) -> jnp.ndarray:
+    """encode_grid in the z-major CHANNEL-FIRST layout [nz, L*F, ny, nx]
+    the NGP backward mega-kernel consumes (pallas/mega_ngp.py) — per-z
+    blocks of feature planes, so the kernel's BlockSpec fetches one row's
+    encoding per program.
+
+    Built without any grid-sized transpose: each level's corner lattice is
+    transposed FIRST (corner-lattice-sized, <= ~17 MB at r=128 vs 75 MB at
+    the flagship grid) to [z, F, y, x], then the three separable resamples
+    run on axes (0, 2, 3), and levels concatenate on the feature axis.
+    Numerically identical to encode_grid up to summation order (the same
+    static resampling weights contract the same corner values)."""
+    nz, ny, nx = g.shape
+    hash_tables, dense = _tables_view(cfg, tables)
+    hash_pos = {l: i for i, l in enumerate(cfg.hash_levels())}
+    outs = []
+    for lvl, r in enumerate(cfg.level_resolutions()):
+        r = int(r)
+        if lvl in dense:
+            corner = dense[lvl]  # [r+1, r+1, r+1, F]
+        else:
+            ii = np.arange(r + 1, dtype=np.uint32)
+            hx = ii * np.uint32(_PRIMES[0])
+            hy = ii * np.uint32(_PRIMES[1])
+            hz = ii * np.uint32(_PRIMES[2])
+            hsh = hz[:, None, None] ^ hy[None, :, None] ^ hx[None, None, :]
+            idx = (hsh & np.uint32(cfg.table_size - 1)).astype(np.int32)
+            corner = jnp.take(
+                hash_tables[hash_pos[lvl]], jnp.asarray(idx.ravel()), axis=0
+            ).reshape(r + 1, r + 1, r + 1, cfg.features_per_level)
+        corner = jnp.moveaxis(corner, -1, 1)  # [z, F, y, x] (lattice-sized)
+        if lvl in dense:
+            lev = _axis_lerp_dense(corner, nz, r, 0)
+            lev = _axis_lerp_dense(lev, ny, r, 2)
+            lev = _axis_lerp_dense(lev, nx, r, 3)
+        else:
+            lev = _axis_lerp(corner, nz, r, 0)
+            lev = _axis_lerp(lev, ny, r, 2)
+            lev = _axis_lerp(lev, nx, r, 3)
+        outs.append(lev)  # [nz, F, ny, nx]
+    return jnp.concatenate(outs, axis=1)
+
+
 def encode_grid(cfg: HashEncodingConfig, tables, g) -> jnp.ndarray:
     """Hash-encode every point of a REGULAR grid (GridSpec g, coords
     v/(n-1) in [0,1] per axis) -> [nz, ny, nx, L*F].

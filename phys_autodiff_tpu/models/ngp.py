@@ -63,13 +63,20 @@ def _apply_head(params: dict, enc: jnp.ndarray, t):
     its semantics live (time channel concat, relu, f32-accumulated dots)."""
     t_chan = jnp.broadcast_to(jnp.float32(t), enc.shape[:-1] + (1,))
     h = jnp.concatenate([enc, t_chan], axis=-1)
+    # HIGHEST: on TPU the DEFAULT matmul precision runs bf16-class passes,
+    # which would silently demote this f32 reference path (discovered in
+    # round 3 when the NGP mega-kernel, which pins HIGHEST, "failed" parity
+    # against it on hardware by exactly one bf16 class). Same doctrine as
+    # the coordinate MLP's pinned matmuls.
     a1 = jnp.maximum(
-        jnp.dot(h, params["W1"], preferred_element_type=jnp.float32)
+        jnp.dot(h, params["W1"], preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
         + params["b1"],
         0.0,
     )
     return (
-        jnp.dot(a1, params["W2"], preferred_element_type=jnp.float32)
+        jnp.dot(a1, params["W2"], preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
         + params["b2"]
     )
 
@@ -87,8 +94,14 @@ def _head_base(params: dict, enc: jnp.ndarray, precision: str = "f32"):
     w1 = params["W1"][:-1]
     if precision == "bf16":
         enc, w1 = enc.astype(jnp.bfloat16), w1.astype(jnp.bfloat16)
+    prec = (
+        jax.lax.Precision.DEFAULT
+        if precision == "bf16"
+        else jax.lax.Precision.HIGHEST  # f32 tier: TPU DEFAULT is bf16-class
+    )
     return (
-        jnp.dot(enc, w1, preferred_element_type=jnp.float32) + params["b1"]
+        jnp.dot(enc, w1, preferred_element_type=jnp.float32, precision=prec)
+        + params["b1"]
     )
 
 
@@ -101,7 +114,15 @@ def _head_from_base(params: dict, base: jnp.ndarray, t, precision: str = "f32"):
     w2 = params["W2"]
     if precision == "bf16":
         a1, w2 = a1.astype(jnp.bfloat16), w2.astype(jnp.bfloat16)
-    return jnp.dot(a1, w2, preferred_element_type=jnp.float32) + params["b2"]
+    prec = (
+        jax.lax.Precision.DEFAULT
+        if precision == "bf16"
+        else jax.lax.Precision.HIGHEST
+    )
+    return (
+        jnp.dot(a1, w2, preferred_element_type=jnp.float32, precision=prec)
+        + params["b2"]
+    )
 
 
 def forward(
@@ -156,6 +177,59 @@ def grid_infer(g: GridSpec, cfg: NGPFieldConfig, params: dict, t):
     dynamic gathers."""
     enc = hash_encoder.encode_grid(cfg.encoding, params["tables"], g)
     return _apply_head(params, enc, t)
+
+
+def _head_from_base_cf(params: dict, base, t, precision: str = "f32"):
+    """Channel-FIRST decode-head finish: [4, nz, ny, nx] directly from the
+    shared layer-1 base — one dot_general with the output channel axis
+    leading, so no channels-last [..., 4] tensor ever exists (the
+    [nz,ny,nx,4] -> plane moveaxis was a measured ~ms-class relayout tax in
+    the NGP train step, paid again transposed in the backward)."""
+    z1 = base + jnp.float32(t) * params["W1"][-1]
+    a1 = jnp.maximum(z1, 0.0)
+    w2t = params["W2"].T  # [4, H]
+    if precision == "bf16":
+        a1, w2t = a1.astype(jnp.bfloat16), w2t.astype(jnp.bfloat16)
+    out = jax.lax.dot_general(
+        w2t, a1,
+        dimension_numbers=(((1,), (3,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=(
+            jax.lax.Precision.DEFAULT
+            if precision == "bf16"
+            else jax.lax.Precision.HIGHEST
+        ),
+    )  # [4, nz, ny, nx]
+    return out + params["b2"][:, None, None, None]
+
+
+def generate_fields_packed(
+    g: GridSpec, cfg: NGPFieldConfig, params: dict, t, dt,
+    precision: str = "f32",
+) -> jnp.ndarray:
+    """Fields at (t-dt, t, t+dt) DIRECTLY in the packed [12, nz, ny, nx]
+    layout the fused physics-loss kernels consume (residuals.PACKED_ORDER:
+    three sigma slices, then u_tm1/u_t/u_tp1 component-major).
+
+    Same math as generate_fields + pack_fields, but the decode heads emit
+    channel-first (see _head_from_base_cf) and the slices assemble with
+    leading-axis concats only — no FieldSnapshots, no [..., 4] moveaxis, no
+    pack-time restack. This is the NGP fast path for training on real
+    accelerators (train.make_generic_train_step feeds it to
+    loss_forward_fused_packed)."""
+    enc = hash_encoder.encode_grid(cfg.encoding, params["tables"], g)
+    base = _head_base(params, enc, precision)
+    t = jnp.float32(t)
+    dt = jnp.float32(dt)
+    ys = [
+        _head_from_base_cf(params, base, tt, precision)
+        for tt in (t - dt, t, t + dt)
+    ]
+    return jnp.concatenate(
+        [ys[0][0:1], ys[1][0:1], ys[2][0:1], ys[0][1:4], ys[1][1:4],
+         ys[2][1:4]],
+        axis=0,
+    )
 
 
 def generate_fields(

@@ -253,6 +253,293 @@ def _dyt(v, inv2hy, periodic: bool):
     return out * inv2hy
 
 
+class _PlaneOps:
+    """Plane closures + physics scalars shared by the backward mega-kernels
+    (the coordinate-MLP one below and the NGP one in pallas/mega_ngp.py):
+    in-plane shifts sx/sy (edge-duplicating), zero-fill shifts zx/zy (for
+    transposes), flat-index position maps, and the stage-2 / stage-3 math
+    builders. Pure trace-time machinery — every method is called inside a
+    kernel body on VMEM-resident planes."""
+
+    def __init__(self, g: GridSpec, w: PhysWeights):
+        assert g.scheme in ("central", "upwind")
+        self.g = g
+        self.upwind = g.scheme == "upwind"
+        self.per = g.periodic
+        nz, ny, nx = g.shape
+        self.nz, self.ny, self.nx = nz, ny, nx
+        self.flat = mega_flat(g)
+        if self.flat:
+            self.pny, self.pnx = flat_rows(g), 128
+            self.sx_, self.sy_ = make_flat_shifters(g)
+            self._fxt, self._fyt = _make_flat_transposes(g)
+            self.zx_, self.zy_ = _make_flat_zero_shifts(g)
+            self.xpos = lambda v: _flat_xy(v, nx)[0]
+            self.ypos = lambda v: _flat_xy(v, nx)[1]
+        else:
+            self.pny, self.pnx = ny, nx
+            self.sx_ = lambda c, d: _shift_last(c, d, g.periodic)
+            self.sy_ = lambda c, d: _shift_sub(c, d, g.periodic)
+            self.zx_ = lambda v, d: _zero_shift(v, d, -1, g.periodic)
+            self.zy_ = lambda v, d: _zero_shift(v, d, -2, g.periodic)
+            self.xpos = lambda v: jax.lax.broadcasted_iota(
+                jnp.int32, v.shape, v.ndim - 1
+            )
+            self.ypos = lambda v: jax.lax.broadcasted_iota(
+                jnp.int32, v.shape, v.ndim - 2
+            )
+        self.inv2dt = np.float32(1.0 / (2.0 * float(np.float32(g.dt))))
+        self.inv2hx = np.float32(1.0 / (2.0 * float(np.float32(g.hx))))
+        self.inv2hy = np.float32(1.0 / (2.0 * float(np.float32(g.hy))))
+        self.inv2hz = np.float32(1.0 / (2.0 * float(np.float32(g.hz))))
+        self.invhx = np.float32(2.0) * self.inv2hx
+        self.invhy = np.float32(2.0) * self.inv2hy
+        self.invhz = np.float32(2.0) * self.inv2hz
+        n_cells = np.float32(g.num_cells)
+        self.ss = np.float32(2.0) * np.float32(w.w_sigma) / n_cells
+        self.su = np.float32(2.0) * np.float32(w.w_u) / n_cells
+
+    def ddx(self, c):
+        return (self.sx_(c, 1) - self.sx_(c, -1)) * self.inv2hx
+
+    def ddy(self, c):
+        return (self.sy_(c, 1) - self.sy_(c, -1)) * self.inv2hy
+
+    def dxt(self, v):
+        return (
+            self._fxt(v) * self.inv2hx
+            if self.flat
+            else _dxt(v, self.inv2hx, self.per)
+        )
+
+    def dyt(self, v):
+        return (
+            self._fyt(v) * self.inv2hy
+            if self.flat
+            else _dyt(v, self.inv2hy, self.per)
+        )
+
+    def phys_row(self, lz):
+        if self.per:
+            return jax.lax.rem(lz + 2 * self.nz, self.nz)
+        return jnp.clip(lz, 0, self.nz - 1)
+
+    def stage2_residuals(self, w_lo, w_mid, w_hi):
+        """Transport residual for the window's middle row (12-channel field
+        rows below/at/above). Returns (r_sigma, r_ux, r_uy, r_uz)."""
+        inv2dt, inv2hz = self.inv2dt, self.inv2hz
+        invhx, invhy, invhz = self.invhx, self.invhy, self.invhz
+        sx_, sy_, ddx, ddy = self.sx_, self.sy_, self.ddx, self.ddy
+        sc = w_mid[4]
+        u = (w_mid[5], w_mid[6], w_mid[7])
+
+        def ddz(ch):
+            return (w_hi[ch] - w_lo[ch]) * inv2hz
+
+        div_u = ddx(u[0]) + ddy(u[1]) + ddz(7)  # central in both schemes
+        if self.upwind:
+            # one-sided advection (residuals._slab_residuals upwind arm);
+            # clamp z edges come out right automatically: the logical
+            # halo rows are clipped copies, so (c - c_lo) vanishes at
+            # row 0 exactly like the clamped one-sided difference.
+            def adv(ch):
+                c = w_mid[ch]
+                bx = (c - sx_(c, -1)) * invhx
+                fx = (sx_(c, 1) - c) * invhx
+                by = (c - sy_(c, -1)) * invhy
+                fy = (sy_(c, 1) - c) * invhy
+                bz = (c - w_lo[ch]) * invhz
+                fz = (w_hi[ch] - c) * invhz
+                return (
+                    u[0] * jnp.where(u[0] > 0.0, bx, fx)
+                    + u[1] * jnp.where(u[1] > 0.0, by, fy)
+                    + u[2] * jnp.where(u[2] > 0.0, bz, fz)
+                )
+
+            adv_s, adv_x, adv_y, adv_z = adv(4), adv(5), adv(6), adv(7)
+        else:
+            dux = (ddx(u[0]), ddy(u[0]), ddz(5))
+            duy = (ddx(u[1]), ddy(u[1]), ddz(6))
+            duz = (ddx(u[2]), ddy(u[2]), ddz(7))
+            ds = (ddx(sc), ddy(sc), ddz(4))
+            adv_s = u[0] * ds[0] + u[1] * ds[1] + u[2] * ds[2]
+            adv_x = u[0] * dux[0] + u[1] * dux[1] + u[2] * dux[2]
+            adv_y = u[0] * duy[0] + u[1] * duy[1] + u[2] * duy[2]
+            adv_z = u[0] * duz[0] + u[1] * duz[1] + u[2] * duz[2]
+
+        r_sigma = (w_mid[8] - w_mid[0]) * inv2dt + adv_s + sc * div_u
+        r_ux = (w_mid[9] - w_mid[1]) * inv2dt + adv_x
+        r_uy = (w_mid[10] - w_mid[2]) * inv2dt + adv_y
+        r_uz = (w_mid[11] - w_mid[3]) * inv2dt + adv_z
+        return r_sigma, r_ux, r_uy, r_uz
+
+    def stage3_adjoint(self, f_lo, f_md, f_hi, g_lo, g_md, g_hi, d):
+        """Field cotangents for global row d from the field window (f_*) and
+        the scaled residual-cotangent window (g_*). Returns gy_rows: a
+        3-tuple (slices tm1, t, tp1) of 4-tuples (sigma, ux, uy, uz) of
+        planes — the hand-derived stencil adjoint (module docstring)."""
+        per, nz, nx, ny = self.per, self.nz, self.nx, self.ny
+        inv2dt, inv2hz = self.inv2dt, self.inv2hz
+        invhx, invhy, invhz = self.invhx, self.invhy, self.invhz
+        sx_, sy_, zx_, zy_ = self.sx_, self.sy_, self.zx_, self.zy_
+        ddx, ddy, dxt, dyt = self.ddx, self.ddy, self.dxt, self.dyt
+        xpos, ypos = self.xpos, self.ypos
+        gs = g_md[0]
+        gu = (g_md[1], g_md[2], g_md[3])
+        sc = f_md[4]
+        u = (f_md[5], f_md[6], f_md[7])
+
+        def ddz(ch):
+            return (f_hi[ch] - f_lo[ch]) * inv2hz
+
+        div_u = ddx(u[0]) + ddy(u[1]) + ddz(7)
+
+        def zleg(fch, gch):
+            """z part of D^T for product V = F[fch] * G[gch]:
+            inv2hz*(V[d-1] - V[d+1]) with clamp edge corrections."""
+            v_lo = f_lo[fch] * g_lo[gch]
+            v_hi = f_hi[fch] * g_hi[gch]
+            out = (v_lo - v_hi) * inv2hz
+            if not per:
+                # Clamp: row 0's z-stencil is (f[1]-f[0])/2h, so its
+                # adjoint scatters -V[0] to itself; the logical row -1
+                # (a clipped fake whose products are NOT V[0]) must not
+                # contribute. dF[0] = -(V[0] + V[1])/2h and
+                # dF[nz-1] = +(V[nz-2] + V[nz-1])/2h, with V[d] taken
+                # from the true row-d products.
+                v_md = f_md[fch] * g_md[gch]
+                out = jnp.where(d == 0, -(v_md + v_hi) * inv2hz, out)
+                out = jnp.where(d == nz - 1, (v_lo + v_md) * inv2hz, out)
+            return out
+
+        if self.upwind:
+            # Upwind adjoint. The advection is u_b * D_b^up(c) with
+            # D^up(c)[x] = s[x]*(c[x]-c[x-1])/h + (1-s[x])*(c[x+1]-c[x])/h,
+            # s = (u_b > 0) frozen at the primal (the a.e. derivative of
+            # the where). Two leg kinds:
+            #   velocity legs (elementwise): g * D_b^up(c);
+            #   carried-field transpose with weights w = u_b * g:
+            #     dc[x] = ( wb[x] - wf[x] - wb[x+1] + wf[x-1] ) / h,
+            #     wb = s*w (backward branch), wf = (1-s)*w (forward),
+            #   since row x's backward difference touches c[x] (+) and
+            #   c[x-1] (-), the forward one c[x+1] (+) and c[x] (-).
+            # Clamp: an edge row's outward branch degenerates to 0 in
+            # the forward ((c-c)/h via the clipped halo), so its weight
+            # is masked out; out-of-range neighbor terms are dropped.
+            selx, sely, selz = u[0] > 0.0, u[1] > 0.0, u[2] > 0.0
+
+            def upx(c):
+                b = (c - sx_(c, -1)) * invhx
+                f = (sx_(c, 1) - c) * invhx
+                return jnp.where(selx, b, f)
+
+            def upy(c):
+                b = (c - sy_(c, -1)) * invhy
+                f = (sy_(c, 1) - c) * invhy
+                return jnp.where(sely, b, f)
+
+            def upz(ch):
+                b = (f_md[ch] - f_lo[ch]) * invhz
+                f = (f_hi[ch] - f_md[ch]) * invhz
+                return jnp.where(selz, b, f)
+
+            def uwt_x(wv):
+                wb = jnp.where(selx, wv, 0.0)
+                wf = wv - wb
+                if not per:
+                    x = xpos(wv)
+                    wb = jnp.where(x == 0, 0.0, wb)
+                    wf = jnp.where(x == nx - 1, 0.0, wf)
+                return (wb - wf - zx_(wb, 1) + zx_(wf, -1)) * invhx
+
+            def uwt_y(wv):
+                wb = jnp.where(sely, wv, 0.0)
+                wf = wv - wb
+                if not per:
+                    y = ypos(wv)
+                    wb = jnp.where(y == 0, 0.0, wb)
+                    wf = jnp.where(y == ny - 1, 0.0, wf)
+                return (wb - wf - zy_(wb, 1) + zy_(wf, -1)) * invhy
+
+            def uwt_z(gch):
+                w_md_ = u[2] * g_md[gch]
+                wb_md = jnp.where(selz, w_md_, 0.0)
+                wf_md = w_md_ - wb_md
+                w_hi_ = f_hi[7] * g_hi[gch]
+                wb_hi = jnp.where(f_hi[7] > 0.0, w_hi_, 0.0)
+                w_lo_ = f_lo[7] * g_lo[gch]
+                wf_lo = jnp.where(f_lo[7] > 0.0, 0.0, w_lo_)
+                if not per:
+                    # row 0 has no backward branch, row nz-1 no forward;
+                    # neighbor terms from nonexistent rows are dropped
+                    # (g_lo at d=0 / g_hi at d=nz-1 are clipped fakes)
+                    wb_md = jnp.where(d == 0, 0.0, wb_md)
+                    wf_md = jnp.where(d == nz - 1, 0.0, wf_md)
+                    wb_hi = jnp.where(d == nz - 1, 0.0, wb_hi)
+                    wf_lo = jnp.where(d == 0, 0.0, wf_lo)
+                return (wb_md - wf_md - wb_hi + wf_lo) * invhz
+
+            dsig = (
+                uwt_x(u[0] * gs) + uwt_y(u[1] * gs) + uwt_z(0)
+                + gs * div_u
+            )
+            dux_t = (
+                gs * upx(sc)
+                + gu[0] * upx(u[0]) + gu[1] * upx(u[1]) + gu[2] * upx(u[2])
+                + dxt(sc * gs)      # sigma*div_u leg stays central
+                + uwt_x(u[0] * gu[0]) + uwt_y(u[1] * gu[0]) + uwt_z(1)
+            )
+            duy_t = (
+                gs * upy(sc)
+                + gu[0] * upy(u[0]) + gu[1] * upy(u[1]) + gu[2] * upy(u[2])
+                + dyt(sc * gs)
+                + uwt_x(u[0] * gu[1]) + uwt_y(u[1] * gu[1]) + uwt_z(2)
+            )
+            duz_t = (
+                gs * upz(4)
+                + gu[0] * upz(5) + gu[1] * upz(6) + gu[2] * upz(7)
+                + zleg(4, 0)        # D_z^T(sigma*gs), central
+                + uwt_x(u[0] * gu[2]) + uwt_y(u[1] * gu[2]) + uwt_z(3)
+            )
+        else:
+            dsig = (
+                dxt(u[0] * gs)
+                + dyt(u[1] * gs)
+                + zleg(7, 0)          # P_z = u_z * gs
+                + gs * div_u
+            )
+            dux_t = (
+                gs * ddx(sc)
+                + gu[0] * ddx(u[0]) + gu[1] * ddx(u[1]) + gu[2] * ddx(u[2])
+                + dxt(sc * gs)          # D_x^T(Q)
+                + dxt(u[0] * gu[0])     # D_x^T(T_xx)
+                + dyt(u[1] * gu[0])     # D_y^T(T_yx)
+                + zleg(7, 1)                          # D_z^T(T_zx)
+            )
+            duy_t = (
+                gs * ddy(sc)
+                + gu[0] * ddy(u[0]) + gu[1] * ddy(u[1]) + gu[2] * ddy(u[2])
+                + dyt(sc * gs)
+                + dxt(u[0] * gu[1])
+                + dyt(u[1] * gu[1])
+                + zleg(7, 2)
+            )
+            duz_t = (
+                gs * ddz(4)
+                + gu[0] * ddz(5) + gu[1] * ddz(6) + gu[2] * ddz(7)
+                + zleg(4, 0)                          # D_z^T(Q)
+                + dxt(u[0] * gu[2])
+                + dyt(u[1] * gu[2])
+                + zleg(7, 3)
+            )
+
+        return (
+            (-gs * inv2dt, -gu[0] * inv2dt, -gu[1] * inv2dt, -gu[2] * inv2dt),
+            (dsig, dux_t, duy_t, duz_t),
+            (gs * inv2dt, gu[0] * inv2dt, gu[1] * inv2dt, gu[2] * inv2dt),
+        )
+
+
 def _build_bwd_call(
     g: GridSpec, h: int, w: PhysWeights, precision, interpret,
     nz_local: int | None = None, hk: int | None = None,
@@ -270,33 +557,9 @@ def _build_bwd_call(
     difference/transpose closures swap to the flat cyclic-shift forms, and
     everything else (MLP stages, z legs, reductions) is layout-oblivious —
     a plane is just ny*nx contiguous cells either way."""
-    assert g.scheme in ("central", "upwind")
-    upwind = g.scheme == "upwind"
+    ops = _PlaneOps(g, w)
     nz, ny, nx = g.shape
-    flat = mega_flat(g)
-    if flat:
-        pny, pnx = flat_rows(g), 128
-        sx_, sy_ = make_flat_shifters(g)
-        _fxt, _fyt = _make_flat_transposes(g)
-        zx_, zy_ = _make_flat_zero_shifts(g)
-
-        def xpos(v):
-            return _flat_xy(v, nx)[0]
-
-        def ypos(v):
-            return _flat_xy(v, nx)[1]
-    else:
-        pny, pnx = ny, nx
-        sx_ = lambda c, d: _shift_last(c, d, g.periodic)
-        sy_ = lambda c, d: _shift_sub(c, d, g.periodic)
-        zx_ = lambda v, d: _zero_shift(v, d, -1, g.periodic)
-        zy_ = lambda v, d: _zero_shift(v, d, -2, g.periodic)
-
-        def xpos(v):
-            return jax.lax.broadcasted_iota(jnp.int32, v.shape, v.ndim - 1)
-
-        def ypos(v):
-            return jax.lax.broadcasted_iota(jnp.int32, v.shape, v.ndim - 2)
+    flat, pny, pnx = ops.flat, ops.pny, ops.pnx
     if nz_local is None:
         nz_local = nz
     n_prog = nz_local + 4
@@ -314,24 +577,7 @@ def _build_bwd_call(
     # dW2T: Mosaic's tpu.matmul needs a single contracting dim, so the
     # [*, ny, nx] operands are collapsed to [*, ny*nx] first.
     dims_dw2 = (((1,), (1,)), ((), ()))         # [4,M] x [hk,M] -> [4,hk]
-
-    inv2dt = np.float32(1.0 / (2.0 * float(np.float32(g.dt))))
-    inv2hx = np.float32(1.0 / (2.0 * float(np.float32(g.hx))))
-    inv2hy = np.float32(1.0 / (2.0 * float(np.float32(g.hy))))
-    inv2hz = np.float32(1.0 / (2.0 * float(np.float32(g.hz))))
-    # one-sided upwind steps (same arithmetic as residuals._slab_residuals)
-    invhx = np.float32(2.0) * inv2hx
-    invhy = np.float32(2.0) * inv2hy
-    invhz = np.float32(2.0) * inv2hz
-    per = g.periodic
-    n_cells = np.float32(g.num_cells)
-    ss = np.float32(2.0) * np.float32(w.w_sigma) / n_cells
-    su = np.float32(2.0) * np.float32(w.w_u) / n_cells
-
-    def phys_row(lz):
-        if per:
-            return jax.lax.rem(lz + 2 * nz, nz)
-        return jnp.clip(lz, 0, nz - 1)
+    phys_row = ops.phys_row
 
     def fslot_i(j):  # field row written at program j lives in slot j % 5
         return jax.lax.rem(j + 20, 5)
@@ -363,66 +609,13 @@ def _build_bwd_call(
             fwd_mode=fwd_mode, dot_prec=dot_prec,
         )
 
-        def ddx(c):
-            return (sx_(c, 1) - sx_(c, -1)) * inv2hx
-
-        def ddy(c):
-            return (sy_(c, 1) - sy_(c, -1)) * inv2hy
-
-        def dxt(v):
-            return _fxt(v) * inv2hx if flat else _dxt(v, inv2hx, per)
-
-        def dyt(v):
-            return _fyt(v) * inv2hy if flat else _dyt(v, inv2hy, per)
-
         # ---- stage 2: residual + cotangents, global row r = z0 + i-3 -----
         @pl.when(i >= 2)
         def _():
             r = z0 + i - 3
-            w_lo, w_mid, w_hi = (
+            r_sigma, r_ux, r_uy, r_uz = ops.stage2_residuals(
                 fwin[fslot_i(i - 2)], fwin[fslot_i(i - 1)], fwin[fslot_i(i)]
             )
-            sc = w_mid[4]
-            u = (w_mid[5], w_mid[6], w_mid[7])
-
-            def ddz(ch):
-                return (w_hi[ch] - w_lo[ch]) * inv2hz
-
-            div_u = ddx(u[0]) + ddy(u[1]) + ddz(7)  # central in both schemes
-            if upwind:
-                # one-sided advection (residuals._slab_residuals upwind arm);
-                # clamp z edges come out right automatically: the logical
-                # halo rows are clipped copies, so (c - c_lo) vanishes at
-                # row 0 exactly like the clamped one-sided difference.
-                def adv(ch):
-                    c = w_mid[ch]
-                    bx = (c - sx_(c, -1)) * invhx
-                    fx = (sx_(c, 1) - c) * invhx
-                    by = (c - sy_(c, -1)) * invhy
-                    fy = (sy_(c, 1) - c) * invhy
-                    bz = (c - w_lo[ch]) * invhz
-                    fz = (w_hi[ch] - c) * invhz
-                    return (
-                        u[0] * jnp.where(u[0] > 0.0, bx, fx)
-                        + u[1] * jnp.where(u[1] > 0.0, by, fy)
-                        + u[2] * jnp.where(u[2] > 0.0, bz, fz)
-                    )
-
-                adv_s, adv_x, adv_y, adv_z = adv(4), adv(5), adv(6), adv(7)
-            else:
-                dux = (ddx(u[0]), ddy(u[0]), ddz(5))
-                duy = (ddx(u[1]), ddy(u[1]), ddz(6))
-                duz = (ddx(u[2]), ddy(u[2]), ddz(7))
-                ds = (ddx(sc), ddy(sc), ddz(4))
-                adv_s = u[0] * ds[0] + u[1] * ds[1] + u[2] * ds[2]
-                adv_x = u[0] * dux[0] + u[1] * dux[1] + u[2] * dux[2]
-                adv_y = u[0] * duy[0] + u[1] * duy[1] + u[2] * duy[2]
-                adv_z = u[0] * duz[0] + u[1] * duz[1] + u[2] * duz[2]
-
-            r_sigma = (w_mid[8] - w_mid[0]) * inv2dt + adv_s + sc * div_u
-            r_ux = (w_mid[9] - w_mid[1]) * inv2dt + adv_x
-            r_uy = (w_mid[10] - w_mid[2]) * inv2dt + adv_y
-            r_uz = (w_mid[11] - w_mid[3]) * inv2dt + adv_z
 
             # raw per-plane partials (weights applied by sum_partials)
             r_loc = r - z0
@@ -436,179 +629,24 @@ def _build_bwd_call(
                 )
 
             sg = gslot_i(i)
-            gwin[sg, 0] = r_sigma * ss
-            gwin[sg, 1] = r_ux * su
-            gwin[sg, 2] = r_uy * su
-            gwin[sg, 3] = r_uz * su
+            gwin[sg, 0] = r_sigma * ops.ss
+            gwin[sg, 1] = r_ux * ops.su
+            gwin[sg, 2] = r_uy * ops.su
+            gwin[sg, 3] = r_uz * ops.su
 
         # ---- stage 3: adjoint + MLP backward, global row d = z0 + i-4 ----
         # (n_prog = nz_local + 4, so i-4 < nz_local holds for every program)
         @pl.when(i >= 4)
         def _():
             d = z0 + i - 4
-            g_md = gwin[gslot_i(i - 1)]
-            g_lo = gwin[gslot_i(i - 2)]
-            g_hi = gwin[gslot_i(i)]
-            f_md = fwin[fslot_i(i - 2)]
-            f_lo = fwin[fslot_i(i - 3)]
-            f_hi = fwin[fslot_i(i - 1)]
-            gs = g_md[0]
-            gu = (g_md[1], g_md[2], g_md[3])
-            sc = f_md[4]
-            u = (f_md[5], f_md[6], f_md[7])
-
-            def ddz(ch):
-                return (f_hi[ch] - f_lo[ch]) * inv2hz
-
-            div_u = ddx(u[0]) + ddy(u[1]) + ddz(7)
-
-            def zleg(fch, gch):
-                """z part of D^T for product V = F[fch] * G[gch]:
-                inv2hz*(V[d-1] - V[d+1]) with clamp edge corrections."""
-                v_lo = f_lo[fch] * g_lo[gch]
-                v_hi = f_hi[fch] * g_hi[gch]
-                out = (v_lo - v_hi) * inv2hz
-                if not per:
-                    # Clamp: row 0's z-stencil is (f[1]-f[0])/2h, so its
-                    # adjoint scatters -V[0] to itself; the logical row -1
-                    # (a clipped fake whose products are NOT V[0]) must not
-                    # contribute. dF[0] = -(V[0] + V[1])/2h and
-                    # dF[nz-1] = +(V[nz-2] + V[nz-1])/2h, with V[d] taken
-                    # from the true row-d products.
-                    v_md = f_md[fch] * g_md[gch]
-                    out = jnp.where(
-                        d == 0, -(v_md + v_hi) * inv2hz, out
-                    )
-                    out = jnp.where(
-                        d == nz - 1, (v_lo + v_md) * inv2hz, out
-                    )
-                return out
-
-            if upwind:
-                # Upwind adjoint. The advection is u_b * D_b^up(c) with
-                # D^up(c)[x] = s[x]*(c[x]-c[x-1])/h + (1-s[x])*(c[x+1]-c[x])/h,
-                # s = (u_b > 0) frozen at the primal (the a.e. derivative of
-                # the where). Two leg kinds:
-                #   velocity legs (elementwise): g * D_b^up(c);
-                #   carried-field transpose with weights w = u_b * g:
-                #     dc[x] = ( wb[x] - wf[x] - wb[x+1] + wf[x-1] ) / h,
-                #     wb = s*w (backward branch), wf = (1-s)*w (forward),
-                #   since row x's backward difference touches c[x] (+) and
-                #   c[x-1] (-), the forward one c[x+1] (+) and c[x] (-).
-                # Clamp: an edge row's outward branch degenerates to 0 in
-                # the forward ((c-c)/h via the clipped halo), so its weight
-                # is masked out; out-of-range neighbor terms are dropped.
-                selx, sely, selz = u[0] > 0.0, u[1] > 0.0, u[2] > 0.0
-
-                def upx(c):
-                    b = (c - sx_(c, -1)) * invhx
-                    f = (sx_(c, 1) - c) * invhx
-                    return jnp.where(selx, b, f)
-
-                def upy(c):
-                    b = (c - sy_(c, -1)) * invhy
-                    f = (sy_(c, 1) - c) * invhy
-                    return jnp.where(sely, b, f)
-
-                def upz(ch):
-                    b = (f_md[ch] - f_lo[ch]) * invhz
-                    f = (f_hi[ch] - f_md[ch]) * invhz
-                    return jnp.where(selz, b, f)
-
-                def uwt_x(wv):
-                    wb = jnp.where(selx, wv, 0.0)
-                    wf = wv - wb
-                    if not per:
-                        x = xpos(wv)
-                        wb = jnp.where(x == 0, 0.0, wb)
-                        wf = jnp.where(x == nx - 1, 0.0, wf)
-                    return (wb - wf - zx_(wb, 1) + zx_(wf, -1)) * invhx
-
-                def uwt_y(wv):
-                    wb = jnp.where(sely, wv, 0.0)
-                    wf = wv - wb
-                    if not per:
-                        y = ypos(wv)
-                        wb = jnp.where(y == 0, 0.0, wb)
-                        wf = jnp.where(y == ny - 1, 0.0, wf)
-                    return (wb - wf - zy_(wb, 1) + zy_(wf, -1)) * invhy
-
-                def uwt_z(gch):
-                    w_md_ = u[2] * g_md[gch]
-                    wb_md = jnp.where(selz, w_md_, 0.0)
-                    wf_md = w_md_ - wb_md
-                    w_hi_ = f_hi[7] * g_hi[gch]
-                    wb_hi = jnp.where(f_hi[7] > 0.0, w_hi_, 0.0)
-                    w_lo_ = f_lo[7] * g_lo[gch]
-                    wf_lo = jnp.where(f_lo[7] > 0.0, 0.0, w_lo_)
-                    if not per:
-                        # row 0 has no backward branch, row nz-1 no forward;
-                        # neighbor terms from nonexistent rows are dropped
-                        # (g_lo at d=0 / g_hi at d=nz-1 are clipped fakes)
-                        wb_md = jnp.where(d == 0, 0.0, wb_md)
-                        wf_md = jnp.where(d == nz - 1, 0.0, wf_md)
-                        wb_hi = jnp.where(d == nz - 1, 0.0, wb_hi)
-                        wf_lo = jnp.where(d == 0, 0.0, wf_lo)
-                    return (wb_md - wf_md - wb_hi + wf_lo) * invhz
-
-                dsig = (
-                    uwt_x(u[0] * gs) + uwt_y(u[1] * gs) + uwt_z(0)
-                    + gs * div_u
-                )
-                dux_t = (
-                    gs * upx(sc)
-                    + gu[0] * upx(u[0]) + gu[1] * upx(u[1]) + gu[2] * upx(u[2])
-                    + dxt(sc * gs)      # sigma*div_u leg stays central
-                    + uwt_x(u[0] * gu[0]) + uwt_y(u[1] * gu[0]) + uwt_z(1)
-                )
-                duy_t = (
-                    gs * upy(sc)
-                    + gu[0] * upy(u[0]) + gu[1] * upy(u[1]) + gu[2] * upy(u[2])
-                    + dyt(sc * gs)
-                    + uwt_x(u[0] * gu[1]) + uwt_y(u[1] * gu[1]) + uwt_z(2)
-                )
-                duz_t = (
-                    gs * upz(4)
-                    + gu[0] * upz(5) + gu[1] * upz(6) + gu[2] * upz(7)
-                    + zleg(4, 0)        # D_z^T(sigma*gs), central
-                    + uwt_x(u[0] * gu[2]) + uwt_y(u[1] * gu[2]) + uwt_z(3)
-                )
-            else:
-                dsig = (
-                    dxt(u[0] * gs)
-                    + dyt(u[1] * gs)
-                    + zleg(7, 0)          # P_z = u_z * gs
-                    + gs * div_u
-                )
-                dux_t = (
-                    gs * ddx(sc)
-                    + gu[0] * ddx(u[0]) + gu[1] * ddx(u[1]) + gu[2] * ddx(u[2])
-                    + dxt(sc * gs)          # D_x^T(Q)
-                    + dxt(u[0] * gu[0])     # D_x^T(T_xx)
-                    + dyt(u[1] * gu[0])     # D_y^T(T_yx)
-                    + zleg(7, 1)                          # D_z^T(T_zx)
-                )
-                duy_t = (
-                    gs * ddy(sc)
-                    + gu[0] * ddy(u[0]) + gu[1] * ddy(u[1]) + gu[2] * ddy(u[2])
-                    + dyt(sc * gs)
-                    + dxt(u[0] * gu[1])
-                    + dyt(u[1] * gu[1])
-                    + zleg(7, 2)
-                )
-                duz_t = (
-                    gs * ddz(4)
-                    + gu[0] * ddz(5) + gu[1] * ddz(6) + gu[2] * ddz(7)
-                    + zleg(4, 0)                          # D_z^T(Q)
-                    + dxt(u[0] * gu[2])
-                    + dyt(u[1] * gu[2])
-                    + zleg(7, 3)
-                )
-
-            gy_rows = (
-                (-gs * inv2dt, -gu[0] * inv2dt, -gu[1] * inv2dt, -gu[2] * inv2dt),
-                (dsig, dux_t, duy_t, duz_t),
-                (gs * inv2dt, gu[0] * inv2dt, gu[1] * inv2dt, gu[2] * inv2dt),
+            gy_rows = ops.stage3_adjoint(
+                fwin[fslot_i(i - 3)],  # f_lo
+                fwin[fslot_i(i - 2)],  # f_md
+                fwin[fslot_i(i - 1)],  # f_hi
+                gwin[gslot_i(i - 2)],  # g_lo
+                gwin[gslot_i(i - 1)],  # g_md
+                gwin[gslot_i(i)],      # g_hi
+                d,
             )
 
             # ---- MLP backward in the FLAT [*, ny*nx] layout ---------------

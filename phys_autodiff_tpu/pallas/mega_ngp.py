@@ -1,0 +1,410 @@
+"""The NGP backward mega-kernel: loss AND all head/encoder-cotangent
+gradients in one pass.
+
+Round-3 profiling pinned the NGP train step's cost on the XLA-level decode
+head, not the encoder: with dense levels the encoder runs 0.95 ms fwd and
+its backward is a free transposed matmul, while the head chain costs
+~8.5 ms of the 10.3 ms step — the [N, H] hidden activations are ~300 MB a
+pass at the flagship grid and XLA materializes them through HBM in both
+directions, plus MXU-hostile K=16 / K=4 contractions. That is exactly the
+disease pallas/mega_bwd.py cured for the coordinate MLP, so this kernel is
+its NGP twin: the same 3-stage rolling pipeline (field window -> residual
+cotangents -> hand-derived stencil adjoint, REUSED from mega_bwd's
+_PlaneOps), with stages 1/4 swapped from the rank-1 AB/CD tables to the
+hash-encoding head:
+
+  stage 1 (field row L = i-2): base[h] = sum_c W1[c,h]*enc[c] (the
+          time-independent layer-1 term; time enters as the rank-1 row
+          t*W1[-1] — models/ngp.py _head_base), three ReLU head slices
+          into the 5-row field window; enc rows arrive by BlockSpec from
+          the [nz, LF, ny, nx] encoding, base/enc rows are carried in
+          3-slot VMEM windows for stage 3.
+  stage 2 (residual row r = i-3): shared _PlaneOps.stage2_residuals ->
+          per-plane loss partials + scaled cotangents.
+  stage 3 (gradient row d = i-4): shared _PlaneOps.stage3_adjoint -> field
+          cotangents gy; then the head backward entirely in VMEM:
+          da1 (4 VPU FMAs or K=4 dot), dz1 = relu-mask, accumulators for
+          dW2/db2/dW1/db1/d(t-row), and dEnc[c] = sum_h W1[c,h]*dz1sum —
+          written back per row as the kernel's one grid-sized output
+          (16 B/cell, the encoder adjoint's input).
+
+Outside the kernel the encoder pulls dEnc back to the hash/dense tables
+through jax.vjp of the channel-first regular-grid encoder (transposed
+static resampling matmuls — no scatter; hash_encoder.encode_grid_zcf).
+
+HBM traffic per step: enc read (LF planes) + dEnc write + parameter-sized
+accumulators — ~150 MB total at the flagship grid vs the ~GB-class XLA
+activation traffic it replaces.
+
+No reference analogue (the reference has no hash encoding and never built
+training); the NGP extension itself is framed by the project north star.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from phys_autodiff_tpu.models import ngp as ngp_mod
+from phys_autodiff_tpu.models.hash_encoder import encode_grid_zcf
+from phys_autodiff_tpu.ops import loss as ops_loss
+from phys_autodiff_tpu.pallas.mega_bwd import (
+    _PlaneOps,
+    _resolve_mode,
+    mega_flat,
+    mega_supported,
+)
+from phys_autodiff_tpu.pallas.residuals import flat_rows
+from phys_autodiff_tpu.utils.config import GridSpec, PhysWeights
+
+
+def _default_interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def ngp_supported(g: GridSpec) -> bool:
+    """Same plane-alignment eligibility as the coordinate-MLP backward
+    mega-kernel (the stencil stages are literally shared)."""
+    return mega_supported(g)
+
+
+def _build_ngp_bwd_call(
+    g: GridSpec, lf: int, h: int, w: PhysWeights, precision, interpret
+):
+    ops = _PlaneOps(g, w)
+    nz = g.nz
+    pny, pnx = ops.pny, ops.pnx
+    m = pny * pnx
+    n_prog = nz + 4
+    da1_mode = _resolve_mode("da1", precision)
+    dw2_mode = _resolve_mode("dw2", precision)
+    fwd_mode = _resolve_mode("fwd", precision)
+    dot_prec = (
+        jax.lax.Precision.DEFAULT if precision == "bf16"
+        else jax.lax.Precision.HIGHEST
+    )
+    dims_dw2 = (((1,), (1,)), ((), ()))  # [4,M] x [h,M] -> [4,h]
+    dims_dw1 = (((1,), (1,)), ((), ()))  # [LF,M] x [h,M] -> [LF,h]
+    dims_denc = (((1,), (0,)), ((), ()))  # [LF,h] x [h,M] -> [LF,M]
+    dims_base = (((1,), (0,)), ((), ()))  # [h,LF] x [LF,M] -> [h,M]
+    phys_row = ops.phys_row
+
+    def fslot_i(j):
+        return jax.lax.rem(j + 20, 5)
+
+    def gslot_i(j):
+        return jax.lax.rem(j + 9, 3)
+
+    def eslot_i(j):
+        return jax.lax.rem(j + 9, 3)
+
+    def kernel(ts_ref, enc_ref, w1c_ref, w1hk_ref, tb1_ref, w2_ref,
+               w2hk_ref, b2_ref,
+               part_ref, denc_ref, dw1_ref, db1x_ref, dtw1x_ref, dw2_ref,
+               db2x_ref, fwin, gwin, bwin, ewin):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            dw1_ref[...] = jnp.zeros_like(dw1_ref)
+            db1x_ref[...] = jnp.zeros_like(db1x_ref)
+            dtw1x_ref[...] = jnp.zeros_like(dtw1x_ref)
+            dw2_ref[...] = jnp.zeros_like(dw2_ref)
+            db2x_ref[...] = jnp.zeros_like(db2x_ref)
+
+        b2 = b2_ref[...]  # [1, 4]
+
+        # ---- stage 1: head forward for logical field row L = i-2 ----------
+        enc = enc_ref[0]  # [LF, pny, pnx] (row phys(L) via the index map)
+        ewin[eslot_i(i)] = enc
+        if fwd_mode == "vpu":
+            base = w1hk_ref[:, 0:1][..., None] * enc[0]
+            for c in range(1, lf):
+                base = base + w1hk_ref[:, c : c + 1][..., None] * enc[c]
+        else:
+            basef = jax.lax.dot_general(
+                w1hk_ref[...], enc.reshape(lf, m),
+                dimension_numbers=dims_base,
+                preferred_element_type=jnp.float32, precision=dot_prec,
+            )
+            base = basef.reshape(h, pny, pnx)
+        bwin[eslot_i(i)] = base
+        slot_f = fslot_i(i)
+        for s in range(3):
+            z1 = base + tb1_ref[:, s : s + 1][..., None]
+            a1 = jnp.maximum(z1, 0.0)
+            if fwd_mode == "vpu":
+                for o in range(4):
+                    fwin[slot_f, s * 4 + o] = (
+                        jnp.sum(a1 * w2hk_ref[:, o : o + 1][..., None], axis=0)
+                        + b2[0, o]
+                    )
+            else:
+                a1f = a1.reshape(h, m)
+                w2c = w2_ref[...]
+                if precision == "bf16":
+                    a1f = a1f.astype(jnp.bfloat16)
+                    w2c = w2c.astype(jnp.bfloat16)
+                out = jax.lax.dot_general(
+                    w2c, a1f, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=dot_prec,
+                )  # [4, M]
+                outr = out.reshape(4, pny, pnx)
+                for o in range(4):
+                    fwin[slot_f, s * 4 + o] = outr[o] + b2[0, o]
+
+        # ---- stage 2: residual + cotangents, row r = i-3 -------------------
+        @pl.when(i >= 2)
+        def _():
+            r = i - 3
+            r_sigma, r_ux, r_uy, r_uz = ops.stage2_residuals(
+                fwin[fslot_i(i - 2)], fwin[fslot_i(i - 1)], fwin[fslot_i(i)]
+            )
+
+            @pl.when(jnp.logical_and(r >= 0, r < nz))
+            def _():
+                rr = jnp.clip(r, 0, nz - 1)
+                part_ref[0, rr] = jnp.sum(r_sigma * r_sigma)
+                part_ref[1, rr] = (
+                    jnp.sum(r_ux * r_ux) + jnp.sum(r_uy * r_uy)
+                    + jnp.sum(r_uz * r_uz)
+                )
+
+            sg = gslot_i(i)
+            gwin[sg, 0] = r_sigma * ops.ss
+            gwin[sg, 1] = r_ux * ops.su
+            gwin[sg, 2] = r_uy * ops.su
+            gwin[sg, 3] = r_uz * ops.su
+
+        # ---- stage 3: stencil adjoint + head backward, row d = i-4 ---------
+        @pl.when(i >= 4)
+        def _():
+            d = i - 4
+            gy_rows = ops.stage3_adjoint(
+                fwin[fslot_i(i - 3)],
+                fwin[fslot_i(i - 2)],
+                fwin[fslot_i(i - 1)],
+                gwin[gslot_i(i - 2)],
+                gwin[gslot_i(i - 1)],
+                gwin[gslot_i(i)],
+                d,
+            )
+            base_f = bwin[eslot_i(i - 2)].reshape(h, m)
+            enc_f = ewin[eslot_i(i - 2)].reshape(lf, m)
+            dz1_sum = jnp.zeros((h, m), jnp.float32)
+            for s in range(3):
+                gy = jnp.stack(gy_rows[s]).reshape(4, m)
+                db2x_ref[...] = db2x_ref[...] + jnp.broadcast_to(
+                    jnp.sum(gy, axis=1, keepdims=True), (4, pnx)
+                )
+                z1f = base_f + tb1_ref[:, s : s + 1]
+                if da1_mode == "vpu":
+                    da1 = w2hk_ref[:, 0:1] * gy[0:1]
+                    for o in range(1, 4):
+                        da1 = da1 + w2hk_ref[:, o : o + 1] * gy[o : o + 1]
+                else:
+                    gy_in = (
+                        gy.astype(jnp.bfloat16) if precision == "bf16" else gy
+                    )
+                    w2c = w2_ref[...]
+                    if precision == "bf16":
+                        w2c = w2c.astype(jnp.bfloat16)
+                    da1 = jax.lax.dot_general(
+                        w2c, gy_in,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=dot_prec,
+                    )  # [h, M]
+                dz1 = jnp.where(z1f > 0.0, da1, 0.0)
+                dz1_sum = dz1_sum + dz1
+                rowsum = jnp.sum(dz1, axis=1, keepdims=True)  # [h, 1]
+                db1x_ref[...] = db1x_ref[...] + jnp.broadcast_to(
+                    rowsum, (h, pnx)
+                )
+                dtw1x_ref[...] = dtw1x_ref[...] + ts_ref[0, s] * (
+                    jnp.broadcast_to(rowsum, (h, pnx))
+                )
+                a1f = jnp.maximum(z1f, 0.0)
+                if dw2_mode == "dot":
+                    gy_in = (
+                        gy.astype(jnp.bfloat16) if precision == "bf16" else gy
+                    )
+                    a1_in = (
+                        a1f.astype(jnp.bfloat16)
+                        if precision == "bf16"
+                        else a1f
+                    )
+                    dw2_ref[...] = dw2_ref[...] + jax.lax.dot_general(
+                        gy_in, a1_in, dimension_numbers=dims_dw2,
+                        preferred_element_type=jnp.float32,
+                        precision=dot_prec,
+                    )
+                else:
+                    for o in range(4):
+                        dw2_ref[:, o : o + 1] = dw2_ref[:, o : o + 1] + (
+                            jnp.sum(a1f * gy[o : o + 1], axis=1, keepdims=True)
+                        )
+            # dW1 (base rows): contraction over cells — K = M, MXU-friendly
+            enc_in = (
+                enc_f.astype(jnp.bfloat16) if precision == "bf16" else enc_f
+            )
+            dz_in = (
+                dz1_sum.astype(jnp.bfloat16)
+                if precision == "bf16"
+                else dz1_sum
+            )
+            dw1_ref[...] = dw1_ref[...] + jax.lax.dot_general(
+                enc_in, dz_in, dimension_numbers=dims_dw1,
+                preferred_element_type=jnp.float32, precision=dot_prec,
+            )
+            # dEnc row: [LF, M] = W1[:-1] @ dz1_sum (K = H)
+            w1c = w1c_ref[...]
+            if precision == "bf16":
+                w1c = w1c.astype(jnp.bfloat16)
+            denc = jax.lax.dot_general(
+                w1c, dz_in if precision == "bf16" else dz1_sum,
+                dimension_numbers=dims_denc,
+                preferred_element_type=jnp.float32, precision=dot_prec,
+            )
+            denc_ref[0] = denc.reshape(lf, pny, pnx)
+
+    def enc_idx(i):
+        return (phys_row(i - 2), 0, 0, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, lf, pny, pnx), enc_idx, memory_space=pltpu.VMEM),
+        pl.BlockSpec((lf, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((h, lf), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((h, 3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((4, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((h, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    out_specs = (
+        pl.BlockSpec((2, nz), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec(
+            (1, lf, pny, pnx),
+            lambda i: (jnp.clip(i - 4, 0, nz - 1), 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec((lf, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((h, pnx), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((h, pnx), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (4, h) if dw2_mode == "dot" else (h, 4),
+            lambda i: (0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec((4, pnx), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((2, nz), jnp.float32),
+        jax.ShapeDtypeStruct((nz, lf, pny, pnx), jnp.float32),
+        jax.ShapeDtypeStruct((lf, h), jnp.float32),
+        jax.ShapeDtypeStruct((h, pnx), jnp.float32),
+        jax.ShapeDtypeStruct((h, pnx), jnp.float32),
+        jax.ShapeDtypeStruct(
+            (4, h) if dw2_mode == "dot" else (h, 4), jnp.float32
+        ),
+        jax.ShapeDtypeStruct((4, pnx), jnp.float32),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n_prog,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((5, 12, pny, pnx), jnp.float32),  # field window
+            pltpu.VMEM((3, 4, pny, pnx), jnp.float32),   # cotangent window
+            pltpu.VMEM((3, h, pny, pnx), jnp.float32),   # layer-1 base rows
+            pltpu.VMEM((3, lf, pny, pnx), jnp.float32),  # encoding rows
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=(2 * lf * h + 9 * h * 4 + 4 * lf * h) * g.num_cells
+            + 300 * g.num_cells,
+            bytes_accessed=2 * lf * g.num_cells * 4,
+            transcendentals=0,
+        ),
+    )
+
+
+def ngp_loss_and_grad(
+    g: GridSpec,
+    w: PhysWeights,
+    ncfg: "ngp_mod.NGPFieldConfig",
+    params: dict,
+    t,
+    precision: str = "f32",
+    interpret=None,
+):
+    """(loss, (grad_params, grad_t)) for the NGP field model from ONE kernel
+    pass plus the (scatter-free) encoder VJP. Falls back to jax.grad through
+    the staged pipeline for planes the kernel cannot align.
+
+    Gradient surface matches jax.value_and_grad of
+    ops.total_loss(g, w, ngp.generate_fields(...)) — parity pinned by
+    tests/test_mega_ngp.py."""
+    if interpret is None:
+        interpret = _default_interpret()
+    if not ngp_supported(g):
+        # staged fallback: jax.grad through the XLA pipeline
+        from phys_autodiff_tpu import ops as _ops
+
+        def total(p, tt):
+            fs = ngp_mod.generate_fields(g, ncfg, p, tt, g.dt, precision)
+            return _ops.total_loss(g, w, fs)
+
+        loss, (grads, d_t) = jax.value_and_grad(total, argnums=(0, 1))(
+            params, jnp.float32(t)
+        )
+        return loss, (grads, d_t)
+
+    assert ncfg.out == 4, "kernel head is fixed to the 4 physics channels"
+    lf = ncfg.encoding.out_dim
+    h = ncfg.hidden
+    t = jnp.float32(t)
+    dt = jnp.float32(g.dt)
+    ts = jnp.stack([t - dt, t, t + dt])  # [3]
+
+    enc_zcf, enc_vjp = jax.vjp(
+        lambda tb: encode_grid_zcf(ncfg.encoding, tb, g), params["tables"]
+    )  # [nz, LF, ny, nx]
+    if mega_flat(g):
+        enc_k = enc_zcf.reshape(g.nz, lf, flat_rows(g), 128)
+    else:
+        enc_k = enc_zcf
+    w1 = params["W1"]  # [LF+1, H]
+    w1c = w1[:-1]  # [LF, H]
+    tb1 = params["b1"][:, None] + w1[-1][:, None] * ts[None, :]  # [H, 3]
+    w2t = params["W2"].T  # [4, H]
+    b2 = params["b2"].reshape(1, 4)
+    call = _build_ngp_bwd_call(g, lf, h, w, precision, interpret)
+    parts, denc, dw1g, db1x, dtw1x, dw2g, db2x = call(
+        ts.reshape(1, 3), enc_k, w1c, w1c.T, tb1, w2t, params["W2"], b2
+    )
+    ls, lu = ops_loss.sum_partials(g, w, parts)
+    db1 = db1x[:, 0]
+    dtw1 = dtw1x[:, 0]
+    dw2 = dw2g.T if _resolve_mode("dw2", precision) == "dot" else dw2g
+    dw1_full = jnp.concatenate([dw1g, dtw1[None, :]], axis=0)  # [LF+1, H]
+    denc_grid = denc.reshape(g.nz, lf, g.ny, g.nx)
+    (d_tables,) = enc_vjp(denc_grid)
+    d_t = jnp.sum(w1[-1] * db1)
+    grads = {
+        "tables": d_tables,
+        "W1": dw1_full,
+        "b1": db1,
+        "W2": dw2,
+        "b2": db2x[:, 0],
+    }
+    return ls + lu, (grads, d_t)

@@ -250,6 +250,71 @@ def fit_scan(
     return state, history, elapsed
 
 
+def make_ngp_train_step(
+    g: GridSpec,
+    w: PhysWeights,
+    ncfg,
+    cfg: TrainConfig,
+    params0: dict,
+    precision: str = "f32",
+    backward: str = "auto",
+):
+    """Training step for the NGP hash-encoded field model.
+
+    backward="mega" runs the NGP backward mega-kernel (ONE Pallas pass for
+    loss + head gradients + the encoding cotangent, pallas/mega_ngp.py —
+    the H-space activations never touch HBM) plus the scatter-free encoder
+    VJP; "xla" takes jax.value_and_grad through the XLA pipeline with the
+    fused physics loss (the round-3-early path); "auto" picks mega on real
+    accelerators whenever the plane is supported."""
+    from phys_autodiff_tpu.models import ngp as ngp_mod
+    from phys_autodiff_tpu.pallas.mega_ngp import (
+        ngp_loss_and_grad,
+        ngp_supported,
+    )
+
+    if backward == "auto":
+        backward = (
+            "mega"
+            if ngp_supported(g) and jax.default_backend() != "cpu"
+            else "xla"
+        )
+    if backward == "xla":
+        return make_generic_train_step(
+            g,
+            w,
+            lambda p, t: ngp_mod.generate_fields(g, ncfg, p, t, g.dt,
+                                                 precision),
+            cfg,
+            params0,
+            generate_packed_fn=lambda p, t: ngp_mod.generate_fields_packed(
+                g, ncfg, p, t, g.dt, precision
+            ),
+        )
+    opt = make_optimizer(cfg)
+
+    def step(state: TrainState):
+        key, sub = jax.random.split(state.key)
+        if cfg.t_sampling == "uniform":
+            t = jax.random.uniform(sub, ())
+        else:
+            t = jnp.float32(cfg.t)
+        loss, (grads, _) = ngp_loss_and_grad(
+            g, w, ncfg, state.params, t, precision
+        )
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1, key), loss
+
+    state0 = TrainState(
+        params=params0,
+        opt_state=opt.init(params0),
+        step=jnp.int32(0),
+        key=jax.random.PRNGKey(cfg.seed),
+    )
+    return jax.jit(step), state0
+
+
 def make_generic_train_step(
     g: GridSpec,
     w: PhysWeights,
@@ -257,6 +322,7 @@ def make_generic_train_step(
     cfg: TrainConfig,
     params0,
     physics_loss: str = "auto",
+    generate_packed_fn=None,
 ):
     """Model-agnostic training step for any differentiable field generator
     `generate_fn(params, t) -> FieldSnapshots` (plain MLP, fused-MLP, NGP
@@ -267,7 +333,14 @@ def make_generic_train_step(
     exact field adjoint; loss_forward_fused_packed falls back to staged ops
     itself on planes no fused kernel serves). "auto" picks fused on real
     accelerators and staged on the CPU backend (where Pallas would run in
-    slow interpret mode)."""
+    slow interpret mode).
+
+    generate_packed_fn: optional `(params, t) -> [12, nz, ny, nx]` producing
+    the packed field block DIRECTLY (residuals.PACKED_ORDER). When given,
+    the fused branch uses it instead of pack_fields(generate_fn(...)),
+    skipping the channels-last -> plane relayout (and its transposed replay
+    in the backward) for generators that can emit channel-first (e.g.
+    ngp.generate_fields_packed)."""
     opt = make_optimizer(cfg)
     if physics_loss == "auto":
         physics_loss = "fused" if jax.default_backend() != "cpu" else "staged"
@@ -278,9 +351,18 @@ def make_generic_train_step(
             pack_fields,
         )
 
-        def total_loss_of(p, t):
-            ls, lu = loss_forward_fused_packed(g, w, pack_fields(generate_fn(p, t)))
-            return ls + lu
+        if generate_packed_fn is not None:
+
+            def total_loss_of(p, t):
+                ls, lu = loss_forward_fused_packed(g, w, generate_packed_fn(p, t))
+                return ls + lu
+        else:
+
+            def total_loss_of(p, t):
+                ls, lu = loss_forward_fused_packed(
+                    g, w, pack_fields(generate_fn(p, t))
+                )
+                return ls + lu
     else:
 
         def total_loss_of(p, t):

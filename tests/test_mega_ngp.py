@@ -1,0 +1,155 @@
+"""The NGP backward mega-kernel (pallas/mega_ngp.py): loss + all gradients
+for the hash-encoded field model in one kernel pass, vs jax.value_and_grad
+through the staged XLA pipeline. Framework extension — the reference has
+neither a hash encoding nor training (SURVEY.md §0)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from phys_autodiff_tpu import ops
+from phys_autodiff_tpu.models import ngp
+from phys_autodiff_tpu.models.hash_encoder import (
+    HashEncodingConfig,
+    encode_grid,
+    encode_grid_zcf,
+)
+from phys_autodiff_tpu.pallas.mega_ngp import ngp_loss_and_grad
+from phys_autodiff_tpu.utils.config import GridSpec, PhysWeights
+
+# dense + hash level mix: r = 4 (125 <= 128 -> hashed), 6 and 8 (dense)
+ENC = HashEncodingConfig(
+    num_levels=3, base_resolution=4, max_resolution=8, log2_table_size=7,
+    dense_oversubscribed=True,
+)
+
+
+def _setup(nx=128, ny=8, nz=6, periodic=True, scheme="central", hidden=16):
+    g = GridSpec(nx=nx, ny=ny, nz=nz, hx=0.3, hy=0.3, hz=0.3, dt=1e-2,
+                 periodic=periodic, scheme=scheme)
+    ncfg = ngp.NGPFieldConfig(encoding=ENC, hidden=hidden)
+    params = ngp.init_ngp_params(ncfg, seed=7)
+    # Condition the test: the paper-init tables (1e-4) and zero biases leave
+    # every gradient at the f32 noise floor, where a relative comparison is
+    # meaningless. Scale tables to O(1) features and randomize the biases so
+    # each leaf's gradient is solidly nonzero.
+    rng = np.random.Generator(np.random.MT19937(21))
+    params["tables"] = jax.tree_util.tree_map(
+        lambda a: a * 2000.0, params["tables"]
+    )
+    params["b1"] = jnp.asarray(
+        rng.standard_normal(params["b1"].shape) * 0.3, jnp.float32
+    )
+    params["b2"] = jnp.asarray(
+        rng.standard_normal(params["b2"].shape) * 0.3, jnp.float32
+    )
+    w = PhysWeights(w_sigma=1.3, w_u=0.7)
+    return g, w, ncfg, params
+
+
+def _staged_total(g, w, ncfg, params, t):
+    fs = ngp.generate_fields(g, ncfg, params, t, g.dt)
+    ls, lu = ops.loss_forward(g, w, fs)
+    return ls + lu
+
+
+def _leaf_close(a, b, tol):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    return np.linalg.norm(a - b) <= tol * max(np.linalg.norm(a), 1e-30)
+
+
+def test_encode_grid_zcf_matches_encode_grid():
+    g, w, ncfg, params = _setup()
+    ref = encode_grid(ncfg.encoding, params["tables"], g)  # [nz,ny,nx,LF]
+    out = encode_grid_zcf(ncfg.encoding, params["tables"], g)
+    np.testing.assert_allclose(
+        np.asarray(out),
+        np.asarray(jnp.moveaxis(ref, -1, 1)),
+        rtol=2e-6, atol=1e-6,
+    )
+
+
+@pytest.mark.parametrize("periodic", [True, False], ids=["periodic", "clamp"])
+@pytest.mark.parametrize("scheme", ["central", "upwind"])
+def test_ngp_mega_matches_staged_grad(periodic, scheme):
+    g, w, ncfg, params = _setup(periodic=periodic, scheme=scheme)
+    t = jnp.float32(0.3)
+    loss_ref, (g_ref, gt_ref) = jax.value_and_grad(
+        lambda p, tt: _staged_total(g, w, ncfg, p, tt), argnums=(0, 1)
+    )(params, t)
+    loss, (grads, d_t) = ngp_loss_and_grad(g, w, ncfg, params, t,
+                                           interpret=True)
+    assert abs(float(loss) - float(loss_ref)) <= 1e-5 * abs(float(loss_ref))
+    tol = 1e-4 if periodic else 5e-3  # clamp: ill-conditioned (see tpu_parity)
+    flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat_out = dict(
+        (jax.tree_util.keystr(k), v)
+        for k, v in jax.tree_util.tree_leaves_with_path(grads)
+    )
+    for k, v_ref in flat_ref:
+        key = jax.tree_util.keystr(k)
+        assert _leaf_close(v_ref, flat_out[key], tol), (
+            key,
+            float(jnp.linalg.norm(v_ref)),
+            float(jnp.linalg.norm(flat_out[key])),
+        )
+    assert abs(float(d_t) - float(gt_ref)) <= max(
+        5e-3 * abs(float(gt_ref)), 1e-6
+    )
+
+
+def test_ngp_mega_flat_layout():
+    """Unaligned nx runs the FLAT plane layout via the shared _PlaneOps."""
+    g, w, ncfg, params = _setup(nx=64, ny=16, nz=6)
+    t = jnp.float32(0.3)
+    loss_ref, g_ref = jax.value_and_grad(
+        lambda p: _staged_total(g, w, ncfg, p, t)
+    )(params)
+    loss, (grads, _) = ngp_loss_and_grad(g, w, ncfg, params, t,
+                                         interpret=True)
+    assert abs(float(loss) - float(loss_ref)) <= 1e-5 * abs(float(loss_ref))
+    for (ka, a), (kb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g_ref),
+        jax.tree_util.tree_leaves_with_path(grads),
+    ):
+        assert jax.tree_util.keystr(ka) == jax.tree_util.keystr(kb)
+        assert _leaf_close(a, b, 1e-4), jax.tree_util.keystr(ka)
+
+
+def test_ngp_train_step_mega_matches_xla():
+    """One optimizer step through the NGP mega backward equals the XLA-arm
+    step within f32 agreement (the same contract the coordinate-MLP fused
+    step satisfies, tests/test_train.py)."""
+    from phys_autodiff_tpu.train import loop as train_loop
+
+    g, w, ncfg, params = _setup()
+    cfg = train_loop.TrainConfig(t_sampling="fixed", learning_rate=1e-3)
+    step_m, st_m = train_loop.make_ngp_train_step(
+        g, w, ncfg, cfg, params, backward="mega"
+    )
+    step_x, st_x = train_loop.make_ngp_train_step(
+        g, w, ncfg, cfg, params, backward="xla"
+    )
+    st_m, l_m = step_m(st_m)
+    st_x, l_x = step_x(st_x)
+    assert abs(float(l_m) - float(l_x)) <= 1e-5 * abs(float(l_x))
+    for a, b in zip(jax.tree_util.tree_leaves(st_m.params),
+                    jax.tree_util.tree_leaves(st_x.params)):
+        assert _leaf_close(a, b, 1e-4)
+
+
+def test_ngp_mega_fallback_unsupported_plane():
+    """ny*nx % 128 != 0 falls back to jax.grad through the staged path."""
+    g, w, ncfg, params = _setup(nx=12, ny=9, nz=6)
+    t = jnp.float32(0.3)
+    loss_ref, g_ref = jax.value_and_grad(
+        lambda p: _staged_total(g, w, ncfg, p, t)
+    )(params)
+    loss, (grads, _) = ngp_loss_and_grad(g, w, ncfg, params, t,
+                                         interpret=True)
+    assert abs(float(loss) - float(loss_ref)) <= 1e-6 * abs(float(loss_ref))
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(grads)):
+        assert _leaf_close(a, b, 1e-6)

@@ -382,6 +382,40 @@ def test_generic_step_fused_physics_matches_staged():
         assert np.linalg.norm(a - b) <= 1e-4 * max(np.linalg.norm(a), 1e-30)
 
 
+def test_generate_fields_packed_matches_pack_fields():
+    """The packed-direct NGP fieldgen (channel-first heads, leading-axis
+    concats — no FieldSnapshots, no moveaxis) equals
+    pack_fields(generate_fields) to f32 dot-reassociation noise, and its
+    gradients agree through the same probe functional."""
+    from phys_autodiff_tpu.pallas.residuals import pack_fields
+
+    g = GridSpec(nx=12, ny=8, nz=6, hx=0.3, hy=0.3, hz=0.3, dt=1e-2)
+    ncfg = ngp.NGPFieldConfig(encoding=DENSE_CFG, hidden=32)
+    params = ngp.init_ngp_params(ncfg, seed=5)
+    ref = pack_fields(ngp.generate_fields(g, ncfg, params, 0.25, g.dt))
+    out = ngp.generate_fields_packed(g, ncfg, params, 0.25, g.dt)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-6, atol=2e-6
+    )
+    probe = jnp.asarray(
+        np.random.default_rng(11).standard_normal(ref.shape), jnp.float32
+    )
+    g_ref = jax.grad(
+        lambda p: jnp.sum(
+            pack_fields(ngp.generate_fields(g, ncfg, p, 0.25, g.dt)) * probe
+        )
+    )(params)
+    g_out = jax.grad(
+        lambda p: jnp.sum(
+            ngp.generate_fields_packed(g, ncfg, p, 0.25, g.dt) * probe
+        )
+    )(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_out)):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        assert np.linalg.norm(a - b) <= 1e-4 * max(np.linalg.norm(a), 1e-30)
+
+
 def test_generate_fields_bf16_head_within_mixed_tolerance():
     """The bf16 decode-head tier (exact-f32 encoder, bf16 matmul operands
     with f32 accumulation) stays in the few-percent mixed class on the
