@@ -303,10 +303,12 @@ def main():
                 g2, h=128, variants=("fused", "fused_bf16")
             ).items():
                 log(f"train,{variant},{nx},{ny},{nz},128,{ms:.5f}")
-        ms_ngp = bench_ngp_train_step(gf)
-        log(f"train,ngp,{gf.nx},{gf.ny},{gf.nz},-,{ms_ngp:.5f}")
-        ms_ngp_bf16 = bench_ngp_train_step(gf, precision="bf16")
-        log(f"train,ngp_bf16,{gf.nx},{gf.ny},{gf.nz},-,{ms_ngp_bf16:.5f}")
+        ms_ngp = bench_ngp_train_step(gf, backward="xla")
+        log(f"train,ngp_staged,{gf.nx},{gf.ny},{gf.nz},-,{ms_ngp:.5f}")
+        ms_ngp_f = bench_ngp_train_step(gf, backward="mega")
+        log(f"train,ngp_fused,{gf.nx},{gf.ny},{gf.nz},-,{ms_ngp_f:.5f}")
+        ms_ngp_fb = bench_ngp_train_step(gf, precision="bf16", backward="mega")
+        log(f"train,ngp_fused_bf16,{gf.nx},{gf.ny},{gf.nz},-,{ms_ngp_fb:.5f}")
 
     _, keep = section("train", 2400, train_rows)
 

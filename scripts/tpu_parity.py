@@ -271,6 +271,51 @@ def run_ngp_dense(nx, ny, nz):
     check("ngp dense grad finite/nonzero", 0.0 if flat_norm > 0 else 1.0, 0.5)
 
 
+def run_ngp_mega(nx, ny, nz, scheme="central"):
+    """Round-3 NGP backward mega-kernel on hardware vs jax.value_and_grad
+    through the staged pipeline (tests/test_mega_ngp.py is the interpret
+    arm). Conditioned params: the paper-init tables leave every gradient at
+    the f32 noise floor where relative comparison is meaningless."""
+    from phys_autodiff_tpu.models import ngp
+    from phys_autodiff_tpu.pallas.mega_ngp import ngp_loss_and_grad
+
+    g = GridSpec(nx=nx, ny=ny, nz=nz, hx=0.05, hy=0.05, hz=0.05, dt=1e-3,
+                 scheme=scheme)
+    print(f"round-3 ngp mega-bwd {nx}x{ny}x{nz} {scheme}")
+    ncfg = ngp.NGPFieldConfig()
+    params = ngp.init_ngp_params(ncfg, seed=777)
+    rng = np.random.Generator(np.random.MT19937(21))
+    params["tables"] = jax.tree_util.tree_map(
+        lambda a: a * 2000.0, params["tables"]
+    )
+    params["b1"] = jnp.asarray(
+        rng.standard_normal(params["b1"].shape) * 0.3, jnp.float32
+    )
+    params["b2"] = jnp.asarray(
+        rng.standard_normal(params["b2"].shape) * 0.3, jnp.float32
+    )
+    t = jnp.float32(0.25)
+
+    w = PhysWeights()
+
+    def staged_total(p, tt):
+        fs = ngp.generate_fields(g, ncfg, p, tt, g.dt)
+        ls, lu = ops.loss_forward(g, w, fs)
+        return ls + lu
+
+    l_ref, g_ref = jax.jit(jax.value_and_grad(staged_total))(params, t)
+    l_k, (g_k, _) = jax.jit(
+        lambda p, tt: ngp_loss_and_grad(g, w, ncfg, p, tt)
+    )(params, t)
+    check("ngp-mega loss rel",
+          abs(float(l_k) - float(l_ref)) / abs(float(l_ref)), 1e-5)
+    cat = lambda gp: np.concatenate(
+        [np.asarray(x, np.float64).ravel()
+         for x in jax.tree_util.tree_leaves(gp)]
+    )
+    check("ngp-mega grads rel", rel_l2_err(cat(g_k), cat(g_ref)), 2e-3)
+
+
 if __name__ == "__main__":
     print("devices:", jax.devices())
     run(128, 96, 96, True)   # slab kernel
@@ -287,6 +332,7 @@ if __name__ == "__main__":
     run_round3(128, 96, 96, scheme="upwind")    # upwind adjoint, shaped
     run_round3(64, 64, 64, scheme="upwind")     # upwind adjoint, flat
     run_ngp_dense(32, 16, 16)
+    run_ngp_mega(128, 96, 96)
     if FAILURES:
         print("FAILURES:", FAILURES)
         sys.exit(1)
