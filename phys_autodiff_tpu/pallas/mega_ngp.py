@@ -72,13 +72,24 @@ def ngp_supported(g: GridSpec) -> bool:
 
 
 def _build_ngp_bwd_call(
-    g: GridSpec, lf: int, h: int, w: PhysWeights, precision, interpret
+    g: GridSpec, lf: int, h: int, w: PhysWeights, precision, interpret,
+    nz_local: int | None = None,
 ):
+    """nz_local < nz builds the SHARD-LOCAL kernel (mirrors mega_bwd's):
+    it covers global rows [z0, z0 + nz_local), z0 arriving as a runtime
+    SMEM scalar. In that mode the encoding arrives PRE-EXTENDED: the caller
+    gathers rows (z0 - 2 .. z0 + nz_local + 1, wrapped/clamped) into an
+    [nz_local + 4, LF, pny, pnx] block so the enc index map stays a static
+    function of the program id (index maps cannot read runtime scalars);
+    clamp edge corrections key on GLOBAL rows via z0."""
     ops = _PlaneOps(g, w)
     nz = g.nz
     pny, pnx = ops.pny, ops.pnx
     m = pny * pnx
-    n_prog = nz + 4
+    ext_mode = nz_local is not None
+    if nz_local is None:
+        nz_local = nz
+    n_prog = nz_local + 4
     da1_mode = _resolve_mode("da1", precision)
     dw2_mode = _resolve_mode("dw2", precision)
     fwd_mode = _resolve_mode("fwd", precision)
@@ -101,11 +112,12 @@ def _build_ngp_bwd_call(
     def eslot_i(j):
         return jax.lax.rem(j + 9, 3)
 
-    def kernel(ts_ref, enc_ref, w1c_ref, w1hk_ref, tb1_ref, w2_ref,
+    def kernel(z0_ref, ts_ref, enc_ref, w1c_ref, w1hk_ref, tb1_ref, w2_ref,
                w2hk_ref, b2_ref,
                part_ref, denc_ref, dw1_ref, db1x_ref, dtw1x_ref, dw2_ref,
                db2x_ref, fwin, gwin, bwin, ewin):
         i = pl.program_id(0)
+        z0 = z0_ref[0, 0]  # first global row of this shard's range
 
         @pl.when(i == 0)
         def _():
@@ -156,7 +168,7 @@ def _build_ngp_bwd_call(
                 for o in range(4):
                     fwin[slot_f, s * 4 + o] = outr[o] + b2[0, o]
 
-        # ---- stage 2: residual + cotangents, row r = i-3 -------------------
+        # ---- stage 2: residual + cotangents, local row r = i-3 -------------
         @pl.when(i >= 2)
         def _():
             r = i - 3
@@ -164,9 +176,9 @@ def _build_ngp_bwd_call(
                 fwin[fslot_i(i - 2)], fwin[fslot_i(i - 1)], fwin[fslot_i(i)]
             )
 
-            @pl.when(jnp.logical_and(r >= 0, r < nz))
+            @pl.when(jnp.logical_and(r >= 0, r < nz_local))
             def _():
-                rr = jnp.clip(r, 0, nz - 1)
+                rr = jnp.clip(r, 0, nz_local - 1)
                 part_ref[0, rr] = jnp.sum(r_sigma * r_sigma)
                 part_ref[1, rr] = (
                     jnp.sum(r_ux * r_ux) + jnp.sum(r_uy * r_uy)
@@ -179,10 +191,10 @@ def _build_ngp_bwd_call(
             gwin[sg, 2] = r_uy * ops.su
             gwin[sg, 3] = r_uz * ops.su
 
-        # ---- stage 3: stencil adjoint + head backward, row d = i-4 ---------
+        # ---- stage 3: stencil adjoint + head backward, row d = z0+i-4 ------
         @pl.when(i >= 4)
         def _():
-            d = i - 4
+            d = z0 + i - 4  # GLOBAL row (clamp corrections key on it)
             gy_rows = ops.stage3_adjoint(
                 fwin[fslot_i(i - 3)],
                 fwin[fslot_i(i - 2)],
@@ -271,10 +283,16 @@ def _build_ngp_bwd_call(
             )
             denc_ref[0] = denc.reshape(lf, pny, pnx)
 
-    def enc_idx(i):
-        return (phys_row(i - 2), 0, 0, 0)
+    if ext_mode:
+        # pre-extended encoding: ext row i IS logical field row z0 + i - 2
+        def enc_idx(i):
+            return (i, 0, 0, 0)
+    else:
+        def enc_idx(i):
+            return (phys_row(i - 2), 0, 0, 0)
 
     in_specs = [
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((1, lf, pny, pnx), enc_idx, memory_space=pltpu.VMEM),
         pl.BlockSpec((lf, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -285,10 +303,10 @@ def _build_ngp_bwd_call(
         pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
     out_specs = (
-        pl.BlockSpec((2, nz), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((2, nz_local), lambda i: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec(
             (1, lf, pny, pnx),
-            lambda i: (jnp.clip(i - 4, 0, nz - 1), 0, 0, 0),
+            lambda i: (jnp.clip(i - 4, 0, nz_local - 1), 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         pl.BlockSpec((lf, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -302,8 +320,8 @@ def _build_ngp_bwd_call(
         pl.BlockSpec((4, pnx), lambda i: (0, 0), memory_space=pltpu.VMEM),
     )
     out_shape = (
-        jax.ShapeDtypeStruct((2, nz), jnp.float32),
-        jax.ShapeDtypeStruct((nz, lf, pny, pnx), jnp.float32),
+        jax.ShapeDtypeStruct((2, nz_local), jnp.float32),
+        jax.ShapeDtypeStruct((nz_local, lf, pny, pnx), jnp.float32),
         jax.ShapeDtypeStruct((lf, h), jnp.float32),
         jax.ShapeDtypeStruct((h, pnx), jnp.float32),
         jax.ShapeDtypeStruct((h, pnx), jnp.float32),
@@ -389,8 +407,9 @@ def ngp_loss_and_grad(
     w2t = params["W2"].T  # [4, H]
     b2 = params["b2"].reshape(1, 4)
     call = _build_ngp_bwd_call(g, lf, h, w, precision, interpret)
+    z0 = jnp.zeros((1, 1), jnp.int32)
     parts, denc, dw1g, db1x, dtw1x, dw2g, db2x = call(
-        ts.reshape(1, 3), enc_k, w1c, w1c.T, tb1, w2t, params["W2"], b2
+        z0, ts.reshape(1, 3), enc_k, w1c, w1c.T, tb1, w2t, params["W2"], b2
     )
     ls, lu = ops_loss.sum_partials(g, w, parts)
     db1 = db1x[:, 0]
@@ -408,3 +427,103 @@ def ngp_loss_and_grad(
         "b2": db2x[:, 0],
     }
     return ls + lu, (grads, d_t)
+
+
+def ngp_loss_and_grad_sharded(
+    g: GridSpec,
+    w: PhysWeights,
+    ncfg: "ngp_mod.NGPFieldConfig",
+    mesh,
+    precision: str = "f32",
+    interpret=None,
+):
+    """Returns fn(params, t) -> (loss, (grad_params, grad_t)) running the
+    NGP backward mega-kernel PER SHARD under shard_map over the mesh's z
+    axis (the NGP analogue of mega_bwd.mega_loss_and_grad_sharded):
+
+      * the encoding is computed per shard from the replicated tables
+        (lattice-resampling work, cheap and parameter-local); each shard
+        GATHERS its z rows + the 2+2 halo rows into the kernel's
+        pre-extended block, so no halo communication is needed;
+      * each shard's kernel covers its [z0, z0+nz_local) rows; dEnc rows
+        are all-gathered into the global cotangent and pulled back through
+        the (replicated) encoder VJP — identical d_tables on every shard;
+      * parameter-gradient partials are psum'd; the loss combines gathered
+        per-plane partials in the fixed global order (sum_partials), so
+        sharded == single-chip at the 1e-7 doctrine."""
+    from jax.sharding import PartitionSpec as P
+
+    from phys_autodiff_tpu.parallel.mesh import Z_AXIS
+
+    if interpret is None:
+        interpret = _default_interpret()
+    assert ngp_supported(g)
+    assert ncfg.out == 4
+    n_shards = mesh.shape[Z_AXIS]
+    nz = g.nz
+    assert nz % n_shards == 0
+    nz_local = nz // n_shards
+    lf = ncfg.encoding.out_dim
+    h = ncfg.hidden
+    dt = jnp.float32(g.dt)
+    pny = flat_rows(g) if mega_flat(g) else g.ny
+    pnx = 128 if mega_flat(g) else g.nx
+    call = _build_ngp_bwd_call(
+        g, lf, h, w, precision, interpret, nz_local=nz_local
+    )
+
+    def local(params, t):
+        t = jnp.float32(t)
+        ts = jnp.stack([t - dt, t, t + dt])
+        me = jax.lax.axis_index(Z_AXIS)
+        z0 = (me * nz_local).astype(jnp.int32)
+        enc_zcf, enc_vjp = jax.vjp(
+            lambda tb: encode_grid_zcf(ncfg.encoding, tb, g),
+            params["tables"],
+        )
+        enc_k = enc_zcf.reshape(nz, lf, pny, pnx)
+        rows = z0 - 2 + jnp.arange(nz_local + 4)
+        rows = rows % nz if g.periodic else jnp.clip(rows, 0, nz - 1)
+        enc_ext = jnp.take(enc_k, rows, axis=0)
+        w1 = params["W1"]
+        w1c = w1[:-1]
+        tb1 = params["b1"][:, None] + w1[-1][:, None] * ts[None, :]
+        parts, denc, dw1g, db1x, dtw1x, dw2g, db2x = call(
+            z0.reshape(1, 1), ts.reshape(1, 3), enc_ext, w1c, w1c.T, tb1,
+            params["W2"].T, params["W2"], params["b2"].reshape(1, 4)
+        )
+        parts_all = jax.lax.all_gather(parts, Z_AXIS, axis=1, tiled=True)
+        ls, lu = ops_loss.sum_partials(g, w, parts_all)
+        denc_all = jax.lax.all_gather(denc, Z_AXIS, axis=0, tiled=True)
+        (d_tables,) = enc_vjp(denc_all.reshape(nz, lf, g.ny, g.nx))
+        db1 = jax.lax.psum(db1x, Z_AXIS)[:, 0]
+        dtw1 = jax.lax.psum(dtw1x, Z_AXIS)[:, 0]
+        dw1g_s = jax.lax.psum(dw1g, Z_AXIS)
+        dw2g_s = jax.lax.psum(dw2g, Z_AXIS)
+        db2 = jax.lax.psum(db2x, Z_AXIS)[:, 0]
+        dw2 = (
+            dw2g_s.T if _resolve_mode("dw2", precision) == "dot" else dw2g_s
+        )
+        grads = {
+            "tables": d_tables,
+            "W1": jnp.concatenate([dw1g_s, dtw1[None, :]], axis=0),
+            "b1": db1,
+            "W2": dw2,
+            "b2": db2,
+        }
+        d_t = jnp.sum(w1[-1] * db1)
+        return ls + lu, grads, d_t
+
+    sharded = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+
+    def loss_and_grad(params, t):
+        loss, grads, d_t = sharded(params, t)
+        return loss, (grads, d_t)
+
+    return loss_and_grad

@@ -140,6 +140,37 @@ def test_ngp_train_step_mega_matches_xla():
         assert _leaf_close(a, b, 1e-4)
 
 
+@pytest.mark.parametrize("periodic", [True, False], ids=["periodic", "clamp"])
+def test_ngp_mega_sharded_matches_single(periodic):
+    """The per-shard NGP backward mega-kernel under shard_map (z-axis
+    spatial decomposition, pre-extended encoding halos, psum'd parameter
+    gradients, fixed-order gathered loss) matches the single-chip kernel
+    on the 8-device CPU mesh."""
+    from phys_autodiff_tpu.parallel.mesh import make_mesh
+    from phys_autodiff_tpu.pallas.mega_ngp import ngp_loss_and_grad_sharded
+
+    assert len(jax.devices()) >= 8
+    mesh = make_mesh(8)
+    g, w, ncfg, params = _setup(nz=16, periodic=periodic)
+    t = jnp.float32(0.3)
+    l1, (g1, dt1) = ngp_loss_and_grad(g, w, ncfg, params, t, interpret=True)
+    fn = ngp_loss_and_grad_sharded(g, w, ncfg, mesh, interpret=True)
+    ln, (gn, dtn) = fn(params, t)
+    assert abs(float(ln) - float(l1)) <= 5e-6 * abs(float(l1))
+    for (ka, a), (kb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g1),
+        jax.tree_util.tree_leaves_with_path(gn),
+    ):
+        assert jax.tree_util.keystr(ka) == jax.tree_util.keystr(kb)
+        # raw-gradient comparison: the per-shard psum reassociates the f32
+        # accumulator sums (the LOSS stays 1e-7-deterministic via the
+        # fixed-order gathered partials; gradients are f32-noise class)
+        assert _leaf_close(a, b, 1e-5), jax.tree_util.keystr(ka)
+    assert abs(float(dtn) - float(dt1)) <= max(
+        1e-5 * abs(float(dt1)), 1e-7
+    )
+
+
 def test_ngp_mega_fallback_unsupported_plane():
     """ny*nx % 128 != 0 falls back to jax.grad through the staged path."""
     g, w, ncfg, params = _setup(nx=12, ny=9, nz=6)
