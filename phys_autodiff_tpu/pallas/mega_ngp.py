@@ -65,6 +65,25 @@ def _default_interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
+# Stage-3 head-backward form. The round-3 ablation measured the f32 head
+# backward VMEM-traffic-bound (~6 ms of ~15 [h, M] element passes per row);
+# "fused" is the traffic-minimal restructure of the SAME math:
+#   * a1 = relu(base + tb1_s) in one expression — no separate z1f
+#     materialization and no second relu for the dW2 operand;
+#   * the relu mask comes from a1 (a1 > 0 iff z1 > 0; ties produce 0 in
+#     both forms);
+#   * dz1_sum is never materialized: dW1 and dEnc accumulate per slice via
+#     K=M MXU dots (f32 summation order changes, covered by the existing
+#     parity tolerances), deleting the 3-pass [h, M] accumulation chain.
+# "base" keeps the original form for A/B timing (scripts/ngp_head_experiments
+# .py); "auto" resolves to the measured winner.
+_HEAD_VARIANT = "auto"
+
+
+def _resolve_head_variant() -> str:
+    return "fused" if _HEAD_VARIANT == "auto" else _HEAD_VARIANT
+
+
 def ngp_supported(g: GridSpec) -> bool:
     """Same plane-alignment eligibility as the coordinate-MLP backward
     mega-kernel (the stencil stages are literally shared)."""
@@ -102,6 +121,7 @@ def _build_ngp_bwd_call(
     dims_denc = (((1,), (0,)), ((), ()))  # [LF,h] x [h,M] -> [LF,M]
     dims_base = (((1,), (0,)), ((), ()))  # [h,LF] x [LF,M] -> [h,M]
     phys_row = ops.phys_row
+    head_variant = _resolve_head_variant()
 
     def fslot_i(j):
         return jax.lax.rem(j + 20, 5)
@@ -206,13 +226,27 @@ def _build_ngp_bwd_call(
             )
             base_f = bwin[eslot_i(i - 2)].reshape(h, m)
             enc_f = ewin[eslot_i(i - 2)].reshape(lf, m)
-            dz1_sum = jnp.zeros((h, m), jnp.float32)
+            enc_in = (
+                enc_f.astype(jnp.bfloat16) if precision == "bf16" else enc_f
+            )
+            w1c = w1c_ref[...]
+            if precision == "bf16":
+                w1c = w1c.astype(jnp.bfloat16)
+            if head_variant == "base":
+                dz1_sum = jnp.zeros((h, m), jnp.float32)
+            denc_acc = None
             for s in range(3):
                 gy = jnp.stack(gy_rows[s]).reshape(4, m)
                 db2x_ref[...] = db2x_ref[...] + jnp.broadcast_to(
                     jnp.sum(gy, axis=1, keepdims=True), (4, pnx)
                 )
-                z1f = base_f + tb1_ref[:, s : s + 1]
+                if head_variant == "fused":
+                    # one-expression ReLU: a1 doubles as the mask source
+                    # (a1 > 0 iff z1 > 0; ties give 0 either way) and as
+                    # the dW2 operand — no separate z1f / second relu.
+                    a1f = jnp.maximum(base_f + tb1_ref[:, s : s + 1], 0.0)
+                else:
+                    z1f = base_f + tb1_ref[:, s : s + 1]
                 if da1_mode == "vpu":
                     da1 = w2hk_ref[:, 0:1] * gy[0:1]
                     for o in range(1, 4):
@@ -230,8 +264,11 @@ def _build_ngp_bwd_call(
                         preferred_element_type=jnp.float32,
                         precision=dot_prec,
                     )  # [h, M]
-                dz1 = jnp.where(z1f > 0.0, da1, 0.0)
-                dz1_sum = dz1_sum + dz1
+                if head_variant == "fused":
+                    dz1 = jnp.where(a1f > 0.0, da1, 0.0)
+                else:
+                    dz1 = jnp.where(z1f > 0.0, da1, 0.0)
+                    dz1_sum = dz1_sum + dz1
                 rowsum = jnp.sum(dz1, axis=1, keepdims=True)  # [h, 1]
                 db1x_ref[...] = db1x_ref[...] + jnp.broadcast_to(
                     rowsum, (h, pnx)
@@ -239,7 +276,8 @@ def _build_ngp_bwd_call(
                 dtw1x_ref[...] = dtw1x_ref[...] + ts_ref[0, s] * (
                     jnp.broadcast_to(rowsum, (h, pnx))
                 )
-                a1f = jnp.maximum(z1f, 0.0)
+                if head_variant == "base":
+                    a1f = jnp.maximum(z1f, 0.0)
                 if dw2_mode == "dot":
                     gy_in = (
                         gy.astype(jnp.bfloat16) if precision == "bf16" else gy
@@ -259,29 +297,46 @@ def _build_ngp_bwd_call(
                         dw2_ref[:, o : o + 1] = dw2_ref[:, o : o + 1] + (
                             jnp.sum(a1f * gy[o : o + 1], axis=1, keepdims=True)
                         )
-            # dW1 (base rows): contraction over cells — K = M, MXU-friendly
-            enc_in = (
-                enc_f.astype(jnp.bfloat16) if precision == "bf16" else enc_f
-            )
-            dz_in = (
-                dz1_sum.astype(jnp.bfloat16)
-                if precision == "bf16"
-                else dz1_sum
-            )
-            dw1_ref[...] = dw1_ref[...] + jax.lax.dot_general(
-                enc_in, dz_in, dimension_numbers=dims_dw1,
-                preferred_element_type=jnp.float32, precision=dot_prec,
-            )
-            # dEnc row: [LF, M] = W1[:-1] @ dz1_sum (K = H)
-            w1c = w1c_ref[...]
-            if precision == "bf16":
-                w1c = w1c.astype(jnp.bfloat16)
-            denc = jax.lax.dot_general(
-                w1c, dz_in if precision == "bf16" else dz1_sum,
-                dimension_numbers=dims_denc,
-                preferred_element_type=jnp.float32, precision=dot_prec,
-            )
-            denc_ref[0] = denc.reshape(lf, pny, pnx)
+                if head_variant == "fused":
+                    # per-slice K=M dots instead of the dz1_sum chain
+                    # (f32 summation order differs from "base"; covered by
+                    # the parity tolerances in tests/test_mega_ngp.py)
+                    dz_in = (
+                        dz1.astype(jnp.bfloat16)
+                        if precision == "bf16"
+                        else dz1
+                    )
+                    dw1_ref[...] = dw1_ref[...] + jax.lax.dot_general(
+                        enc_in, dz_in, dimension_numbers=dims_dw1,
+                        preferred_element_type=jnp.float32,
+                        precision=dot_prec,
+                    )
+                    dpart = jax.lax.dot_general(
+                        w1c, dz_in, dimension_numbers=dims_denc,
+                        preferred_element_type=jnp.float32,
+                        precision=dot_prec,
+                    )
+                    denc_acc = dpart if denc_acc is None else denc_acc + dpart
+            if head_variant == "fused":
+                denc_ref[0] = denc_acc.reshape(lf, pny, pnx)
+            else:
+                # dW1 (base rows): contraction over cells — K=M, MXU-friendly
+                dz_in = (
+                    dz1_sum.astype(jnp.bfloat16)
+                    if precision == "bf16"
+                    else dz1_sum
+                )
+                dw1_ref[...] = dw1_ref[...] + jax.lax.dot_general(
+                    enc_in, dz_in, dimension_numbers=dims_dw1,
+                    preferred_element_type=jnp.float32, precision=dot_prec,
+                )
+                # dEnc row: [LF, M] = W1[:-1] @ dz1_sum (K = H)
+                denc = jax.lax.dot_general(
+                    w1c, dz_in if precision == "bf16" else dz1_sum,
+                    dimension_numbers=dims_denc,
+                    preferred_element_type=jnp.float32, precision=dot_prec,
+                )
+                denc_ref[0] = denc.reshape(lf, pny, pnx)
 
     if ext_mode:
         # pre-extended encoding: ext row i IS logical field row z0 + i - 2

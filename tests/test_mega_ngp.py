@@ -71,9 +71,13 @@ def test_encode_grid_zcf_matches_encode_grid():
     )
 
 
+@pytest.mark.parametrize("variant", ["fused", "base"])
 @pytest.mark.parametrize("periodic", [True, False], ids=["periodic", "clamp"])
 @pytest.mark.parametrize("scheme", ["central", "upwind"])
-def test_ngp_mega_matches_staged_grad(periodic, scheme):
+def test_ngp_mega_matches_staged_grad(periodic, scheme, variant, monkeypatch):
+    from phys_autodiff_tpu.pallas import mega_ngp
+
+    monkeypatch.setattr(mega_ngp, "_HEAD_VARIANT", variant)
     g, w, ncfg, params = _setup(periodic=periodic, scheme=scheme)
     t = jnp.float32(0.3)
     loss_ref, (g_ref, gt_ref) = jax.value_and_grad(
