@@ -672,8 +672,12 @@ def _build_bwd_call(
                 dz1_sum = jnp.zeros((hk, ny * nx), jnp.float32)
                 for s in range(3):
                     gy = gy_f[s]
-                    z1f = abf + cdv_d[c * hk : (c + 1) * hk, s][:, None]
-                    a1f = jnp.maximum(z1f, 0.0)
+                    # one-expression ReLU: a1f doubles as the dW2 operand
+                    # and the mask source (a1f > 0 iff z1 > 0; ties give
+                    # dz1 = 0 either way) — no z1f materialization
+                    a1f = jnp.maximum(
+                        abf + cdv_d[c * hk : (c + 1) * hk, s][:, None], 0.0
+                    )
                     gy_in = (
                         gy.astype(jnp.bfloat16) if precision == "bf16" else gy
                     )
@@ -718,7 +722,7 @@ def _build_bwd_call(
                             preferred_element_type=jnp.float32,
                             precision=dot_prec,
                         )  # [hk, ny*nx]
-                    dz1 = jnp.where(z1f > 0.0, da1, 0.0)
+                    dz1 = jnp.where(a1f > 0.0, da1, 0.0)
                     dz1_sum = dz1_sum + dz1
                     # dCD[zd, s]: full reduce, broadcast-written
                     dcdx_ref[d_loc, s, pl.ds(c * hk, hk)] = jnp.broadcast_to(

@@ -304,16 +304,22 @@ def run_ngp_mega(nx, ny, nz, scheme="central"):
         return ls + lu
 
     l_ref, g_ref = jax.jit(jax.value_and_grad(staged_total))(params, t)
-    l_k, (g_k, _) = jax.jit(
-        lambda p, tt: ngp_loss_and_grad(g, w, ncfg, p, tt)
-    )(params, t)
-    check("ngp-mega loss rel",
-          abs(float(l_k) - float(l_ref)) / abs(float(l_ref)), 1e-5)
     cat = lambda gp: np.concatenate(
         [np.asarray(x, np.float64).ravel()
          for x in jax.tree_util.tree_leaves(gp)]
     )
-    check("ngp-mega grads rel", rel_l2_err(cat(g_k), cat(g_ref)), 2e-3)
+    from phys_autodiff_tpu.pallas import mega_ngp
+
+    for variant in ("base", "fused"):  # both stage-3 head-backward forms
+        mega_ngp._HEAD_VARIANT = variant
+        l_k, (g_k, _) = jax.jit(
+            lambda p, tt: ngp_loss_and_grad(g, w, ncfg, p, tt)
+        )(params, t)
+        check(f"ngp-mega[{variant}] loss rel",
+              abs(float(l_k) - float(l_ref)) / abs(float(l_ref)), 1e-5)
+        check(f"ngp-mega[{variant}] grads rel",
+              rel_l2_err(cat(g_k), cat(g_ref)), 2e-3)
+    mega_ngp._HEAD_VARIANT = "auto"
 
 
 if __name__ == "__main__":
