@@ -16,8 +16,8 @@ end, so one late crash lost everything):
   * PREFLIGHT: the device is probed in a SUBPROCESS with a hard timeout
     (the known crash mode leaves jax.devices() hanging 45-60 min in-process,
     where no in-process timeout can help), retrying on a budget
-    (BENCH_PREFLIGHT_BUDGET_S, default 3000 s ~= the observed worker
-    recovery time) before giving up fast instead of hanging.
+    (BENCH_PREFLIGHT_BUDGET_S, default 5400 s — observed worker recoveries
+    range 30-90+ min) before giving up fast instead of hanging.
   * The FLAGSHIP fused-kernel row is timed FIRST and immediately becomes a
     provisional headline; every later section only refines it.
   * Each section runs under try/except AND a watchdog deadline; on a crash
@@ -149,7 +149,7 @@ def probe_device(timeout_s=150):
 
 
 def preflight():
-    budget = float(os.environ.get("BENCH_PREFLIGHT_BUDGET_S", "3000"))
+    budget = float(os.environ.get("BENCH_PREFLIGHT_BUDGET_S", "5400"))
     t0 = time.time()
     attempt = 0
     while True:
