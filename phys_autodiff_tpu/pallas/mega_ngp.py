@@ -67,21 +67,31 @@ def _default_interpret() -> bool:
 
 # Stage-3 head-backward form. The round-3 ablation measured the f32 head
 # backward VMEM-traffic-bound (~6 ms of ~15 [h, M] element passes per row);
-# "fused" is the traffic-minimal restructure of the SAME math:
-#   * a1 = relu(base + tb1_s) in one expression — no separate z1f
-#     materialization and no second relu for the dW2 operand;
-#   * the relu mask comes from a1 (a1 > 0 iff z1 > 0; ties produce 0 in
-#     both forms);
-#   * dz1_sum is never materialized: dW1 and dEnc accumulate per slice via
-#     K=M MXU dots (f32 summation order changes, covered by the existing
-#     parity tolerances), deleting the 3-pass [h, M] accumulation chain.
-# "base" keeps the original form for A/B timing (scripts/ngp_head_experiments
-# .py); "auto" resolves to the measured winner.
+# three algebraically-identical formulations, A/B'd on hardware by
+# scripts/ngp_head_experiments.py:
+#   base    z1f materialized, relu'd twice (mask + dW2 operand), dz1 summed
+#           across the 3 time slices, ONE K=M dW1 dot + ONE K=H dEnc dot.
+#   fused   one-expression ReLU (a1 = relu(base + tb1_s) doubles as mask
+#           source and dW2 operand — a1 > 0 iff z1 > 0, ties give 0 either
+#           way) AND dz1_sum deleted: dW1/dEnc accumulate per slice via
+#           K=M / K=H dots — 2 fewer [h, M] passes per slice for 4 extra
+#           MXU dots per row.
+#   fused2  the strict-win subset: one-expression ReLU (saves the z1f pass
+#           + second relu) but KEEPS the dz1_sum chain and the single
+#           post-loop dW1/dEnc dots — fewer passes than "base", no extra
+#           dots. (f32 summation order matches "base" exactly.)
+# Hardware A/B (128x96x96, ms/step, 2026-08-18, build/captures/
+# ngp_head_ab.csv): f32 base 10.274 / fused 11.228 / fused2 10.310;
+# bf16 base 5.540 / fused 5.895 / fused2 5.560. The per-slice dot tax in
+# "fused" costs ~0.9 ms f32 — more than the passes it saves; "fused2"'s
+# saved z1f pass is below measurement noise (the stage is bounded by the
+# dW2/dz1 pass chain, not the mask recompute). "auto" resolves to the
+# measured winner: base.
 _HEAD_VARIANT = "auto"
 
 
 def _resolve_head_variant() -> str:
-    return "fused" if _HEAD_VARIANT == "auto" else _HEAD_VARIANT
+    return "base" if _HEAD_VARIANT == "auto" else _HEAD_VARIANT
 
 
 def ngp_supported(g: GridSpec) -> bool:
@@ -232,7 +242,7 @@ def _build_ngp_bwd_call(
             w1c = w1c_ref[...]
             if precision == "bf16":
                 w1c = w1c.astype(jnp.bfloat16)
-            if head_variant == "base":
+            if head_variant != "fused":
                 dz1_sum = jnp.zeros((h, m), jnp.float32)
             denc_acc = None
             for s in range(3):
@@ -240,7 +250,7 @@ def _build_ngp_bwd_call(
                 db2x_ref[...] = db2x_ref[...] + jnp.broadcast_to(
                     jnp.sum(gy, axis=1, keepdims=True), (4, pnx)
                 )
-                if head_variant == "fused":
+                if head_variant != "base":
                     # one-expression ReLU: a1 doubles as the mask source
                     # (a1 > 0 iff z1 > 0; ties give 0 either way) and as
                     # the dW2 operand — no separate z1f / second relu.
@@ -266,6 +276,9 @@ def _build_ngp_bwd_call(
                     )  # [h, M]
                 if head_variant == "fused":
                     dz1 = jnp.where(a1f > 0.0, da1, 0.0)
+                elif head_variant == "fused2":
+                    dz1 = jnp.where(a1f > 0.0, da1, 0.0)
+                    dz1_sum = dz1_sum + dz1
                 else:
                     dz1 = jnp.where(z1f > 0.0, da1, 0.0)
                     dz1_sum = dz1_sum + dz1

@@ -6,11 +6,14 @@ work there is ~15 [h, M]-element VPU passes — VMEM-traffic-bound, not
 FLOP-bound. pallas/mega_ngp.py now carries two algebraically-identical
 formulations selected by `_HEAD_VARIANT`:
 
-  base   z1f materialized, relu'd twice (mask + dW2 operand), dz1 summed
-         across the 3 time slices, one K=M dW1 dot + one K=H dEnc dot.
-  fused  a1 = relu(base + tb1) once (mask comes from a1 > 0), dz1_sum
-         deleted: dW1/dEnc accumulate per slice via K=M / K=H dots —
-         ~2 fewer [h, M] element passes per slice for 2 extra MXU dots.
+  base    z1f materialized, relu'd twice (mask + dW2 operand), dz1 summed
+          across the 3 time slices, one K=M dW1 dot + one K=H dEnc dot.
+  fused   a1 = relu(base + tb1) once (mask comes from a1 > 0), dz1_sum
+          deleted: dW1/dEnc accumulate per slice via K=M / K=H dots —
+          ~2 fewer [h, M] element passes per slice for 2 extra MXU dots.
+  fused2  one-expression ReLU like "fused" but dz1_sum and the single
+          post-loop dW1/dEnc dots kept like "base" — strictly fewer
+          passes than base, no extra dots.
 
 This script slope-times the full NGP train step (the same
 bench_ngp_train_step the benchmark uses) under each variant x precision on
@@ -36,7 +39,7 @@ def main(nx=128, ny=96, nz=96):
     g = GridSpec(nx=nx, ny=ny, nz=nz, hx=0.05, hy=0.05, hz=0.05, dt=1e-3)
     print(f"# grid {nx}x{ny}x{nz}, backend={jax.default_backend()}")
     print("# variant,precision,ms_step")
-    for variant in ("base", "fused"):
+    for variant in ("base", "fused", "fused2"):
         mega_ngp._HEAD_VARIANT = variant
         for precision in ("f32", "bf16"):
             ms = bench_ngp_train_step(g, precision=precision, backward="mega")

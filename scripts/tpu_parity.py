@@ -310,7 +310,7 @@ def run_ngp_mega(nx, ny, nz, scheme="central"):
     )
     from phys_autodiff_tpu.pallas import mega_ngp
 
-    for variant in ("base", "fused"):  # both stage-3 head-backward forms
+    for variant in ("base", "fused", "fused2"):  # stage-3 head-backward forms
         mega_ngp._HEAD_VARIANT = variant
         l_k, (g_k, _) = jax.jit(
             lambda p, tt: ngp_loss_and_grad(g, w, ncfg, p, tt)

@@ -71,7 +71,7 @@ def test_encode_grid_zcf_matches_encode_grid():
     )
 
 
-@pytest.mark.parametrize("variant", ["fused", "base"])
+@pytest.mark.parametrize("variant", ["fused", "base", "fused2"])
 @pytest.mark.parametrize("periodic", [True, False], ids=["periodic", "clamp"])
 @pytest.mark.parametrize("scheme", ["central", "upwind"])
 def test_ngp_mega_matches_staged_grad(periodic, scheme, variant, monkeypatch):
