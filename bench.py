@@ -88,18 +88,22 @@ class Emitter:
             }
 
     def emit(self, partial):
+        """Print the headline JSON (once). Returns True iff a headline
+        existed — callers exit nonzero otherwise, keeping the contract
+        that rc=0 implies a parseable JSON line on stdout."""
         with self._lock:
             if self._emitted:
-                return
+                return self.headline is not None
             self._emitted = True
             if self.headline is None:
                 log("# FATAL: no headline was measured")
-                return
+                return False
             out = dict(self.headline)
             out["partial"] = bool(partial)
             if self.failures:
                 out["failures"] = self.failures
             print(json.dumps(out), flush=True)
+            return True
 
 
 EMIT = Emitter()
@@ -136,11 +140,10 @@ DOG = Watchdog()
 def probe_device(timeout_s=150):
     """True iff a tiny jit runs on the real backend, checked OUT OF PROCESS
     (an in-process check would hang with the wedged worker)."""
-    env = dict(os.environ)
     try:
         r = subprocess.run(
             [sys.executable, "-c", _PROBE_SRC],
-            timeout=timeout_s, env=env,
+            timeout=timeout_s,
             stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
         )
         return r.returncode == 0
@@ -185,6 +188,13 @@ def section(name, budget_s, fn, *args, **kw):
         if not alive:
             log("# worker did not answer the re-probe — skipping remaining sections")
         return None, alive
+
+
+def finish(partial):
+    """Flush the headline and exit with the contract code: rc=0 iff a
+    parseable JSON line went to stdout."""
+    ok = EMIT.emit(partial=partial)
+    sys.exit(0 if ok else 1)
 
 
 def main():
@@ -235,8 +245,7 @@ def main():
         EMIT.set_headline(ms_flag, "fused")
         log(f"# provisional headline: fused {ms_flag:.5f} ms at 128x96x96")
     if not keep:
-        EMIT.emit(partial=True)
-        return
+        finish(partial=True)
 
     # --- Section 2: staged-arm DCE gate ------------------------------------
     def staged_gate():
@@ -251,8 +260,7 @@ def main():
 
     _, keep = section("staged_dce_gate", 900, staged_gate)
     if not keep:
-        EMIT.emit(partial=True)
-        return
+        finish(partial=True)
 
     # --- Section 3: phys rows, flagship grid first -------------------------
     phys_rows = []
@@ -266,10 +274,12 @@ def main():
             print(r.csv(), file=sys.stderr, flush=True)
         refresh_headline(phys_rows)
         if not keep:
-            EMIT.emit(partial=True)
-            return
+            finish(partial=True)
 
-    valid = check_monotonic(phys_rows) and check_floor(phys_rows)
+    # evaluate BOTH gates (no short-circuit): each logs its own diagnostics
+    mono_ok = check_monotonic(phys_rows)
+    floor_ok = check_floor(phys_rows)
+    valid = mono_ok and floor_ok
     refresh_headline(phys_rows, valid=valid)
     # --- Section 4: pipeline rows ------------------------------------------
     log("# mlp_phys,variant,nx,ny,nz,iters,ms_kernel,ms_phys_e2e,ms_mlp,ms_total")
@@ -281,8 +291,7 @@ def main():
         for r in rows or []:
             print(r.csv(), file=sys.stderr, flush=True)
         if not keep:
-            EMIT.emit(partial=True)
-            return
+            finish(partial=True)
 
     # --- Section 5: training-step rows (the reference's never-built M6) ----
     def train_rows():
@@ -312,7 +321,7 @@ def main():
 
     _, keep = section("train", 2400, train_rows)
 
-    EMIT.emit(partial=bool(EMIT.failures))
+    finish(partial=bool(EMIT.failures))
 
 
 def family(r):

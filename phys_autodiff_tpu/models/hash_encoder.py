@@ -329,6 +329,28 @@ def encode_grid_zcf(cfg: HashEncodingConfig, tables, g) -> jnp.ndarray:
     run on axes (0, 2, 3), and levels concatenate on the feature axis.
     Numerically identical to encode_grid up to summation order (the same
     static resampling weights contract the same corner values)."""
+    return _encode_grid_zcf_impl(cfg, tables, g, None)
+
+
+def encode_grid_zcf_rows(
+    cfg: HashEncodingConfig, tables, g, rows: jnp.ndarray
+) -> jnp.ndarray:
+    """encode_grid_zcf restricted to the given GLOBAL z rows (a traced int
+    vector, e.g. a shard's own rows plus stencil halos under shard_map) ->
+    [len(rows), L*F, ny, nx].
+
+    The z resample is separable, so a row subset only needs the matching
+    COLUMNS of the static z interpolation: dense levels contract with the
+    row-gathered [r+1, K] matrix (the VJP back to the corner lattice stays
+    a transposed matmul — no scatter), hash levels run the same dynamic-row
+    lerp with _axis_lerp's own indices/weights gathered at `rows`. Each
+    produced row is bit-identical to the matching encode_grid_zcf row; the
+    sharded NGP step uses this to encode (and pull back) only nz/shards + 4
+    rows per device instead of the full grid on every device."""
+    return _encode_grid_zcf_impl(cfg, tables, g, rows)
+
+
+def _encode_grid_zcf_impl(cfg: HashEncodingConfig, tables, g, rows):
     nz, ny, nx = g.shape
     hash_tables, dense = _tables_view(cfg, tables)
     hash_pos = {l: i for i, l in enumerate(cfg.hash_levels())}
@@ -349,15 +371,48 @@ def encode_grid_zcf(cfg: HashEncodingConfig, tables, g) -> jnp.ndarray:
             ).reshape(r + 1, r + 1, r + 1, cfg.features_per_level)
         corner = jnp.moveaxis(corner, -1, 1)  # [z, F, y, x] (lattice-sized)
         if lvl in dense:
-            lev = _axis_lerp_dense(corner, nz, r, 0)
+            if rows is None:
+                lev = _axis_lerp_dense(corner, nz, r, 0)
+            else:
+                mz = jnp.take(
+                    jnp.asarray(_resample_matrix(nz, r)), rows, axis=1
+                )  # [r+1, K] — the K selected columns
+                lev = jnp.tensordot(
+                    corner, mz, axes=([0], [0]),
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # [F, y, x, K]
+                lev = jnp.moveaxis(lev, -1, 0)
             lev = _axis_lerp_dense(lev, ny, r, 2)
             lev = _axis_lerp_dense(lev, nx, r, 3)
         else:
-            lev = _axis_lerp(corner, nz, r, 0)
+            if rows is None:
+                lev = _axis_lerp(corner, nz, r, 0)
+            else:
+                lev = _axis_lerp_rows(corner, nz, r, rows)
             lev = _axis_lerp(lev, ny, r, 2)
             lev = _axis_lerp(lev, nx, r, 3)
-        outs.append(lev)  # [nz, F, ny, nx]
+        outs.append(lev)  # [nz or K, F, ny, nx]
     return jnp.concatenate(outs, axis=1)
+
+
+def _axis_lerp_rows(grid, n: int, r: int, rows: jnp.ndarray):
+    """_axis_lerp along axis 0, evaluated only at the given (traced) rows:
+    the same static indices/weights, gathered at `rows`, so each output row
+    is bit-identical to _axis_lerp(grid, n, r, 0)[rows]."""
+    if n == 1:
+        idx0 = np.zeros((1,), np.int32)
+        w = np.zeros((1,), np.float32)
+    else:
+        pos = np.arange(n, dtype=np.float64) / (n - 1) * (r - 1)
+        idx0 = np.floor(pos).astype(np.int32)
+        w = (pos - idx0).astype(np.float32)
+    i0 = jnp.take(jnp.asarray(idx0), rows)
+    wv = jnp.take(jnp.asarray(w), rows).reshape(
+        (-1,) + (1,) * (grid.ndim - 1)
+    )
+    lo = jnp.take(grid, i0, axis=0)
+    hi = jnp.take(grid, i0 + 1, axis=0)
+    return lo * (1.0 - wv) + hi * wv
 
 
 def encode_grid(cfg: HashEncodingConfig, tables, g) -> jnp.ndarray:

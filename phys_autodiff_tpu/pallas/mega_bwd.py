@@ -868,8 +868,9 @@ def mega_loss_and_grad_sharded(
     if interpret is None:
         interpret = _default_interpret()
     assert mega_supported(g), (
-        "backward mega-kernel needs central scheme and a 128-alignable plane "
-        "(nx % 128 == 0 with ny % 8 == 0, or ny*nx % 128 == 0 for flat)"
+        "backward mega-kernel needs a central/upwind scheme and a "
+        "128-alignable plane (nx % 128 == 0 with ny % 8 == 0, or "
+        "ny*nx % 128 == 0 for flat)"
     )
     n_shards = mesh.shape[Z_AXIS]
     assert g.nz % n_shards == 0

@@ -49,7 +49,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from phys_autodiff_tpu.models import ngp as ngp_mod
-from phys_autodiff_tpu.models.hash_encoder import encode_grid_zcf
+from phys_autodiff_tpu.models.hash_encoder import (
+    encode_grid_zcf,
+    encode_grid_zcf_rows,
+)
 from phys_autodiff_tpu.ops import loss as ops_loss
 from phys_autodiff_tpu.pallas.mega_bwd import (
     _PlaneOps,
@@ -509,13 +512,15 @@ def ngp_loss_and_grad_sharded(
     NGP backward mega-kernel PER SHARD under shard_map over the mesh's z
     axis (the NGP analogue of mega_bwd.mega_loss_and_grad_sharded):
 
-      * the encoding is computed per shard from the replicated tables
-        (lattice-resampling work, cheap and parameter-local); each shard
-        GATHERS its z rows + the 2+2 halo rows into the kernel's
-        pre-extended block, so no halo communication is needed;
-      * each shard's kernel covers its [z0, z0+nz_local) rows; dEnc rows
-        are all-gathered into the global cotangent and pulled back through
-        the (replicated) encoder VJP — identical d_tables on every shard;
+      * the encoding is SHARD-LOCAL: each shard resamples only its own z
+        rows + the 2+2 halo rows (encode_grid_zcf_rows — the z resample is
+        separable, so a row subset costs rows/nz of the full-grid work),
+        so the encoder weak-scales and no halo communication is needed;
+      * each shard's kernel covers its [z0, z0+nz_local) rows; its dEnc
+        rows (zero-padded at the halo positions — every global row's
+        cotangent is emitted exactly once, by its owning shard) pull back
+        through the shard-local encoder VJP, and the partial d_tables are
+        psum'd — no grid-sized all-gather anywhere;
       * parameter-gradient partials are psum'd; the loss combines gathered
         per-plane partials in the fixed global order (sum_partials), so
         sharded == single-chip at the 1e-7 doctrine."""
@@ -545,14 +550,13 @@ def ngp_loss_and_grad_sharded(
         ts = jnp.stack([t - dt, t, t + dt])
         me = jax.lax.axis_index(Z_AXIS)
         z0 = (me * nz_local).astype(jnp.int32)
-        enc_zcf, enc_vjp = jax.vjp(
-            lambda tb: encode_grid_zcf(ncfg.encoding, tb, g),
-            params["tables"],
-        )
-        enc_k = enc_zcf.reshape(nz, lf, pny, pnx)
         rows = z0 - 2 + jnp.arange(nz_local + 4)
         rows = rows % nz if g.periodic else jnp.clip(rows, 0, nz - 1)
-        enc_ext = jnp.take(enc_k, rows, axis=0)
+        enc_rows, enc_vjp = jax.vjp(
+            lambda tb: encode_grid_zcf_rows(ncfg.encoding, tb, g, rows),
+            params["tables"],
+        )  # [nz_local + 4, LF, ny, nx]
+        enc_ext = enc_rows.reshape(nz_local + 4, lf, pny, pnx)
         w1 = params["W1"]
         w1c = w1[:-1]
         tb1 = params["b1"][:, None] + w1[-1][:, None] * ts[None, :]
@@ -562,8 +566,15 @@ def ngp_loss_and_grad_sharded(
         )
         parts_all = jax.lax.all_gather(parts, Z_AXIS, axis=1, tiled=True)
         ls, lu = ops_loss.sum_partials(g, w, parts_all)
-        denc_all = jax.lax.all_gather(denc, Z_AXIS, axis=0, tiled=True)
-        (d_tables,) = enc_vjp(denc_all.reshape(nz, lf, g.ny, g.nx))
+        # dEnc covers this shard's OWN rows only; the 2+2 halo positions of
+        # the pre-extended block get zero cotangent (their owning shard
+        # emits them), so the psum'd pullback counts every row exactly once.
+        denc_pad = jnp.pad(
+            denc.reshape(nz_local, lf, g.ny, g.nx),
+            ((2, 2), (0, 0), (0, 0), (0, 0)),
+        )
+        (d_tables_part,) = enc_vjp(denc_pad)
+        d_tables = jax.lax.psum(d_tables_part, Z_AXIS)
         db1 = jax.lax.psum(db1x, Z_AXIS)[:, 0]
         dtw1 = jax.lax.psum(dtw1x, Z_AXIS)[:, 0]
         dw1g_s = jax.lax.psum(dw1g, Z_AXIS)

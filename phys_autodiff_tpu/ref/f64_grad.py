@@ -34,8 +34,11 @@ def _axis_coord_f32_values(n: int) -> np.ndarray:
     pipeline sees (models/coords._axis_coord), widened to f64."""
     if n <= 1:
         return np.zeros((max(n, 1),), np.float64)
-    u = (np.arange(n, dtype=np.float32) / np.float32(n - 1)).astype(np.float64)
-    return np.float64(2.0) * u - np.float64(1.0)
+    u = np.arange(n, dtype=np.float32) / np.float32(n - 1)
+    # 2u - 1 is computed IN f32 (like models/coords._axis_coord) before
+    # widening: for u < 0.25 the subtraction rounds, and the oracle must
+    # differentiate the function evaluated at the f32 pipeline's inputs.
+    return (np.float32(2.0) * u - np.float32(1.0)).astype(np.float64)
 
 
 def f64_loss_fn(g: GridSpec, w: PhysWeights):

@@ -120,21 +120,24 @@ def restore_npz(
                     "checkpoint treedef does not match `like`:\n"
                     f"  saved: {meta.get('treedef')}\n  like:  {treedef}"
                 )
-            if expect_meta is not None:
-                saved = meta.get("meta")
-                if saved is None:
-                    import warnings
+        # expect_meta is checked even for manifest-less restores
+        # (allow_unvalidated=True used to skip it silently): an explicitly
+        # requested schedule check must fire or say why it cannot.
+        if expect_meta is not None:
+            saved = meta.get("meta") if meta is not None else None
+            if saved is None:
+                import warnings
 
-                    warnings.warn(
-                        f"checkpoint {npz_path} carries no meta entry; "
-                        f"expected {expect_meta} cannot be verified",
-                        stacklevel=2,
-                    )
-                elif saved != expect_meta:
-                    raise ValueError(
-                        "checkpoint meta does not match:\n"
-                        f"  saved:    {saved}\n  expected: {expect_meta}"
-                    )
+                warnings.warn(
+                    f"checkpoint {npz_path} carries no meta entry; "
+                    f"expected {expect_meta} cannot be verified",
+                    stacklevel=2,
+                )
+            elif saved != expect_meta:
+                raise ValueError(
+                    "checkpoint meta does not match:\n"
+                    f"  saved:    {saved}\n  expected: {expect_meta}"
+                )
         leaves = [jnp.asarray(data[f"leaf_{i}"]) for i in range(len(leaves_like))]
     return jax.tree_util.tree_unflatten(treedef, leaves)
 

@@ -71,6 +71,21 @@ def test_encode_grid_zcf_matches_encode_grid():
     )
 
 
+def test_encode_grid_zcf_rows_bit_identical():
+    """The shard-local row-subset encoder must reproduce the matching full
+    rows EXACTLY (same static weights, same contraction per row) — wrapped,
+    clamped-duplicate, and interior rows alike."""
+    from phys_autodiff_tpu.models.hash_encoder import encode_grid_zcf_rows
+
+    g, w, ncfg, params = _setup(nz=8)
+    full = np.asarray(encode_grid_zcf(ncfg.encoding, params["tables"], g))
+    rows = jnp.asarray([6, 7, 0, 1, 2, 3, 0, 0], jnp.int32)  # wrap + dupes
+    sub = np.asarray(
+        encode_grid_zcf_rows(ncfg.encoding, params["tables"], g, rows)
+    )
+    np.testing.assert_array_equal(sub, full[np.asarray(rows)])
+
+
 @pytest.mark.parametrize("variant", ["fused", "base", "fused2"])
 @pytest.mark.parametrize("periodic", [True, False], ids=["periodic", "clamp"])
 @pytest.mark.parametrize("scheme", ["central", "upwind"])

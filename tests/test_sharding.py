@@ -229,6 +229,48 @@ def test_sharded_mega_bwd_step_matches_single(mesh):
         assert rel_l2_err(pn[k], p1[k]) <= 1e-6, k
 
 
+@pytest.mark.parametrize(
+    "scheme,nx,ny",
+    [("upwind", 128, 8), ("central", 64, 16), ("upwind", 64, 16)],
+    ids=["upwind-aligned", "central-flat", "upwind-flat"],
+)
+def test_sharded_mega_bwd_auto_routing_matches_single(mesh, scheme, nx, ny):
+    """mega_supported() accepts upwind and flat/unaligned planes, which
+    silently re-routes backward="auto" multi-chip training from the slab arm
+    into the per-shard mega kernel for those classes — so every
+    newly-accepted class needs SHARDED parity coverage, not just the
+    single-chip tests (round-3 review finding). Compares one "auto" sharded
+    step against the single-chip mega step for each class."""
+    import optax
+
+    from phys_autodiff_tpu.pallas.mega_bwd import mega_loss_and_grad, mega_supported
+
+    g = GridSpec(
+        nx=nx, ny=ny, nz=16, hx=0.3, hy=0.35, hz=0.4, dt=1e-2, scheme=scheme
+    )
+    assert mega_supported(g)  # the predicate backward="auto" routes on
+    w = PhysWeights()
+    mcfg = MLPGridConfig(dims=MLPDims(H=32))
+    params = mlp.init_params(mcfg.dims, seed=5)
+    t = jnp.float32(0.25)
+    lr = 1e-3
+
+    l1, (gp1, _) = mega_loss_and_grad(g, w, mcfg, params, t, "f32", True)
+    opt = optax.adam(lr)
+    up, _ = opt.update(gp1, opt.init(params), params)
+    p1 = optax.apply_updates(params, up)
+
+    step_n, init_n = make_sharded_fused_train_step(
+        g, w, mcfg, mesh, lr, backward="auto"
+    )
+    pn, on = init_n(params)
+    pn, on, ln = step_n(pn, on, t)
+
+    assert abs(float(ln) - float(l1)) / abs(float(l1)) <= 5e-6
+    for k in p1:
+        assert rel_l2_err(pn[k], p1[k]) <= 1e-6, k
+
+
 def test_shard_map_fused_residuals_upwind_scheme(mesh):
     """Regression: the per-shard local GridSpec must inherit the advection
     scheme — the round-2 bug built it without scheme=, silently computing

@@ -80,6 +80,39 @@ def test_checkpoint_roundtrip_npz(tmp_path):
     assert float(l1) == float(l2)
 
 
+def test_restore_unvalidated_still_checks_expect_meta(tmp_path):
+    """allow_unvalidated=True (manifest-less restore) must not silently skip
+    an explicitly requested expect_meta check: the schedule cannot be
+    verified, and the caller must hear THAT, not just a generic no-manifest
+    note (round-3 review finding)."""
+    import warnings
+
+    import pytest
+
+    tree = {"a": jnp.arange(3.0), "b": jnp.ones((2, 2))}
+    path = os.path.join(tmp_path, "ckpt")
+    checkpoint.save_npz(path, tree)
+    # strip the embedded manifest and the sidecar (an old/copied checkpoint)
+    with np.load(path + ".npz") as data:
+        leaves = {k: data[k] for k in data.files if k.startswith("leaf_")}
+    np.savez(path + ".npz", **leaves)
+    os.remove(path + ".tree.json")
+
+    with pytest.raises(ValueError, match="no embedded manifest"):
+        checkpoint.restore_npz(path, tree)
+    with pytest.warns(UserWarning) as rec:
+        restored = checkpoint.restore_npz(
+            path, tree, expect_meta={"schedule": [1, 2]},
+            allow_unvalidated=True,
+        )
+    msgs = " | ".join(str(r.message) for r in rec)
+    assert "cannot be verified" in msgs, msgs
+    for a, b in zip(
+        jax.tree_util.tree_leaves(tree), jax.tree_util.tree_leaves(restored)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_fit_scan_matches_fit():
     """The scan-based trainer must produce the same trajectory as the
     host-driven loop (same seed, fixed t)."""
