@@ -53,6 +53,33 @@ def test_emitter_without_headline_prints_nothing(capsys):
     assert capsys.readouterr().out == ""
 
 
+def test_rc_contract_no_headline_exits_nonzero(capsys, monkeypatch):
+    """rc=0 must imply a parseable JSON line on stdout: emit() reports
+    whether a headline existed (even on repeat calls), and finish() turns
+    that into the exit code (round-3 review finding: two failed sections
+    could previously end the run rc=0 with EMPTY stdout)."""
+    import pytest
+
+    em = bench.Emitter()
+    assert em.emit(partial=True) is False
+    assert em.emit(partial=True) is False  # repeat call: same answer
+    em2 = bench.Emitter()
+    em2.set_headline(0.04, "fused")
+    assert em2.emit(partial=False) is True
+    assert em2.emit(partial=True) is True  # no-op repeat, still truthful
+    capsys.readouterr()
+
+    monkeypatch.setattr(bench, "EMIT", bench.Emitter())
+    with pytest.raises(SystemExit) as exc:
+        bench.finish(partial=True)
+    assert exc.value.code == 1
+    monkeypatch.setattr(bench, "EMIT", em2)
+    with pytest.raises(SystemExit) as exc:
+        bench.finish(partial=False)
+    assert exc.value.code == 0
+    capsys.readouterr()
+
+
 def test_section_failure_records_and_reprobes(monkeypatch):
     probes = []
     monkeypatch.setattr(bench, "probe_device", lambda **kw: probes.append(1) or False)
