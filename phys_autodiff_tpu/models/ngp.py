@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from phys_autodiff_tpu.models import hash_encoder
+from phys_autodiff_tpu.models import encoders, hash_encoder
 from phys_autodiff_tpu.models.hash_encoder import HashEncodingConfig
 from phys_autodiff_tpu.ops.stencil import FieldSnapshots
 from phys_autodiff_tpu.utils.config import GridSpec
@@ -24,13 +24,16 @@ from phys_autodiff_tpu.utils.config import GridSpec
 
 @dataclasses.dataclass(frozen=True)
 class NGPFieldConfig:
-    # Default encoding stores oversubscribed levels densely: the hashed
-    # top levels' backward scatter-add (~2.8M corner rows into 16K-row
-    # tables) dominated the train step at every grid size; dense levels
-    # make it a transposed matmul (hash_encoder module docstring). Pass an
-    # explicit HashEncodingConfig(dense_oversubscribed=False) for the pure
+    # Any models.encoders family: HashEncodingConfig (default) or
+    # FourierEncodingConfig — the head, kernels, and training step are
+    # encoder-agnostic. The default hash encoding stores oversubscribed
+    # levels densely: the hashed top levels' backward scatter-add (~2.8M
+    # corner rows into 16K-row tables) dominated the train step at every
+    # grid size; dense levels make it a transposed matmul (hash_encoder
+    # module docstring). Pass an explicit
+    # HashEncodingConfig(dense_oversubscribed=False) for the pure
     # hash-table variant.
-    encoding: HashEncodingConfig = dataclasses.field(
+    encoding: object = dataclasses.field(
         default_factory=lambda: HashEncodingConfig(dense_oversubscribed=True)
     )
     hidden: int = 64
@@ -46,7 +49,7 @@ def init_ngp_params(cfg: NGPFieldConfig, seed: int = 0) -> dict:
     lim1 = float(np.sqrt(6.0 / (cfg.head_in + cfg.hidden)))
     lim2 = float(np.sqrt(6.0 / (cfg.hidden + cfg.out)))
     return {
-        "tables": hash_encoder.init_hash_params(cfg.encoding, seed=seed),
+        "tables": encoders.init_params(cfg.encoding, seed=seed),
         "W1": jnp.asarray(
             rng.uniform(-lim1, lim1, (cfg.head_in, cfg.hidden)).astype(np.float32)
         ),
@@ -134,7 +137,7 @@ def forward(
     Pointwise path — guarded against grid-scale batches (it has wedged the
     TPU worker; see hash_encoder.MAX_POINTWISE_POINTS). Use grid_infer /
     generate_fields for regular grids."""
-    enc = hash_encoder.encode(
+    enc = encoders.encode(
         cfg.encoding, params["tables"], coords, allow_large=allow_large
     )
     return _apply_head(params, enc, t)
@@ -145,7 +148,7 @@ def checkpoint_meta(cfg: NGPFieldConfig) -> dict:
     train.checkpoint.save_npz(meta=...)): detects encoding-schedule or
     dense-level mismatches on restore instead of decoding silently-different
     fields (round-2 ADVICE #2)."""
-    return {"ngp_encoding": hash_encoder.schedule_meta(cfg.encoding)}
+    return {"ngp_encoding": encoders.schedule_meta(cfg.encoding)}
 
 
 def _unit_coords(g: GridSpec) -> jnp.ndarray:
@@ -174,8 +177,8 @@ def grid_infer(g: GridSpec, cfg: NGPFieldConfig, params: dict, t):
 
     Uses the regular-grid encoder (per-level static-index corner gather +
     separable resampling, hash_encoder.encode_grid) instead of per-cell
-    dynamic gathers."""
-    enc = hash_encoder.encode_grid(cfg.encoding, params["tables"], g)
+    dynamic gathers; Fourier encodings broadcast per-axis features."""
+    enc = encoders.encode_grid(cfg.encoding, params["tables"], g)
     return _apply_head(params, enc, t)
 
 
@@ -217,7 +220,7 @@ def generate_fields_packed(
     pack-time restack. This is the NGP fast path for training on real
     accelerators (train.make_generic_train_step feeds it to
     loss_forward_fused_packed)."""
-    enc = hash_encoder.encode_grid(cfg.encoding, params["tables"], g)
+    enc = encoders.encode_grid(cfg.encoding, params["tables"], g)
     base = _head_base(params, enc, precision)
     t = jnp.float32(t)
     dt = jnp.float32(dt)
@@ -242,7 +245,7 @@ def generate_fields(
     resampling; see hash_encoder.encode_grid). precision="bf16" runs the
     decode-head matmuls with bf16 operands (f32 accumulation, exact-f32
     encoder) — the mixed tier."""
-    enc = hash_encoder.encode_grid(cfg.encoding, params["tables"], g)
+    enc = encoders.encode_grid(cfg.encoding, params["tables"], g)
     base = _head_base(params, enc, precision)  # shared layer-1 matmul (1x)
 
     def head(tt):

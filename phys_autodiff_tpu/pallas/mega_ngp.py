@@ -49,7 +49,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from phys_autodiff_tpu.models import ngp as ngp_mod
-from phys_autodiff_tpu.models.hash_encoder import (
+from phys_autodiff_tpu.models.encoders import (
     encode_grid_zcf,
     encode_grid_zcf_rows,
 )
@@ -105,7 +105,7 @@ def ngp_supported(g: GridSpec) -> bool:
 
 def _build_ngp_bwd_call(
     g: GridSpec, lf: int, h: int, w: PhysWeights, precision, interpret,
-    nz_local: int | None = None,
+    nz_local: int | None = None, need_denc: bool = True,
 ):
     """nz_local < nz builds the SHARD-LOCAL kernel (mirrors mega_bwd's):
     it covers global rows [z0, z0 + nz_local), z0 arriving as a runtime
@@ -113,7 +113,12 @@ def _build_ngp_bwd_call(
     gathers rows (z0 - 2 .. z0 + nz_local + 1, wrapped/clamped) into an
     [nz_local + 4, LF, pny, pnx] block so the enc index map stays a static
     function of the program id (index maps cannot read runtime scalars);
-    clamp edge corrections key on GLOBAL rows via z0."""
+    clamp edge corrections key on GLOBAL rows via z0.
+
+    need_denc=False drops the dEnc output entirely — the kernel's one
+    grid-sized write (LF*4 B/cell, ~184 MB at the flagship for LF=39) and
+    its per-row K=H dot. Parameter-free encodings (Fourier) pull dEnc back
+    to an EMPTY gradient, so for them the cotangent is pure waste."""
     ops = _PlaneOps(g, w)
     nz = g.nz
     pny, pnx = ops.pny, ops.pnx
@@ -125,6 +130,13 @@ def _build_ngp_bwd_call(
     da1_mode = _resolve_mode("da1", precision)
     dw2_mode = _resolve_mode("dw2", precision)
     fwd_mode = _resolve_mode("fwd", precision)
+    if fwd_mode == "vpu" and lf > 24:
+        # The per-channel FMA chain unrolls LF plane-sized temporaries;
+        # Mosaic's register allocator spills them to scoped VMEM (measured:
+        # LF=39 f32 spilled 129 MB on v5e — an OOM). Large encodings take
+        # the [h,LF]x[LF,M] dot instead: with HIGHEST precision it is the
+        # same f32 class the staged arm's head matmuls use.
+        fwd_mode = "dot"
     dot_prec = (
         jax.lax.Precision.DEFAULT if precision == "bf16"
         else jax.lax.Precision.HIGHEST
@@ -146,9 +158,14 @@ def _build_ngp_bwd_call(
         return jax.lax.rem(j + 9, 3)
 
     def kernel(z0_ref, ts_ref, enc_ref, w1c_ref, w1hk_ref, tb1_ref, w2_ref,
-               w2hk_ref, b2_ref,
-               part_ref, denc_ref, dw1_ref, db1x_ref, dtw1x_ref, dw2_ref,
-               db2x_ref, fwin, gwin, bwin, ewin):
+               w2hk_ref, b2_ref, *rest):
+        if need_denc:
+            (part_ref, denc_ref, dw1_ref, db1x_ref, dtw1x_ref, dw2_ref,
+             db2x_ref, fwin, gwin, bwin, ewin) = rest
+        else:
+            (part_ref, dw1_ref, db1x_ref, dtw1x_ref, dw2_ref,
+             db2x_ref, fwin, gwin, bwin, ewin) = rest
+            denc_ref = None
         i = pl.program_id(0)
         z0 = z0_ref[0, 0]  # first global row of this shard's range
 
@@ -327,14 +344,18 @@ def _build_ngp_bwd_call(
                         preferred_element_type=jnp.float32,
                         precision=dot_prec,
                     )
-                    dpart = jax.lax.dot_general(
-                        w1c, dz_in, dimension_numbers=dims_denc,
-                        preferred_element_type=jnp.float32,
-                        precision=dot_prec,
-                    )
-                    denc_acc = dpart if denc_acc is None else denc_acc + dpart
+                    if denc_ref is not None:
+                        dpart = jax.lax.dot_general(
+                            w1c, dz_in, dimension_numbers=dims_denc,
+                            preferred_element_type=jnp.float32,
+                            precision=dot_prec,
+                        )
+                        denc_acc = (
+                            dpart if denc_acc is None else denc_acc + dpart
+                        )
             if head_variant == "fused":
-                denc_ref[0] = denc_acc.reshape(lf, pny, pnx)
+                if denc_ref is not None:
+                    denc_ref[0] = denc_acc.reshape(lf, pny, pnx)
             else:
                 # dW1 (base rows): contraction over cells — K=M, MXU-friendly
                 dz_in = (
@@ -346,13 +367,15 @@ def _build_ngp_bwd_call(
                     enc_in, dz_in, dimension_numbers=dims_dw1,
                     preferred_element_type=jnp.float32, precision=dot_prec,
                 )
-                # dEnc row: [LF, M] = W1[:-1] @ dz1_sum (K = H)
-                denc = jax.lax.dot_general(
-                    w1c, dz_in if precision == "bf16" else dz1_sum,
-                    dimension_numbers=dims_denc,
-                    preferred_element_type=jnp.float32, precision=dot_prec,
-                )
-                denc_ref[0] = denc.reshape(lf, pny, pnx)
+                if denc_ref is not None:
+                    # dEnc row: [LF, M] = W1[:-1] @ dz1_sum (K = H)
+                    denc = jax.lax.dot_general(
+                        w1c, dz_in if precision == "bf16" else dz1_sum,
+                        dimension_numbers=dims_denc,
+                        preferred_element_type=jnp.float32,
+                        precision=dot_prec,
+                    )
+                    denc_ref[0] = denc.reshape(lf, pny, pnx)
 
     if ext_mode:
         # pre-extended encoding: ext row i IS logical field row z0 + i - 2
@@ -373,33 +396,47 @@ def _build_ngp_bwd_call(
         pl.BlockSpec((h, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
-    out_specs = (
-        pl.BlockSpec((2, nz_local), lambda i: (0, 0), memory_space=pltpu.SMEM),
+    denc_spec = [
         pl.BlockSpec(
             (1, lf, pny, pnx),
             lambda i: (jnp.clip(i - 4, 0, nz_local - 1), 0, 0, 0),
             memory_space=pltpu.VMEM,
-        ),
-        pl.BlockSpec((lf, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((h, pnx), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((h, pnx), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec(
-            (4, h) if dw2_mode == "dot" else (h, 4),
-            lambda i: (0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        pl.BlockSpec((4, pnx), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        )
+    ] if need_denc else []
+    denc_shape = (
+        [jax.ShapeDtypeStruct((nz_local, lf, pny, pnx), jnp.float32)]
+        if need_denc
+        else []
     )
-    out_shape = (
-        jax.ShapeDtypeStruct((2, nz_local), jnp.float32),
-        jax.ShapeDtypeStruct((nz_local, lf, pny, pnx), jnp.float32),
-        jax.ShapeDtypeStruct((lf, h), jnp.float32),
-        jax.ShapeDtypeStruct((h, pnx), jnp.float32),
-        jax.ShapeDtypeStruct((h, pnx), jnp.float32),
-        jax.ShapeDtypeStruct(
-            (4, h) if dw2_mode == "dot" else (h, 4), jnp.float32
-        ),
-        jax.ShapeDtypeStruct((4, pnx), jnp.float32),
+    out_specs = tuple(
+        [pl.BlockSpec((2, nz_local), lambda i: (0, 0),
+                      memory_space=pltpu.SMEM)]
+        + denc_spec
+        + [
+            pl.BlockSpec((lf, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, pnx), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, pnx), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (4, h) if dw2_mode == "dot" else (h, 4),
+                lambda i: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((4, pnx), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+    )
+    out_shape = tuple(
+        [jax.ShapeDtypeStruct((2, nz_local), jnp.float32)]
+        + denc_shape
+        + [
+            jax.ShapeDtypeStruct((lf, h), jnp.float32),
+            jax.ShapeDtypeStruct((h, pnx), jnp.float32),
+            jax.ShapeDtypeStruct((h, pnx), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (4, h) if dw2_mode == "dot" else (h, 4), jnp.float32
+            ),
+            jax.ShapeDtypeStruct((4, pnx), jnp.float32),
+        ]
     )
     return pl.pallas_call(
         kernel,
@@ -465,9 +502,19 @@ def ngp_loss_and_grad(
     dt = jnp.float32(g.dt)
     ts = jnp.stack([t - dt, t, t + dt])  # [3]
 
-    enc_zcf, enc_vjp = jax.vjp(
-        lambda tb: encode_grid_zcf(ncfg.encoding, tb, g), params["tables"]
-    )  # [nz, LF, ny, nx]
+    # Parameter-free encodings (empty "tables" pytree) need no dEnc: the
+    # pullback would be all-empty, so the kernel skips its one grid-sized
+    # output and the K=H dot entirely (need_denc=False).
+    has_enc_params = any(
+        leaf.size > 0 for leaf in jax.tree_util.tree_leaves(params["tables"])
+    )
+    if has_enc_params:
+        enc_zcf, enc_vjp = jax.vjp(
+            lambda tb: encode_grid_zcf(ncfg.encoding, tb, g),
+            params["tables"],
+        )  # [nz, LF, ny, nx]
+    else:
+        enc_zcf = encode_grid_zcf(ncfg.encoding, params["tables"], g)
     if mega_flat(g):
         enc_k = enc_zcf.reshape(g.nz, lf, flat_rows(g), 128)
     else:
@@ -477,18 +524,27 @@ def ngp_loss_and_grad(
     tb1 = params["b1"][:, None] + w1[-1][:, None] * ts[None, :]  # [H, 3]
     w2t = params["W2"].T  # [4, H]
     b2 = params["b2"].reshape(1, 4)
-    call = _build_ngp_bwd_call(g, lf, h, w, precision, interpret)
+    call = _build_ngp_bwd_call(
+        g, lf, h, w, precision, interpret, need_denc=has_enc_params
+    )
     z0 = jnp.zeros((1, 1), jnp.int32)
-    parts, denc, dw1g, db1x, dtw1x, dw2g, db2x = call(
+    outs = call(
         z0, ts.reshape(1, 3), enc_k, w1c, w1c.T, tb1, w2t, params["W2"], b2
     )
+    if has_enc_params:
+        parts, denc, dw1g, db1x, dtw1x, dw2g, db2x = outs
+    else:
+        parts, dw1g, db1x, dtw1x, dw2g, db2x = outs
     ls, lu = ops_loss.sum_partials(g, w, parts)
     db1 = db1x[:, 0]
     dtw1 = dtw1x[:, 0]
     dw2 = dw2g.T if _resolve_mode("dw2", precision) == "dot" else dw2g
     dw1_full = jnp.concatenate([dw1g, dtw1[None, :]], axis=0)  # [LF+1, H]
-    denc_grid = denc.reshape(g.nz, lf, g.ny, g.nx)
-    (d_tables,) = enc_vjp(denc_grid)
+    if has_enc_params:
+        denc_grid = denc.reshape(g.nz, lf, g.ny, g.nx)
+        (d_tables,) = enc_vjp(denc_grid)
+    else:
+        d_tables = jax.tree.map(jnp.zeros_like, params["tables"])
     d_t = jnp.sum(w1[-1] * db1)
     grads = {
         "tables": d_tables,
@@ -541,40 +597,60 @@ def ngp_loss_and_grad_sharded(
     dt = jnp.float32(g.dt)
     pny = flat_rows(g) if mega_flat(g) else g.ny
     pnx = 128 if mega_flat(g) else g.nx
-    call = _build_ngp_bwd_call(
-        g, lf, h, w, precision, interpret, nz_local=nz_local
-    )
 
     def local(params, t):
+        has_enc = any(
+            leaf.size > 0
+            for leaf in jax.tree_util.tree_leaves(params["tables"])
+        )
+        call = _build_ngp_bwd_call(
+            g, lf, h, w, precision, interpret, nz_local=nz_local,
+            need_denc=has_enc,
+        )
         t = jnp.float32(t)
         ts = jnp.stack([t - dt, t, t + dt])
         me = jax.lax.axis_index(Z_AXIS)
         z0 = (me * nz_local).astype(jnp.int32)
         rows = z0 - 2 + jnp.arange(nz_local + 4)
         rows = rows % nz if g.periodic else jnp.clip(rows, 0, nz - 1)
-        enc_rows, enc_vjp = jax.vjp(
-            lambda tb: encode_grid_zcf_rows(ncfg.encoding, tb, g, rows),
-            params["tables"],
-        )  # [nz_local + 4, LF, ny, nx]
+        if has_enc:
+            enc_rows, enc_vjp = jax.vjp(
+                lambda tb: encode_grid_zcf_rows(ncfg.encoding, tb, g, rows),
+                params["tables"],
+            )  # [nz_local + 4, LF, ny, nx]
+        else:
+            enc_rows = encode_grid_zcf_rows(
+                ncfg.encoding, params["tables"], g, rows
+            )
         enc_ext = enc_rows.reshape(nz_local + 4, lf, pny, pnx)
         w1 = params["W1"]
         w1c = w1[:-1]
         tb1 = params["b1"][:, None] + w1[-1][:, None] * ts[None, :]
-        parts, denc, dw1g, db1x, dtw1x, dw2g, db2x = call(
+        outs = call(
             z0.reshape(1, 1), ts.reshape(1, 3), enc_ext, w1c, w1c.T, tb1,
             params["W2"].T, params["W2"], params["b2"].reshape(1, 4)
         )
+        if has_enc:
+            parts, denc, dw1g, db1x, dtw1x, dw2g, db2x = outs
+        else:
+            parts, dw1g, db1x, dtw1x, dw2g, db2x = outs
         parts_all = jax.lax.all_gather(parts, Z_AXIS, axis=1, tiled=True)
         ls, lu = ops_loss.sum_partials(g, w, parts_all)
-        # dEnc covers this shard's OWN rows only; the 2+2 halo positions of
-        # the pre-extended block get zero cotangent (their owning shard
-        # emits them), so the psum'd pullback counts every row exactly once.
-        denc_pad = jnp.pad(
-            denc.reshape(nz_local, lf, g.ny, g.nx),
-            ((2, 2), (0, 0), (0, 0), (0, 0)),
-        )
-        (d_tables_part,) = enc_vjp(denc_pad)
-        d_tables = jax.lax.psum(d_tables_part, Z_AXIS)
+        if has_enc:
+            # dEnc covers this shard's OWN rows only; the 2+2 halo positions
+            # of the pre-extended block get zero cotangent (their owning
+            # shard emits them), so the psum'd pullback counts every row
+            # exactly once.
+            denc_pad = jnp.pad(
+                denc.reshape(nz_local, lf, g.ny, g.nx),
+                ((2, 2), (0, 0), (0, 0), (0, 0)),
+            )
+            (d_tables_part,) = enc_vjp(denc_pad)
+            d_tables = jax.lax.psum(d_tables_part, Z_AXIS)
+        else:
+            # parameter-free encoders (Fourier): no dEnc was computed and
+            # the gradient is the all-empty pytree — nothing to reduce.
+            d_tables = jax.tree.map(jnp.zeros_like, params["tables"])
         db1 = jax.lax.psum(db1x, Z_AXIS)[:, 0]
         dtw1 = jax.lax.psum(dtw1x, Z_AXIS)[:, 0]
         dw1g_s = jax.lax.psum(dw1g, Z_AXIS)

@@ -322,6 +322,47 @@ def run_ngp_mega(nx, ny, nz, scheme="central"):
     mega_ngp._HEAD_VARIANT = "auto"
 
 
+def run_fourier_mega(nx, ny, nz):
+    """Round-3 Fourier-encoded field family through the same one-kernel
+    backward (need_denc=False path: no dEnc output, large-LF dot forward)
+    vs jax.value_and_grad through the staged pipeline
+    (tests/test_fourier.py is the interpret arm)."""
+    from phys_autodiff_tpu.models import ngp
+    from phys_autodiff_tpu.models.fourier import FourierEncodingConfig
+    from phys_autodiff_tpu.pallas.mega_ngp import ngp_loss_and_grad
+
+    g = GridSpec(nx=nx, ny=ny, nz=nz, hx=0.05, hy=0.05, hz=0.05, dt=1e-3)
+    print(f"round-3 fourier mega-bwd {nx}x{ny}x{nz}")
+    ncfg = ngp.NGPFieldConfig(encoding=FourierEncodingConfig())
+    params = ngp.init_ngp_params(ncfg, seed=777)
+    rng = np.random.Generator(np.random.MT19937(21))
+    params["b1"] = jnp.asarray(
+        rng.standard_normal(params["b1"].shape) * 0.3, jnp.float32
+    )
+    params["b2"] = jnp.asarray(
+        rng.standard_normal(params["b2"].shape) * 0.3, jnp.float32
+    )
+    t = jnp.float32(0.25)
+    w = PhysWeights()
+
+    def staged_total(p, tt):
+        fs = ngp.generate_fields(g, ncfg, p, tt, g.dt)
+        ls, lu = ops.loss_forward(g, w, fs)
+        return ls + lu
+
+    l_ref, g_ref = jax.jit(jax.value_and_grad(staged_total))(params, t)
+    cat = lambda gp: np.concatenate(
+        [np.asarray(x, np.float64).ravel()
+         for x in jax.tree_util.tree_leaves(gp)]
+    )
+    l_k, (g_k, _) = jax.jit(
+        lambda p, tt: ngp_loss_and_grad(g, w, ncfg, p, tt)
+    )(params, t)
+    check("fourier-mega loss rel",
+          abs(float(l_k) - float(l_ref)) / abs(float(l_ref)), 1e-5)
+    check("fourier-mega grads rel", rel_l2_err(cat(g_k), cat(g_ref)), 2e-3)
+
+
 if __name__ == "__main__":
     print("devices:", jax.devices())
     run(128, 96, 96, True)   # slab kernel
@@ -339,6 +380,7 @@ if __name__ == "__main__":
     run_round3(64, 64, 64, scheme="upwind")     # upwind adjoint, flat
     run_ngp_dense(32, 16, 16)
     run_ngp_mega(128, 96, 96)
+    run_fourier_mega(128, 96, 96)
     if FAILURES:
         print("FAILURES:", FAILURES)
         sys.exit(1)
