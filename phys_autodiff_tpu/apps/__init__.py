@@ -1,0 +1,13 @@
+"""Applications built ON the framework (not part of the parity core).
+
+The reference repo has no application layer — its only executables are
+tests and benchmarks (SURVEY.md §1 L3). These modules demonstrate the
+framework serving downstream consumers:
+
+  * apps.advect — tracer-particle advection through a learned velocity
+    field (the north-star "particles * steps / sec" workload).
+"""
+
+from phys_autodiff_tpu.apps import advect  # noqa: F401
+
+__all__ = ["advect"]

@@ -1,0 +1,174 @@
+"""Arbitrary-point field evaluation — the serving surface.
+
+The reference can only evaluate its model on the full regular grid
+(mlp_grid_infer_*, src/mlp_grid.cpp:53-67); there is no API to query the
+learned field at arbitrary locations. This module adds that capability for
+every model family the framework trains (coordinate MLP, NGP hash field,
+Fourier field, and any registered encoder family), plus a trilinear
+grid-sampling path for consumers that want many cheap queries against a
+frozen field snapshot.
+
+Coordinate conventions (one place, documented once):
+
+  * UNIT coords: `u in [0, 1]^3`, channel order (x, y, z) — the encoder
+    convention, and exactly the MLP's ZeroToOne axis coordinate
+    `u = i / (n - 1)` (models/coords.py:_axis_coord). Grid node (ix,iy,iz)
+    sits at `u = (ix/(nx-1), iy/(ny-1), iz/(nz-1))`.
+  * INDEX coords: `f = u * (n - 1)` per axis — continuous grid indices, the
+    natural space for interpolation and particle advection (the periodic
+    topology has period n there: node index n wraps to 0 at physical
+    spacing h per step).
+
+Everything here is pure jnp and jit/vmap/grad-composable: direct model
+evaluation is differentiable in the model parameters AND in the query
+points; trilinear sampling is differentiable in the sampled values and in
+the points (piecewise-linearly).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from phys_autodiff_tpu.models import mlp
+from phys_autodiff_tpu.utils.config import CoordNorm, GridSpec, MLPGridConfig
+
+
+def unit_to_index(g: GridSpec, pts_unit: jnp.ndarray) -> jnp.ndarray:
+    """[..., 3] unit-cube coords -> continuous grid-index coords (x, y, z)."""
+    scale = jnp.asarray(
+        [max(g.nx - 1, 1), max(g.ny - 1, 1), max(g.nz - 1, 1)],
+        dtype=jnp.float32,
+    )
+    return pts_unit.astype(jnp.float32) * scale
+
+
+def index_to_unit(g: GridSpec, pts_idx: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of unit_to_index (degenerate axes map index 0 -> unit 0)."""
+    scale = jnp.asarray(
+        [max(g.nx - 1, 1), max(g.ny - 1, 1), max(g.nz - 1, 1)],
+        dtype=jnp.float32,
+    )
+    return pts_idx.astype(jnp.float32) / scale
+
+
+def point_coords(
+    pts_unit: jnp.ndarray, t, norm: CoordNorm = CoordNorm.MinusOneToOne
+) -> jnp.ndarray:
+    """MLP input coords [..., 4] for unit-cube points at time t.
+
+    Applies the same normalization as the grid path (models/coords.py),
+    INCLUDING the reference's time quirk (raw t for MinusOneToOne, t + 0.5
+    for ZeroToOne — src/mlp_grid.cpp:38), so a point placed exactly on a
+    grid node reproduces that node's grid_coords row bit-for-bit."""
+    pts_unit = pts_unit.astype(jnp.float32)
+    if norm == CoordNorm.MinusOneToOne:
+        spatial = 2.0 * pts_unit - 1.0
+        t_val = jnp.float32(t)
+    else:
+        spatial = pts_unit
+        t_val = jnp.float32(t) + 0.5
+    t_chan = jnp.broadcast_to(t_val, pts_unit.shape[:-1] + (1,))
+    return jnp.concatenate([spatial, t_chan], axis=-1)
+
+
+def mlp_eval_points(
+    cfg: MLPGridConfig, params: mlp.Params, pts_unit: jnp.ndarray, t
+) -> jnp.ndarray:
+    """Coordinate-MLP field at arbitrary unit-cube points: [..., Out].
+
+    At grid nodes this matches models.fields.grid_infer exactly (same
+    coordinate rows, same pinned-precision matmuls)."""
+    return mlp.forward(params, point_coords(pts_unit, t, cfg.norm))
+
+
+def ngp_eval_points(
+    ncfg, params: dict, pts_unit: jnp.ndarray, t, *, allow_large: bool = False
+) -> jnp.ndarray:
+    """Encoded-field (NGP/Fourier/any registered family) evaluation at
+    arbitrary unit-cube points: [..., out]. Thin alias of models.ngp.forward
+    so both model families serve through one module.
+
+    The hash family's pointwise encoder keeps its grid-scale guard
+    (hash_encoder.MAX_POINTWISE_POINTS); batch point queries accordingly or
+    pass allow_large=True deliberately."""
+    from phys_autodiff_tpu.models import ngp as ngp_mod
+
+    return ngp_mod.forward(ncfg, params, pts_unit, t, allow_large=allow_large)
+
+
+def evaluate_points(g: GridSpec, model_cfg, params, pts_unit, t, **kw):
+    """One dispatching entry point: model_cfg may be an MLPGridConfig or an
+    NGPFieldConfig (any encoder family). Returns [..., 4] physics channels
+    [sigma, ux, uy, uz] at the given unit-cube points and time."""
+    if isinstance(model_cfg, MLPGridConfig):
+        return mlp_eval_points(model_cfg, params, pts_unit, t)
+    return ngp_eval_points(model_cfg, params, pts_unit, t, **kw)
+
+
+def _axis_corners(f: jnp.ndarray, n: int, periodic: bool):
+    """Continuous index coordinate f -> (i0, i1, w1) on an n-node axis.
+
+    periodic: f wraps with period n (node n IS node 0 — spacing h beyond
+    the last node, matching the stencil's wrap topology, ops/stencil.py).
+    clamp: f clips to [0, n-1] and the upper corner saturates — queries
+    outside the box return the boundary value, the sampling analogue of the
+    stencil's clampi (src/phys_cpu.cpp:8-15)."""
+    if n <= 1:
+        z = jnp.zeros_like(f, dtype=jnp.int32)
+        return z, z, jnp.zeros_like(f)
+    if periodic:
+        f = jnp.mod(f, jnp.float32(n))
+        i0 = jnp.floor(f).astype(jnp.int32)
+        i0 = jnp.clip(i0, 0, n - 1)  # guard f == n after fp mod
+        i1 = jnp.mod(i0 + 1, n)
+    else:
+        f = jnp.clip(f, 0.0, jnp.float32(n - 1))
+        i0 = jnp.clip(jnp.floor(f).astype(jnp.int32), 0, n - 1)
+        i1 = jnp.minimum(i0 + 1, n - 1)
+    return i0, i1, f - i0.astype(jnp.float32)
+
+
+def trilinear_sample(
+    values: jnp.ndarray, pts_idx: jnp.ndarray, g: GridSpec
+) -> jnp.ndarray:
+    """Trilinear interpolation of grid values at continuous index coords.
+
+    values: [..., nz, ny, nx] (any number of leading channel axes);
+    pts_idx: [P, 3] continuous (x, y, z) grid-index coordinates;
+    returns [P, ...channels] (channel axes moved last so a [3, nz, ny, nx]
+    velocity field samples to [P, 3]).
+
+    Boundary behavior follows g.periodic (wrap with period n / clamp),
+    matching the stencil operators' topology. The 8 corner reads compile to
+    flat one-axis gathers — the TPU-friendly form of point sampling."""
+    ch_shape = values.shape[:-3]
+    nz, ny, nx = values.shape[-3:]
+    assert (nz, ny, nx) == g.shape, (values.shape, g.shape)
+    flat = values.reshape(ch_shape + (nz * ny * nx,))
+    ix0, ix1, wx = _axis_corners(pts_idx[..., 0], nx, g.periodic)
+    iy0, iy1, wy = _axis_corners(pts_idx[..., 1], ny, g.periodic)
+    iz0, iz1, wz = _axis_corners(pts_idx[..., 2], nz, g.periodic)
+
+    def corner(iz, iy, ix):
+        # reference flat index order: idx = (z*ny + y)*nx + x
+        lin = (iz * ny + iy) * nx + ix
+        return jnp.take(flat, lin, axis=-1)  # [...ch, P]
+
+    c000 = corner(iz0, iy0, ix0)
+    c001 = corner(iz0, iy0, ix1)
+    c010 = corner(iz0, iy1, ix0)
+    c011 = corner(iz0, iy1, ix1)
+    c100 = corner(iz1, iy0, ix0)
+    c101 = corner(iz1, iy0, ix1)
+    c110 = corner(iz1, iy1, ix0)
+    c111 = corner(iz1, iy1, ix1)
+    c00 = c000 + (c001 - c000) * wx
+    c01 = c010 + (c011 - c010) * wx
+    c10 = c100 + (c101 - c100) * wx
+    c11 = c110 + (c111 - c110) * wx
+    c0 = c00 + (c01 - c00) * wy
+    c1 = c10 + (c11 - c10) * wy
+    out = c0 + (c1 - c0) * wz  # [...ch, P]
+    if ch_shape:
+        out = jnp.moveaxis(out, -1, 0)  # [P, ...ch]
+    return out

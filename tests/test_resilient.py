@@ -1,0 +1,144 @@
+"""Tests for train/resilient.py: checkpoint-every-K training with failure
+detection and auto-resume (fault injection stands in for the real crashed-
+TPU-worker mode the module is built against)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from phys_autodiff_tpu.train import loop, resilient
+from phys_autodiff_tpu.utils.config import (
+    GridSpec,
+    MLPDims,
+    MLPGridConfig,
+    PhysWeights,
+)
+
+
+def _setup():
+    g = GridSpec(nx=8, ny=6, nz=5, hx=0.5, hy=0.5, hz=0.5, dt=1e-3)
+    w = PhysWeights()
+    mcfg = MLPGridConfig(dims=MLPDims(H=16))
+    cfg = loop.TrainConfig(steps=12, learning_rate=1e-3, seed=3)
+    return g, w, mcfg, cfg
+
+
+def _crashing_factory(g, w, mcfg, cfg, crash_at_call: int):
+    """Wrap the real jitted step with one injected worker-crash-shaped
+    failure at the crash_at_call-th invocation."""
+    calls = {"n": 0, "crashed": False}
+
+    def factory():
+        real = loop.make_train_step(g, w, mcfg, cfg)
+
+        def step(state):
+            calls["n"] += 1
+            if calls["n"] == crash_at_call and not calls["crashed"]:
+                calls["crashed"] = True
+                raise RuntimeError("TPU worker process crashed or restarted")
+            return real(state)
+
+        return step
+
+    return factory, calls
+
+
+def test_resilient_resumes_and_matches_uninterrupted_run(tmp_path):
+    g, w, mcfg, cfg = _setup()
+    state0 = loop.init_state(cfg, mcfg)
+
+    # uninterrupted oracle: 12 plain steps
+    plain_step = loop.make_train_step(g, w, mcfg, cfg)
+    s_ref = state0
+    for _ in range(cfg.steps):
+        s_ref, loss_ref = plain_step(s_ref)
+
+    factory, calls = _crashing_factory(g, w, mcfg, cfg, crash_at_call=7)
+    rcfg = resilient.ResilienceConfig(
+        ckpt_path=str(tmp_path / "ck"), save_every=5, max_restarts=2
+    )
+    state, history, report = resilient.fit_resilient(
+        factory, state0, cfg.steps, rcfg
+    )
+    assert report.failures == 1 and report.restores == 1
+    assert report.steps_done == cfg.steps
+    assert int(state.step) == cfg.steps
+    assert calls["crashed"]
+    # deterministic replay from the step-5 checkpoint: the final parameters
+    # match the uninterrupted run exactly (PRNG key lives in the state)
+    np.testing.assert_array_equal(
+        np.asarray(state.params["W1"]), np.asarray(s_ref.params["W1"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(state.key), np.asarray(s_ref.key)
+    )
+    assert history[-1][0] == cfg.steps
+
+
+def test_resilient_gives_up_after_max_restarts(tmp_path):
+    g, w, mcfg, cfg = _setup()
+    state0 = loop.init_state(cfg, mcfg)
+
+    def factory():
+        def step(state):
+            raise RuntimeError("socket closed: TPU worker unavailable")
+
+        return step
+
+    rcfg = resilient.ResilienceConfig(
+        ckpt_path=str(tmp_path / "ck"), save_every=4, max_restarts=2
+    )
+    with pytest.raises(RuntimeError, match="giving up after 2 restarts"):
+        resilient.fit_resilient(factory, state0, 8, rcfg)
+
+
+def test_resilient_reraises_programming_errors(tmp_path):
+    g, w, mcfg, cfg = _setup()
+    state0 = loop.init_state(cfg, mcfg)
+
+    def factory():
+        def step(state):
+            raise ValueError("shapes do not match")
+
+        return step
+
+    rcfg = resilient.ResilienceConfig(
+        ckpt_path=str(tmp_path / "ck"), save_every=4, max_restarts=5
+    )
+    with pytest.raises(ValueError, match="shapes do not match"):
+        resilient.fit_resilient(factory, state0, 8, rcfg)
+
+
+def test_default_failure_predicate_classification():
+    p = resilient.default_failure_predicate
+    assert p(RuntimeError("anything"))
+    assert p(Exception("grpc UNAVAILABLE: socket closed"))
+    assert p(Exception("deadline exceeded talking to worker"))
+    assert not p(ValueError("bad shape"))
+    assert not p(TypeError("not a pytree"))
+
+
+def test_resilient_checkpoint_cadence_and_history(tmp_path):
+    g, w, mcfg, cfg = _setup()
+    state0 = loop.init_state(cfg, mcfg)
+
+    def factory():
+        return loop.make_train_step(g, w, mcfg, cfg)
+
+    rcfg = resilient.ResilienceConfig(
+        ckpt_path=str(tmp_path / "ck"), save_every=5
+    )
+    state, history, report = resilient.fit_resilient(
+        factory, state0, 12, rcfg
+    )
+    # initial + after bursts of 5, 5, 2
+    assert report.checkpoints == 4
+    assert report.failures == 0
+    assert [h[0] for h in history] == [5, 10, 12]
+    assert all(np.isfinite(h[1]) for h in history)
+    # the on-disk checkpoint restores to the final state
+    restored = resilient.checkpoint.restore_npz(rcfg.ckpt_path, state0)
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["W2"]), np.asarray(state.params["W2"])
+    )
+    assert int(jnp.asarray(restored.step)) == 12
