@@ -63,9 +63,14 @@ def velocity_fn_from_model(g: GridSpec, model_cfg, params, **kw) -> VelocityFn:
 
 def velocity_fn_from_grid(g: GridSpec, u_grid: jnp.ndarray) -> VelocityFn:
     """Velocity by trilinear sampling of a FROZEN [3, nz, ny, nx] snapshot
-    (channel-major, the physics layout). Cheapest per query — use for
-    streamline-style rollouts where u(x) is held at one time; the time
-    argument is ignored."""
+    (channel-major, the physics layout); the time argument is ignored.
+
+    TPU performance note (measured, scripts/advect_bench.py at 1M particles
+    on the flagship grid): the 8 scattered corner gathers run ~11.5M
+    particle*steps/s — 24x SLOWER than velocity_fn_from_model's direct MXU
+    re-evaluation (278M/s, H=128 head, RK2). On TPU compute beats gather;
+    prefer the direct arm unless the field exists only as grid data (no
+    model), or each query must hit an externally produced snapshot."""
     assert u_grid.shape == (3,) + g.shape, u_grid.shape
 
     def vel(pts_idx, t):

@@ -140,7 +140,13 @@ def trilinear_sample(
 
     Boundary behavior follows g.periodic (wrap with period n / clamp),
     matching the stencil operators' topology. The 8 corner reads compile to
-    flat one-axis gathers — the TPU-friendly form of point sampling."""
+    flat one-axis gathers — the least-bad form of scattered access on TPU,
+    but still gather-bound: measured ~11.5M point-queries/s at 1M points on
+    the flagship grid vs 278M/s for direct MXU model re-evaluation
+    (scripts/advect_bench.py; promise_in_bounds made no difference — the
+    gather lowering, not the bounds check, is the limit). Prefer direct
+    model evaluation when a model exists; use this for model-free grid
+    data."""
     ch_shape = values.shape[:-3]
     nz, ny, nx = values.shape[-3:]
     assert (nz, ny, nx) == g.shape, (values.shape, g.shape)
@@ -150,9 +156,11 @@ def trilinear_sample(
     iz0, iz1, wz = _axis_corners(pts_idx[..., 2], nz, g.periodic)
 
     def corner(iz, iy, ix):
-        # reference flat index order: idx = (z*ny + y)*nx + x
+        # reference flat index order: idx = (z*ny + y)*nx + x; corners are
+        # already wrapped/clamped in range, so promise it (skips the
+        # out-of-bounds select in the lowered gather)
         lin = (iz * ny + iy) * nx + ix
-        return jnp.take(flat, lin, axis=-1)  # [...ch, P]
+        return flat.at[..., lin].get(mode="promise_in_bounds")  # [...ch, P]
 
     c000 = corner(iz0, iy0, ix0)
     c001 = corner(iz0, iy0, ix1)
