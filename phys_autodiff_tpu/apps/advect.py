@@ -146,3 +146,41 @@ def advect(
 
     final, _ = jax.lax.scan(body, pts0, ks)
     return final
+
+
+def advect_sharded(
+    g: GridSpec,
+    vel_fn: VelocityFn,
+    pts0_idx: jnp.ndarray,
+    t0,
+    cfg: AdvectConfig,
+    mesh,
+    axis: str | None = None,
+):
+    """Multi-chip advection: particles sharded over the mesh, weights
+    replicated — pure data parallelism in its cleanest form.
+
+    Advection is embarrassingly parallel over particles (each trajectory
+    depends only on its own position and the replicated field model), so
+    no shard_map or collective is needed: annotate the [P, 3] positions
+    with a NamedSharding over the given mesh axis (default: the mesh's
+    first axis) and jit the SAME advect() — GSPMD partitions the whole
+    scan with zero communication. Sharded == single-chip bitwise (pinned
+    by tests/test_sample_advect.py, which also asserts the compiled module
+    contains no collectives).
+
+    P must divide by the axis size (pad with dummies otherwise). Returns
+    the same outputs as advect(), sharded the same way."""
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as PS
+
+    if axis is None:
+        axis = mesh.axis_names[0]
+    n = mesh.shape[axis]
+    assert pts0_idx.shape[0] % n == 0, (
+        f"particle count {pts0_idx.shape[0]} must divide the "
+        f"{axis!r}-axis size {n}"
+    )
+    sh = NamedSharding(mesh, PS(axis))
+    pts0 = jax.device_put(pts0_idx, sh)
+    return jax.jit(lambda p: advect(g, vel_fn, p, t0, cfg))(pts0)

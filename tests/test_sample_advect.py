@@ -264,3 +264,38 @@ def test_advect_trajectory_recording():
     # frames advance monotonically in x (far from the wrap)
     xs = np.asarray(frames[:, 0, 0])
     assert np.all(np.diff(xs) > 0)
+
+
+# ---------------------------------------------------------------- sharded
+
+
+def test_advect_sharded_matches_single_and_has_no_collectives():
+    from jax.sharding import Mesh
+
+    g = _grid(periodic=True)
+    cfg = MLPGridConfig()
+    params = mlp.init_params(cfg.dims, seed=11, scale=0.3)
+    vel = adv.velocity_fn_from_model(g, cfg, params)
+    acfg = adv.AdvectConfig(steps=15, dt=1e-2, method="rk2")
+    rng = np.random.default_rng(4)
+    pts0 = jnp.asarray(
+        rng.uniform(0, [g.nx, g.ny, g.nz], size=(16, 3)).astype(np.float32)
+    )
+    single = jax.jit(lambda p: adv.advect(g, vel, p, 0.1, acfg))(pts0)
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("p",))
+    sharded = adv.advect_sharded(g, vel, pts0, 0.1, acfg, mesh)
+    np.testing.assert_array_equal(np.asarray(sharded), np.asarray(single))
+    # data parallelism over particles needs zero communication: the
+    # compiled partitioned module must contain no collective ops
+    from jax.sharding import NamedSharding, PartitionSpec as PS
+
+    pts_sh = jax.device_put(pts0, NamedSharding(mesh, PS("p")))
+    hlo = (
+        jax.jit(lambda p: adv.advect(g, vel, p, 0.1, acfg))
+        .lower(pts_sh)
+        .compile()
+        .as_text()
+    )
+    for op in ("all-reduce", "all-gather", "collective-permute",
+               "reduce-scatter", "all-to-all"):
+        assert op not in hlo, f"unexpected {op} in sharded advect HLO"
