@@ -51,11 +51,22 @@ def velocity_fn_from_model(g: GridSpec, model_cfg, params, **kw) -> VelocityFn:
     exact (no interpolation), time-dependent, differentiable through the
     model parameters. model_cfg: MLPGridConfig or NGPFieldConfig (any
     encoder family); kw forwards to sample.evaluate_points (e.g.
-    allow_large=True for huge hash-encoder point batches)."""
+    allow_large=True for huge hash-encoder point batches).
+
+    Periodic seam band: index space wraps with period n but the model's
+    domain is the unit cube with node n-1 at u=1, so indices in (n-1, n)
+    have no model coordinate. The unit coords are CLAMPED to [0, 1]: the
+    band (width 1 cell in n) evaluates at the u=1 face. This keeps every
+    query inside the model's domain (hash encoders alias outside it) at
+    the cost of a face-value plateau across the band — a field trained
+    with periodic physics couples the u=0/u=1 faces through the wrap
+    stencil, so the residual jump is small; use velocity_fn_from_grid
+    where exact interpolated wrap behavior matters more than exact
+    in-domain values."""
 
     def vel(pts_idx, t):
-        pts_unit = sample.index_to_unit(g, pts_idx)
-        y = sample.evaluate_points(g, model_cfg, params, pts_unit, t, **kw)
+        pts_unit = jnp.clip(sample.index_to_unit(g, pts_idx), 0.0, 1.0)
+        y = sample.evaluate_points(model_cfg, params, pts_unit, t, **kw)
         return y[..., 1:4]  # [sigma, ux, uy, uz] -> u
 
     return vel
@@ -178,9 +189,31 @@ def advect_sharded(
         axis = mesh.axis_names[0]
     n = mesh.shape[axis]
     assert pts0_idx.shape[0] % n == 0, (
-        f"particle count {pts0_idx.shape[0]} must divide the "
+        f"particle count {pts0_idx.shape[0]} must be divisible by the "
         f"{axis!r}-axis size {n}"
     )
     sh = NamedSharding(mesh, PS(axis))
     pts0 = jax.device_put(pts0_idx, sh)
-    return jax.jit(lambda p: advect(g, vel_fn, p, t0, cfg))(pts0)
+    return make_advect_fn(g, vel_fn, t0, cfg)(pts0)
+
+
+def make_advect_fn(g: GridSpec, vel_fn: VelocityFn, t0, cfg: AdvectConfig):
+    """Compile-once form: returns the jitted `pts -> advect(...)` rollout
+    for repeated calls (new initial positions, same config). Cached per
+    (g, vel_fn, t0, cfg) — calling advect_sharded or this helper again
+    with the same arguments reuses the executable instead of re-tracing
+    (compiles cost 1-2 min on the tunneled TPU)."""
+    key = (g, id(vel_fn), float(t0), cfg)
+    hit = _ADVECT_CACHE.get(key)
+    if hit is not None and hit[0] is vel_fn:
+        return hit[1]
+    fn = jax.jit(lambda p: advect(g, vel_fn, p, t0, cfg))
+    if len(_ADVECT_CACHE) >= 64:  # bound growth; jit re-trace is safe
+        _ADVECT_CACHE.clear()
+    # keep vel_fn alive in the entry so its id cannot be recycled onto a
+    # different function while the cached executable still closes over it
+    _ADVECT_CACHE[key] = (vel_fn, fn)
+    return fn
+
+
+_ADVECT_CACHE: dict = {}

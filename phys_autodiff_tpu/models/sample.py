@@ -96,10 +96,15 @@ def ngp_eval_points(
     return ngp_mod.forward(ncfg, params, pts_unit, t, allow_large=allow_large)
 
 
-def evaluate_points(g: GridSpec, model_cfg, params, pts_unit, t, **kw):
+def evaluate_points(model_cfg, params, pts_unit, t, **kw):
     """One dispatching entry point: model_cfg may be an MLPGridConfig or an
     NGPFieldConfig (any encoder family). Returns [..., 4] physics channels
-    [sigma, ux, uy, uz] at the given unit-cube points and time."""
+    [sigma, ux, uy, uz] at the given unit-cube points and time.
+
+    Contract: pts_unit must lie in [0, 1]^3 — the models' domain (hash
+    encoders floor-index their lattices and would alias out of range).
+    Callers working in periodic index space must fold the seam band first
+    (see apps/advect.velocity_fn_from_model)."""
     if isinstance(model_cfg, MLPGridConfig):
         return mlp_eval_points(model_cfg, params, pts_unit, t)
     return ngp_eval_points(model_cfg, params, pts_unit, t, **kw)

@@ -9,9 +9,15 @@ from phys_autodiff_tpu.train.loop import (
     fit_scan,
     make_generic_train_step,
 )
-from phys_autodiff_tpu.train import checkpoint
+from phys_autodiff_tpu.train.loop import make_ngp_train_step
+from phys_autodiff_tpu.train import checkpoint, resilient
+from phys_autodiff_tpu.train.resilient import ResilienceConfig, fit_resilient
 
 __all__ = [
+    "make_ngp_train_step",
+    "resilient",
+    "ResilienceConfig",
+    "fit_resilient",
     "TrainConfig",
     "TrainState",
     "init_state",

@@ -32,6 +32,7 @@ detection".
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Any, Callable
 
@@ -44,18 +45,24 @@ def default_failure_predicate(exc: Exception) -> bool:
     """True for exceptions that look like infrastructure failures (worker
     crash/restart, connection loss) rather than programming errors.
 
-    JAX surfaces dead-backend conditions as XlaRuntimeError (grpc UNAVAILABLE
-    / INTERNAL, "TPU worker", "socket closed", ...). Shape/type/trace errors
-    arrive as TypeError/ValueError and must NOT be retried."""
-    name = type(exc).__name__
-    if name in ("XlaRuntimeError", "JaxRuntimeError", "RuntimeError"):
-        return True
+    JAX surfaces dead-backend conditions as XlaRuntimeError with messages
+    like grpc UNAVAILABLE, "TPU worker process crashed or restarted",
+    "socket closed". Classification requires BOTH an infrastructure-shaped
+    message and a runtime-error type: a bare RuntimeError("anything") (e.g.
+    a user NaN guard) or a deterministic XLA INTERNAL miscompile would
+    otherwise burn the whole restart budget re-raising identically —
+    retries only help failures that can actually heal."""
     msg = str(exc).lower()
-    return any(
+    infra_msg = any(
         s in msg
         for s in ("unavailable", "worker", "socket", "connection",
-                  "deadline", "internal error")
+                  "deadline", "crashed", "restarted", "cancelled")
     )
+    name = type(exc).__name__
+    runtime_type = name in (
+        "XlaRuntimeError", "JaxRuntimeError", "RuntimeError",
+    ) or isinstance(exc, RuntimeError)
+    return infra_msg and runtime_type
 
 
 @dataclasses.dataclass(frozen=True)
@@ -89,6 +96,7 @@ def fit_resilient(
     steps: int,
     rcfg: ResilienceConfig,
     log: Callable[[int, float], None] | None = None,
+    resume: str = "auto",
 ):
     """Run `steps` optimizer steps with checkpoint/auto-resume.
 
@@ -97,18 +105,28 @@ def fit_resilient(
     the executable against the recovered backend). state0 is the initial
     TrainState-like pytree; its structure defines the checkpoint format.
 
+    resume: "auto" (default) loads an existing checkpoint at ckpt_path and
+    continues from it — so a PROCESS-level death (host OOM, SIGKILL) also
+    resumes by simply re-running the same command; "restart" overwrites it
+    and starts from state0.
+
     Semantics on failure: training resumes from the LAST CHECKPOINT (work
     since then is re-done — at-least-once step execution). Deterministic
-    steps therefore converge to the same trajectory; stochastic t-sampling
-    replays the same PRNG stream because the key lives in the state.
+    steps converge to the same trajectory; stochastic t-sampling replays
+    the same PRNG stream because the key lives in the state. The checkpoint
+    write and the recovery actions themselves run under the same failure
+    handling as the steps (a worker can die during the state device_get or
+    the post-recovery re-trace just as well as mid-step); each recovery
+    attempt consumes one unit of the restart budget.
 
     Returns (final_state, history, report); history holds (step, loss)
     pairs at every checkpoint boundary."""
     if steps <= 0:
         return state0, [], RunReport()
+    if resume not in ("auto", "restart"):
+        raise ValueError(f"unknown resume mode {resume!r}")
     save_every = max(1, rcfg.save_every)
-    step = step_factory()
-    state = state0
+
     # step counter comes from the state when it has one (TrainState.step),
     # else we track locally
     def step_no(s, fallback):
@@ -119,39 +137,74 @@ def fit_resilient(
 
     report = RunReport()
     history: list[tuple[int, float]] = []
-    done = 0
-    # initial checkpoint so the first failure has something to resume from
-    checkpoint.save_npz(rcfg.ckpt_path, _to_host(state), meta=rcfg.meta)
-    report.checkpoints += 1
-    while done < steps:
-        burst = min(save_every, steps - done)
+    base = step_no(state0, 0)
+
+    def reload_state(default):
+        """Last checkpoint -> (state, done); `default` when none exists."""
+        npz = (
+            rcfg.ckpt_path
+            if rcfg.ckpt_path.endswith(".npz")
+            else rcfg.ckpt_path + ".npz"
+        )
+        if not os.path.exists(npz):
+            return default, 0
+        s = checkpoint.restore_npz(
+            rcfg.ckpt_path, state0, expect_meta=rcfg.meta
+        )
+        return s, max(0, step_no(s, 0) - base)
+
+    def spend_failure(exc):
+        if not rcfg.is_failure(exc):
+            raise exc
+        report.failures += 1
+        if report.failures > rcfg.max_restarts:
+            raise RuntimeError(
+                f"giving up after {report.failures - 1} restarts "
+                f"(max_restarts={rcfg.max_restarts})"
+            ) from exc
+        if rcfg.backoff_s:
+            time.sleep(rcfg.backoff_s)
+
+    if resume == "auto":
+        state, done = reload_state(state0)
+        if done:
+            report.restores += 1
+    else:
+        state, done = state0, 0
+    step = step_factory()
+    recovering = False
+    while True:
         try:
+            if recovering:
+                # reload last checkpoint, rebuild the executable — itself
+                # protected: a still-dying backend fails THIS too and
+                # consumes another restart rather than killing the run
+                state, done = reload_state(state0)
+                step = step_factory()
+                report.restores += 1
+                recovering = False
+            if done == 0 and report.checkpoints == 0:
+                # initial checkpoint so the first failure can resume
+                checkpoint.save_npz(
+                    rcfg.ckpt_path, _to_host(state), meta=rcfg.meta
+                )
+                report.checkpoints += 1
+            if done >= steps:
+                break
+            burst = min(save_every, steps - done)
             for _ in range(burst):
                 state, loss = step(state)
             # materialize the loss: device errors surface at fetch time
             loss_f = float(jax.device_get(loss))
-        except Exception as exc:  # noqa: BLE001 — filtered by predicate
-            if not rcfg.is_failure(exc):
-                raise
-            report.failures += 1
-            if report.failures > rcfg.max_restarts:
-                raise RuntimeError(
-                    f"giving up after {report.failures - 1} restarts "
-                    f"(max_restarts={rcfg.max_restarts})"
-                ) from exc
-            if rcfg.backoff_s:
-                time.sleep(rcfg.backoff_s)
-            # resume: reload last checkpoint, rebuild the executable
-            state = checkpoint.restore_npz(
-                rcfg.ckpt_path, state0, expect_meta=rcfg.meta
+            checkpoint.save_npz(
+                rcfg.ckpt_path, _to_host(state), meta=rcfg.meta
             )
-            step = step_factory()
-            report.restores += 1
-            done = max(0, step_no(state, done) - step_no(state0, 0))
+            report.checkpoints += 1
+        except Exception as exc:  # noqa: BLE001 — filtered by predicate
+            spend_failure(exc)
+            recovering = True
             continue
         done += burst
-        checkpoint.save_npz(rcfg.ckpt_path, _to_host(state), meta=rcfg.meta)
-        report.checkpoints += 1
         history.append((step_no(state, done), loss_f))
         if log:
             log(step_no(state, done), loss_f)

@@ -53,12 +53,8 @@ def main(n_particles: int = 1_000_000, method: str = "rk2") -> None:
 
     arms = {}
     vel_direct = adv.velocity_fn_from_model(g, cfg, params)
-    u_grid = jnp.stack(
-        [
-            fields.grid_infer(g, cfg, params, 0.25)[..., c]
-            for c in (1, 2, 3)
-        ]
-    )
+    y = fields.grid_infer(g, cfg, params, 0.25)  # one inference, 4 channels
+    u_grid = jnp.moveaxis(y[..., 1:4], -1, 0)
     vel_grid = adv.velocity_fn_from_grid(g, u_grid)
 
     for name, vel in (("direct", vel_direct), ("grid", vel_grid)):

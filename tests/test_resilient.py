@@ -111,9 +111,20 @@ def test_resilient_reraises_programming_errors(tmp_path):
 
 def test_default_failure_predicate_classification():
     p = resilient.default_failure_predicate
-    assert p(RuntimeError("anything"))
-    assert p(Exception("grpc UNAVAILABLE: socket closed"))
-    assert p(Exception("deadline exceeded talking to worker"))
+
+    class XlaRuntimeError(RuntimeError):  # stand-in for jaxlib's
+        pass
+
+    # retryable: runtime-error type AND infrastructure-shaped message
+    assert p(XlaRuntimeError("grpc UNAVAILABLE: socket closed"))
+    assert p(RuntimeError("TPU worker process crashed or restarted"))
+    assert p(RuntimeError("deadline exceeded talking to worker"))
+    # NOT retryable: deterministic errors must surface immediately —
+    # a bare RuntimeError (user NaN guard), an XLA INTERNAL miscompile
+    # (identical on every retry), or non-runtime exception types
+    assert not p(RuntimeError("anything"))
+    assert not p(XlaRuntimeError("INTERNAL: Mosaic lowering failed"))
+    assert not p(Exception("grpc UNAVAILABLE: socket closed"))
     assert not p(ValueError("bad shape"))
     assert not p(TypeError("not a pytree"))
 
@@ -142,3 +153,71 @@ def test_resilient_checkpoint_cadence_and_history(tmp_path):
         np.asarray(restored.params["W2"]), np.asarray(state.params["W2"])
     )
     assert int(jnp.asarray(restored.step)) == 12
+
+
+def test_resilient_resumes_from_existing_checkpoint(tmp_path):
+    """resume="auto": a process-level death resumes by re-running the same
+    command — the existing checkpoint is loaded, not clobbered."""
+    g, w, mcfg, cfg = _setup()
+    state0 = loop.init_state(cfg, mcfg)
+
+    def factory():
+        return loop.make_train_step(g, w, mcfg, cfg)
+
+    rcfg = resilient.ResilienceConfig(
+        ckpt_path=str(tmp_path / "ck"), save_every=4
+    )
+    # "process 1" runs 8 steps and exits
+    s1, _, _ = resilient.fit_resilient(factory, state0, 8, rcfg)
+    assert int(s1.step) == 8
+    # "process 2" re-runs the same command asking for 12 total steps:
+    # it must continue from step 8, not restart from state0
+    s2, hist2, rep2 = resilient.fit_resilient(factory, state0, 12, rcfg)
+    assert int(s2.step) == 12
+    assert rep2.restores == 1  # the process-level resume
+    assert [h[0] for h in hist2] == [12]
+    # oracle: 12 uninterrupted steps match exactly
+    plain = loop.make_train_step(g, w, mcfg, cfg)
+    s_ref = state0
+    for _ in range(12):
+        s_ref, _ = plain(s_ref)
+    np.testing.assert_array_equal(
+        np.asarray(s2.params["W1"]), np.asarray(s_ref.params["W1"])
+    )
+    # resume="restart" really does start over
+    s3, _, rep3 = resilient.fit_resilient(
+        factory, state0, 4, rcfg, resume="restart"
+    )
+    assert int(s3.step) == 4 and rep3.restores == 0
+
+
+def test_resilient_failure_during_recovery_consumes_budget(tmp_path):
+    """A worker that is still dying when the recovery re-traces must spend
+    restarts, not kill the run."""
+    g, w, mcfg, cfg = _setup()
+    state0 = loop.init_state(cfg, mcfg)
+    calls = {"factory": 0, "step": 0}
+
+    def factory():
+        calls["factory"] += 1
+        if calls["factory"] == 2:
+            # the FIRST rebuild after the crash fails too (backend still
+            # recovering); the second succeeds
+            raise RuntimeError("TPU worker unavailable: socket closed")
+        real = loop.make_train_step(g, w, mcfg, cfg)
+
+        def step(state):
+            calls["step"] += 1
+            if calls["step"] == 3:
+                raise RuntimeError("TPU worker process crashed")
+            return real(state)
+
+        return step
+
+    rcfg = resilient.ResilienceConfig(
+        ckpt_path=str(tmp_path / "ck"), save_every=2, max_restarts=3
+    )
+    state, _, report = resilient.fit_resilient(factory, state0, 6, rcfg)
+    assert int(state.step) == 6
+    assert report.failures == 2  # the step crash + the failed rebuild
+    assert calls["factory"] == 3  # initial + failed rebuild + good rebuild

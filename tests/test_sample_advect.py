@@ -142,7 +142,7 @@ def test_ngp_points_match_grid_infer_at_nodes():
     t = 0.25
     y_grid = ngp.grid_infer(g, ncfg, params, t)
     pts = _node_points(g)
-    y_pts = sample.evaluate_points(g, ncfg, params, pts, t)
+    y_pts = sample.evaluate_points(ncfg, params, pts, t)
     np.testing.assert_allclose(
         np.asarray(y_pts),
         np.asarray(y_grid).reshape(-1, 4),
@@ -299,3 +299,30 @@ def test_advect_sharded_matches_single_and_has_no_collectives():
     for op in ("all-reduce", "all-gather", "collective-permute",
                "reduce-scatter", "all-to-all"):
         assert op not in hlo, f"unexpected {op} in sharded advect HLO"
+
+
+def test_model_velocity_periodic_seam_band_stays_in_domain():
+    """Periodic index space has period n but the model's domain ends at
+    u=1 (index n-1). Indices in the seam band (n-1, n) must evaluate the
+    model AT the u=1 face (clamped), never extrapolate past it — hash
+    encoders would alias out of range (review finding, session 3)."""
+    g = _grid(periodic=True)
+    cfg = MLPGridConfig()
+    params = mlp.init_params(cfg.dims, seed=21, scale=0.4)
+    vel = adv.velocity_fn_from_model(g, cfg, params)
+    band = jnp.asarray([[g.nx - 0.5, 1.0, 1.0]], jnp.float32)
+    v_band = vel(band, 0.2)
+    face = jnp.asarray(
+        [[1.0, 1.0 / (g.ny - 1), 1.0 / (g.nz - 1)]], jnp.float32
+    )
+    v_face = sample.mlp_eval_points(cfg, params, face, 0.2)[..., 1:4]
+    np.testing.assert_array_equal(np.asarray(v_band), np.asarray(v_face))
+    # NGP arm: the same band query must not alias the hash lattice
+    ncfg = ngp.NGPFieldConfig()
+    nparams = ngp.init_ngp_params(ncfg, seed=2)
+    vel_n = adv.velocity_fn_from_model(g, ncfg, nparams)
+    v_n = vel_n(band, 0.2)
+    v_n_face = sample.ngp_eval_points(
+        ncfg, nparams, face, 0.2
+    )[..., 1:4]
+    np.testing.assert_array_equal(np.asarray(v_n), np.asarray(v_n_face))
