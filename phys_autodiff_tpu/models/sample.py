@@ -27,6 +27,7 @@ the points (piecewise-linearly).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from phys_autodiff_tpu.models import mlp
@@ -108,6 +109,33 @@ def evaluate_points(model_cfg, params, pts_unit, t, **kw):
     if isinstance(model_cfg, MLPGridConfig):
         return mlp_eval_points(model_cfg, params, pts_unit, t)
     return ngp_eval_points(model_cfg, params, pts_unit, t, **kw)
+
+
+def evaluate_points_batched(
+    model_cfg,
+    params,
+    pts_unit: jnp.ndarray,
+    t,
+    batch_size: int = 1 << 16,
+    **kw,
+):
+    """evaluate_points over arbitrarily many points with bounded per-step
+    memory: chunks of `batch_size` run under lax.map (one compiled body,
+    sequential chunks), so P can exceed both device-memory comfort and the
+    hash family's pointwise-encoder guard (each chunk stays under
+    hash_encoder.MAX_POINTWISE_POINTS when batch_size does — the default
+    64K is 4x under it). pts_unit: [P, 3]; returns [P, 4]."""
+    p = pts_unit.shape[0]
+    if p <= batch_size:
+        return evaluate_points(model_cfg, params, pts_unit, t, **kw)
+    n_chunks = -(-p // batch_size)
+    pad = n_chunks * batch_size - p
+    pts_pad = jnp.pad(pts_unit, ((0, pad), (0, 0)))
+    chunks = pts_pad.reshape(n_chunks, batch_size, pts_unit.shape[-1])
+    out = jax.lax.map(
+        lambda c: evaluate_points(model_cfg, params, c, t, **kw), chunks
+    )
+    return out.reshape(n_chunks * batch_size, -1)[:p]
 
 
 def _axis_corners(f: jnp.ndarray, n: int, periodic: bool):

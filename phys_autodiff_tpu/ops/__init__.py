@@ -1,4 +1,5 @@
 from phys_autodiff_tpu.ops.stencil import FieldSnapshots, residuals, shift, central_diff
+from phys_autodiff_tpu.ops import diagnostics
 from phys_autodiff_tpu.ops.loss import (
     loss_forward,
     loss_forward_f64,
@@ -9,6 +10,7 @@ from phys_autodiff_tpu.ops.loss import (
 
 __all__ = [
     "FieldSnapshots",
+    "diagnostics",
     "residuals",
     "shift",
     "central_diff",
