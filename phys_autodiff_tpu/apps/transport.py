@@ -126,6 +126,69 @@ def transport(
     return out, cfl
 
 
+def transport_sharded(
+    g: GridSpec,
+    sigma0: jnp.ndarray,
+    u: jnp.ndarray,
+    cfg: TransportConfig,
+    mesh,
+):
+    """Multi-chip rollout: sigma and u z-sharded over the mesh's z axis.
+
+    The x/y sweeps are shard-local; only the final z sweep needs neighbor
+    data, so each step exchanges exactly TWO boundary planes per shard via
+    ppermute (parallel.sharded._halo_extend_z — the same halo the sharded
+    residual kernels ride) and lerps against the extended slab. Identical
+    arithmetic per cell to transport_step, so sharded == single-chip
+    BITWISE (pinned by tests/test_transport.py).
+
+    Returns (sigma_final [nz, ny, nx] z-sharded, max_cfl)."""
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from phys_autodiff_tpu.parallel.mesh import Z_AXIS
+    from phys_autodiff_tpu.parallel.sharded import _halo_extend_z
+
+    n = mesh.shape[Z_AXIS]
+    assert g.nz % n == 0, (g.nz, n)
+    per = g.periodic
+    dt = jnp.float32(cfg.dt)
+
+    def local_step(s, ul):
+        dx = jnp.clip(ul[0] * (dt / g.hx), -1.0, 1.0)
+        dy = jnp.clip(ul[1] * (dt / g.hy), -1.0, 1.0)
+        dz = jnp.clip(ul[2] * (dt / g.hz), -1.0, 1.0)
+        out = _axis_lerp(s, dx, 2, per)
+        out = _axis_lerp(out, dy, 1, per)
+        # z sweep against the halo-extended slab (2 ppermuted planes)
+        ext = _halo_extend_z(out, per)
+        f_m, f, f_p = ext[:-2], ext[1:-1], ext[2:]
+        w = jnp.abs(dz)
+        nbr = jnp.where(dz >= 0, f_m, f_p)
+        return f + w * (nbr - f)
+
+    def local_roll(s_local, u_local):
+        def body(s, _):
+            return local_step(s, u_local), None
+
+        out, _ = jax.lax.scan(body, s_local, None, length=cfg.steps)
+        return out
+
+    rolled = jax.shard_map(
+        local_roll,
+        mesh=mesh,
+        in_specs=(P(Z_AXIS), P(None, Z_AXIS)),
+        out_specs=P(Z_AXIS),
+        check_vma=False,
+    )
+    zsh = NamedSharding(mesh, P(Z_AXIS))
+    vsh = NamedSharding(mesh, P(None, Z_AXIS))
+    sigma0 = jax.device_put(sigma0, zsh)
+    u = jax.device_put(u, vsh)
+    out = jax.jit(rolled)(sigma0, u)
+    return out, max_cfl(g, u, cfg.dt)
+
+
 def transport_time_dependent(
     g: GridSpec,
     sigma0: jnp.ndarray,

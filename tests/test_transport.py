@@ -146,3 +146,28 @@ def test_time_dependent_matches_frozen_for_constant_source():
     )
     np.testing.assert_array_equal(np.asarray(frozen), np.asarray(timed))
     assert float(cfl) <= 1.0
+
+
+def test_transport_sharded_matches_single_bitwise():
+    from jax.sharding import Mesh
+
+    for periodic in (True, False):
+        g = GridSpec(nx=8, ny=6, nz=16, hx=0.5, hy=0.25, hz=0.125,
+                     dt=1e-3, periodic=periodic)
+        rng = np.random.default_rng(9 + periodic)
+        sigma = jnp.asarray(rng.normal(size=g.shape).astype(np.float32))
+        u = jnp.asarray(
+            (rng.uniform(-0.9, 0.9, size=(3,) + g.shape)
+             * np.array([g.hx, g.hy, g.hz])[:, None, None, None] / 0.01
+             ).astype(np.float32)
+        )
+        cfg = tr.TransportConfig(dt=0.01, steps=5)
+        single, cfl_s = jax.jit(
+            lambda s, v: tr.transport(g, s, v, cfg)
+        )(sigma, u)
+        mesh = Mesh(np.asarray(jax.devices()[:8]), ("z",))
+        sharded, cfl_m = tr.transport_sharded(g, sigma, u, cfg, mesh)
+        np.testing.assert_array_equal(
+            np.asarray(sharded), np.asarray(single)
+        )
+        np.testing.assert_allclose(float(cfl_s), float(cfl_m), rtol=1e-6)
