@@ -12,9 +12,12 @@ axis-sweeps of
 
 Measured on the flagship 128x96x96 grid (scripts/transport_bench.py,
 slope method, frozen CFL-0.8 field): split 0.0263 ms/step =
-44.9 Gcell*steps/s (~32% of the 20 B/cell copy-probe roof) vs the gather
-formulation of the SAME math at 79.3 ms/step — a 3000x win for the
-roll+select design. The sweep form is
+44.9 Gcell*steps/s vs the gather formulation of the SAME math at
+79.3 ms/step — a 3000x win for the roll+select design. A hand Pallas
+slab kernel (pallas/transport.py) TIES this number: the 4-stream
+read + 1-stream write pattern is bandwidth-bound at ~1.0 TB/s effective
+and XLA's fused roll pipeline already achieves it (full experiment
+matrix in pallas/transport.py). The sweep form is
 
     lerp(f_lo, f_hi, w)   with  f_lo/f_hi chosen from {shift -1, 0, +1}
 

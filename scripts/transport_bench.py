@@ -62,10 +62,32 @@ def main() -> None:
     def split_body(i, s):
         return tr.transport_step(g, s, u, g.dt)
 
+    def fused_body(i, s):
+        from phys_autodiff_tpu.pallas.transport import transport_step_fused
+
+        return transport_step_fused(g, s, u, g.dt)
+
     def gather_body(i, s):
         return sample.trilinear_sample(s, dep, g).reshape(g.shape)
 
-    for name, body in (("split", split_body), ("gather", gather_body)):
+    from phys_autodiff_tpu.pallas.transport import (
+        transport_step_fused_pre,
+        transport_weights,
+    )
+
+    weights = tuple(
+        jnp.asarray(wt) for wt in transport_weights(g, u, g.dt)
+    )
+
+    def fused_pre_body(i, s):
+        return transport_step_fused_pre(g, s, weights)
+
+    for name, body in (
+        ("split", split_body),
+        ("fused", fused_body),
+        ("fused_pre", fused_pre_body),
+        ("gather", gather_body),
+    ):
         ms = time_loop(body, sigma0)
         arms[name] = {
             "ms_per_step": ms,
