@@ -46,6 +46,70 @@ BYTES_PER_CELL_F32 = 64
 ROOF_GBS = 2850.0
 
 
+def _bench_apps(gf):
+    """App-layer rows (no reference analogue): particle advection and
+    semi-Lagrangian transport on the flagship grid, same slope-method
+    timing as everything else."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from phys_autodiff_tpu.apps import advect as adv
+    from phys_autodiff_tpu.apps import transport as tr
+    from phys_autodiff_tpu.bench.harness import time_loop
+    from phys_autodiff_tpu.models import mlp, sample
+    from phys_autodiff_tpu.pallas.transport import transport_step_fused
+    from phys_autodiff_tpu.utils.config import MLPDims, MLPGridConfig
+
+    out = {}
+    cfg = MLPGridConfig(dims=MLPDims(H=128))
+    params = mlp.init_params(cfg.dims, seed=777)
+    n_p = 1_000_000
+    pts0 = jax.random.uniform(
+        jax.random.PRNGKey(0), (n_p, 3), jnp.float32,
+        maxval=jnp.asarray([gf.nx, gf.ny, gf.nz], jnp.float32),
+    )
+    vel = adv.velocity_fn_from_model(gf, cfg, params)
+    acfg = adv.AdvectConfig(steps=1, dt=1e-3, method="rk2")
+
+    def adv_body(i, pts):
+        return adv.advect(gf, vel, pts, jnp.float32(0.0) + 1e-6 * i, acfg)
+
+    ms = time_loop(adv_body, pts0)
+    out["advect_direct_rk2_1m"] = {
+        "ms_per_step": ms, "per_sec": n_p / (ms * 1e-3)
+    }
+
+    rng = np.random.default_rng(0)
+    sigma0 = jnp.asarray(rng.normal(size=gf.shape).astype(np.float32))
+    u = jnp.asarray(
+        (rng.uniform(-0.8, 0.8, size=(3,) + gf.shape)
+         * np.array([gf.hx, gf.hy, gf.hz])[:, None, None, None] / gf.dt
+         ).astype(np.float32)
+    )
+    iz, iy, ix = np.meshgrid(
+        np.arange(gf.nz), np.arange(gf.ny), np.arange(gf.nx), indexing="ij"
+    )
+    base = np.stack([ix, iy, iz], -1).reshape(-1, 3).astype(np.float32)
+    off = np.moveaxis(np.asarray(u), 0, -1).reshape(-1, 3) * gf.dt
+    off /= np.array([gf.hx, gf.hy, gf.hz])
+    dep = jnp.asarray(base - off)
+    arms = {
+        "split_xla": lambda i, s: tr.transport_step(gf, s, u, gf.dt),
+        "fused_kernel": lambda i, s: transport_step_fused(gf, s, u, gf.dt),
+        "gather_antipattern": lambda i, s: (
+            sample.trilinear_sample(s, dep, gf).reshape(gf.shape)
+        ),
+    }
+    for name, body in arms.items():
+        ms = time_loop(body, sigma0)
+        out[f"transport_{name}"] = {
+            "ms_per_step": ms,
+            "gcells_per_s": gf.num_cells / (ms * 1e-3) / 1e9,
+        }
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="flagship grid only")
@@ -88,6 +152,12 @@ def main():
     except Exception as e:  # extension row must not sink the report
         print(f"ngp bench skipped: {type(e).__name__}: {e}", file=sys.stderr)
 
+    apps_ms = {}
+    try:
+        apps_ms = _bench_apps(gf)
+    except Exception as e:  # app rows must not sink the report either
+        print(f"apps bench skipped: {type(e).__name__}: {e}", file=sys.stderr)
+
     dev = str(jax.devices())
     results = {
         "device": dev,
@@ -98,6 +168,7 @@ def main():
         "train_by_grid": {
             f"{k[0]}x{k[1]}x{k[2]}": v for k, v in train_by_grid.items()
         },
+        "apps": apps_ms,
     }
     os.makedirs(os.path.join(REPO, "build"), exist_ok=True)
     with open(os.path.join(REPO, "build", "bench_results.json"), "w") as f:
@@ -265,6 +336,36 @@ def main():
     a("mega-kernel (round 3): the one-kernel training step covers the")
     a("reference's unaligned benchmark grids, not just aligned nx.")
     a("")
+    if apps_ms:
+        a("## Applications (apps/ — no reference analogue)")
+        a("")
+        a("| workload | arm | ms/step | throughput |")
+        a("|---|---|---|---|")
+        av = apps_ms.get("advect_direct_rk2_1m")
+        if av:
+            a(f"| particle advection, 1M tracers, RK2 | direct model eval "
+              f"(H=128) | {av['ms_per_step']:.4f} | "
+              f"{av['per_sec']:.3e} particles*steps/s |")
+        for arm, label in (
+            ("split_xla", "roll+select XLA step"),
+            ("fused_kernel", "Pallas slab kernel"),
+            ("gather_antipattern", "gather formulation (anti-pattern)"),
+        ):
+            t = apps_ms.get(f"transport_{arm}")
+            if t:
+                a(f"| semi-Lagrangian transport, {gf.nx}x{gf.ny}x{gf.nz} | "
+                  f"{label} | {t['ms_per_step']:.4f} | "
+                  f"{t['gcells_per_s']:.2f} Gcell*steps/s |")
+        a("")
+        a("Transport's roll+select design (apps/transport.py) replaces the")
+        a("textbook per-cell gather with axis-separable shifts; the gather")
+        a("row quantifies why (scattered access is the TPU anti-pattern).")
+        a("The Pallas kernel ties the XLA step — the op is bandwidth-bound")
+        a("at ~1.0 TB/s for its stream pattern (experiment matrix in")
+        a("pallas/transport.py). Advection serves velocities by direct MXU")
+        a("re-evaluation of the model, measured 24x faster than sampling a")
+        a("precomputed grid (models/sample.py note).")
+        a("")
     a("## Correctness gates accompanying these numbers")
     a("")
     a("`python -m pytest tests/ -q` (8-device CPU mesh) and")

@@ -363,6 +363,40 @@ def run_fourier_mega(nx, ny, nz):
     check("fourier-mega grads rel", rel_l2_err(cat(g_k), cat(g_ref)), 2e-3)
 
 
+def run_transport(nx, ny, nz, periodic=True):
+    """Session-3 transport kernels (pallas/transport.py) vs the XLA
+    split step (apps/transport.py) — bit-exactness observed on hardware;
+    bound kept at 1e-6 for fp headroom."""
+    from phys_autodiff_tpu.apps import transport as tr
+    from phys_autodiff_tpu.pallas.transport import (
+        transport_step_fused,
+        transport_step_fused_pre,
+        transport_weights,
+    )
+
+    g = GridSpec(nx=nx, ny=ny, nz=nz, hx=0.05, hy=0.05, hz=0.05, dt=1e-3,
+                 periodic=periodic)
+    print(f"transport kernels {nx}x{ny}x{nz} periodic={periodic}")
+    rng = np.random.default_rng(0)
+    sigma = jnp.asarray(rng.normal(size=g.shape).astype(np.float32))
+    u = jnp.asarray(
+        (rng.uniform(-0.8, 0.8, size=(3,) + g.shape)
+         * np.array([g.hx, g.hy, g.hz])[:, None, None, None] / g.dt
+         ).astype(np.float32)
+    )
+    ref = np.asarray(jax.jit(lambda s: tr.transport_step(g, s, u, g.dt))(sigma))
+    out = np.asarray(
+        jax.jit(lambda s: transport_step_fused(g, s, u, g.dt))(sigma)
+    )
+    outp = np.asarray(jax.jit(
+        lambda s: transport_step_fused_pre(
+            g, s, transport_weights(g, u, g.dt)
+        )
+    )(sigma))
+    check("transport slab kernel max", float(np.max(np.abs(out - ref))), 1e-6)
+    check("transport pre kernel max", float(np.max(np.abs(outp - ref))), 1e-6)
+
+
 if __name__ == "__main__":
     print("devices:", jax.devices())
     run(128, 96, 96, True)   # slab kernel
@@ -381,6 +415,8 @@ if __name__ == "__main__":
     run_ngp_dense(32, 16, 16)
     run_ngp_mega(128, 96, 96)
     run_fourier_mega(128, 96, 96)
+    run_transport(128, 96, 96, True)
+    run_transport(128, 96, 96, False)
     if FAILURES:
         print("FAILURES:", FAILURES)
         sys.exit(1)
