@@ -192,6 +192,24 @@ def transport_sharded(
     return out, max_cfl(g, u, cfg.dt)
 
 
+def velocity_grid_fn_from_model(g: GridSpec, model_cfg, params):
+    """`vel_at(t) -> [3, nz, ny, nx]` source for transport_time_dependent
+    from any trained field model (MLP or encoded family): one grid
+    inference per step, channels moved to the physics layout."""
+    from phys_autodiff_tpu.models import fields as fields_mod
+    from phys_autodiff_tpu.models import ngp as ngp_mod
+    from phys_autodiff_tpu.utils.config import MLPGridConfig
+
+    def vel_at(t):
+        if isinstance(model_cfg, MLPGridConfig):
+            y = fields_mod.grid_infer(g, model_cfg, params, t)
+        else:
+            y = ngp_mod.grid_infer(g, model_cfg, params, t)
+        return jnp.moveaxis(y[..., 1:4], -1, 0)
+
+    return vel_at
+
+
 def transport_time_dependent(
     g: GridSpec,
     sigma0: jnp.ndarray,

@@ -221,3 +221,48 @@ def test_resilient_failure_during_recovery_consumes_budget(tmp_path):
     assert int(state.step) == 6
     assert report.failures == 2  # the step crash + the failed rebuild
     assert calls["factory"] == 3  # initial + failed rebuild + good rebuild
+
+
+def test_resilient_serves_the_ngp_step(tmp_path):
+    """Cross-feature: fit_resilient over make_ngp_train_step (the encoded-
+    field family) with an injected worker crash — checkpoint meta carries
+    the encoding schedule and must validate on resume."""
+    from phys_autodiff_tpu.models import ngp
+    from phys_autodiff_tpu.models.hash_encoder import HashEncodingConfig
+
+    g = GridSpec(nx=8, ny=6, nz=5, hx=0.5, hy=0.5, hz=0.5, dt=1e-3)
+    enc = HashEncodingConfig(
+        num_levels=2, base_resolution=4, max_resolution=6,
+        log2_table_size=6,
+    )
+    ncfg = ngp.NGPFieldConfig(encoding=enc, hidden=8)
+    params0 = ngp.init_ngp_params(ncfg, seed=0)
+    cfg = loop.TrainConfig(steps=6, learning_rate=1e-3, seed=1)
+    calls = {"n": 0, "crashed": False}
+
+    def factory():
+        real, state0 = loop.make_ngp_train_step(
+            g, PhysWeights(), ncfg, cfg, params0, backward="xla"
+        )
+        factory.state0 = state0
+
+        def step(state):
+            calls["n"] += 1
+            if calls["n"] == 4 and not calls["crashed"]:
+                calls["crashed"] = True
+                raise RuntimeError("TPU worker process crashed")
+            return real(state)
+
+        return step
+
+    step0 = factory()  # materialize state0
+    rcfg = resilient.ResilienceConfig(
+        ckpt_path=str(tmp_path / "ngp"), save_every=2, max_restarts=2,
+        meta=ngp.checkpoint_meta(ncfg),
+    )
+    state, hist, report = resilient.fit_resilient(
+        lambda: factory(), factory.state0, 6, rcfg
+    )
+    assert report.failures == 1 and report.steps_done == 6
+    assert int(state.step) == 6
+    assert all(np.isfinite(h[1]) for h in hist)

@@ -171,3 +171,25 @@ def test_transport_sharded_matches_single_bitwise():
             np.asarray(sharded), np.asarray(single)
         )
         np.testing.assert_allclose(float(cfl_s), float(cfl_m), rtol=1e-6)
+
+
+def test_time_dependent_from_trained_model_shapes_and_bounds():
+    from phys_autodiff_tpu.models import mlp
+    from phys_autodiff_tpu.utils.config import MLPDims, MLPGridConfig
+
+    g = _grid(periodic=True)
+    cfg = MLPGridConfig(dims=MLPDims(H=16))
+    params = mlp.init_params(cfg.dims, seed=13, scale=0.2)
+    vel_at = tr.velocity_grid_fn_from_model(g, cfg, params)
+    u0 = vel_at(0.25)
+    assert u0.shape == (3,) + g.shape
+    sigma = _rand_sigma(g, 10)
+    out, cfl = jax.jit(
+        lambda s: tr.transport_time_dependent(
+            g, s, vel_at, 0.25, tr.TransportConfig(dt=1e-3, steps=3)
+        )
+    )(sigma)
+    assert bool(jnp.all(jnp.isfinite(out)))
+    # monotone interpolation preserves the max principle per step
+    assert float(jnp.max(out)) <= float(jnp.max(sigma)) + 1e-6
+    assert float(jnp.min(out)) >= float(jnp.min(sigma)) - 1e-6
