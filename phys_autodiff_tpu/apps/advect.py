@@ -79,9 +79,12 @@ def velocity_fn_from_grid(g: GridSpec, u_grid: jnp.ndarray) -> VelocityFn:
     TPU performance note (measured, scripts/advect_bench.py at 1M particles
     on the flagship grid): the 8 scattered corner gathers run ~11.5M
     particle*steps/s — 24x SLOWER than velocity_fn_from_model's direct MXU
-    re-evaluation (278M/s, H=128 head, RK2). On TPU compute beats gather;
-    prefer the direct arm unless the field exists only as grid data (no
-    model), or each query must hit an externally produced snapshot."""
+    re-evaluation (278M/s f32, H=128 head, RK2; 1.23e9/s with
+    precision="bf16" — the f32 tier's HIGHEST-precision dots pay multiple
+    MXU passes, bf16 operands run the native rate). On TPU compute beats
+    gather; prefer the direct arm unless the field exists only as grid
+    data (no model), or each query must hit an externally produced
+    snapshot."""
     assert u_grid.shape == (3,) + g.shape, u_grid.shape
 
     def vel(pts_idx, t):

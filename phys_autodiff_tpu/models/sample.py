@@ -73,13 +73,33 @@ def point_coords(
 
 
 def mlp_eval_points(
-    cfg: MLPGridConfig, params: mlp.Params, pts_unit: jnp.ndarray, t
+    cfg: MLPGridConfig,
+    params: mlp.Params,
+    pts_unit: jnp.ndarray,
+    t,
+    precision: str = "f32",
 ) -> jnp.ndarray:
     """Coordinate-MLP field at arbitrary unit-cube points: [..., Out].
 
-    At grid nodes this matches models.fields.grid_infer exactly (same
-    coordinate rows, same pinned-precision matmuls)."""
-    return mlp.forward(params, point_coords(pts_unit, t, cfg.norm))
+    precision="f32" (default): at grid nodes this matches
+    models.fields.grid_infer exactly (same coordinate rows, same
+    pinned-precision matmuls). precision="bf16": bf16 matmul operands
+    with f32 accumulation — the framework's standard mixed tier
+    (1e-3-class error, ~2x MXU rate; the serving fast path for
+    throughput-bound consumers like particle advection)."""
+    x = point_coords(pts_unit, t, cfg.norm)
+    if precision == "f32":
+        return mlp.forward(params, x)
+    assert precision == "bf16", precision
+    w1 = params["W1"].astype(jnp.bfloat16)
+    w2 = params["W2"].astype(jnp.bfloat16)
+    z1 = jnp.dot(
+        x.astype(jnp.bfloat16), w1, preferred_element_type=jnp.float32
+    ) + params["b1"]
+    a1 = jnp.maximum(z1, 0.0)
+    return jnp.dot(
+        a1.astype(jnp.bfloat16), w2, preferred_element_type=jnp.float32
+    ) + params["b2"]
 
 
 def ngp_eval_points(
@@ -97,7 +117,7 @@ def ngp_eval_points(
     return ngp_mod.forward(ncfg, params, pts_unit, t, allow_large=allow_large)
 
 
-def evaluate_points(model_cfg, params, pts_unit, t, **kw):
+def evaluate_points(model_cfg, params, pts_unit, t, precision="f32", **kw):
     """One dispatching entry point: model_cfg may be an MLPGridConfig or an
     NGPFieldConfig (any encoder family). Returns [..., 4] physics channels
     [sigma, ux, uy, uz] at the given unit-cube points and time.
@@ -105,9 +125,16 @@ def evaluate_points(model_cfg, params, pts_unit, t, **kw):
     Contract: pts_unit must lie in [0, 1]^3 — the models' domain (hash
     encoders floor-index their lattices and would alias out of range).
     Callers working in periodic index space must fold the seam band first
-    (see apps/advect.velocity_fn_from_model)."""
+    (see apps/advect.velocity_fn_from_model). precision="bf16" is served
+    for the MLP family only (see mlp_eval_points)."""
     if isinstance(model_cfg, MLPGridConfig):
-        return mlp_eval_points(model_cfg, params, pts_unit, t)
+        return mlp_eval_points(model_cfg, params, pts_unit, t, precision)
+    if precision != "f32":
+        raise ValueError(
+            "bf16 point serving is implemented for the coordinate MLP "
+            "family only (encoded families keep their exact-f32 pointwise "
+            "encoders)"
+        )
     return ngp_eval_points(model_cfg, params, pts_unit, t, **kw)
 
 

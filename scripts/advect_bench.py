@@ -53,11 +53,16 @@ def main(n_particles: int = 1_000_000, method: str = "rk2") -> None:
 
     arms = {}
     vel_direct = adv.velocity_fn_from_model(g, cfg, params)
+    vel_bf16 = adv.velocity_fn_from_model(g, cfg, params, precision="bf16")
     y = fields.grid_infer(g, cfg, params, 0.25)  # one inference, 4 channels
     u_grid = jnp.moveaxis(y[..., 1:4], -1, 0)
     vel_grid = adv.velocity_fn_from_grid(g, u_grid)
 
-    for name, vel in (("direct", vel_direct), ("grid", vel_grid)):
+    for name, vel in (
+        ("direct", vel_direct),
+        ("direct_bf16", vel_bf16),
+        ("grid", vel_grid),
+    ):
         def body(i, pts, vel=vel):
             # one advection step; t advances with the trip index so the
             # direct arm's MLP input is not loop-invariant in t either

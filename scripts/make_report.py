@@ -69,16 +69,19 @@ def _bench_apps(gf):
         jax.random.PRNGKey(0), (n_p, 3), jnp.float32,
         maxval=jnp.asarray([gf.nx, gf.ny, gf.nz], jnp.float32),
     )
-    vel = adv.velocity_fn_from_model(gf, cfg, params)
     acfg = adv.AdvectConfig(steps=1, dt=1e-3, method="rk2")
+    for tier, prec in (("", "f32"), ("_bf16", "bf16")):
+        vel = adv.velocity_fn_from_model(gf, cfg, params, precision=prec)
 
-    def adv_body(i, pts):
-        return adv.advect(gf, vel, pts, jnp.float32(0.0) + 1e-6 * i, acfg)
+        def adv_body(i, pts, vel=vel):
+            return adv.advect(
+                gf, vel, pts, jnp.float32(0.0) + 1e-6 * i, acfg
+            )
 
-    ms = time_loop(adv_body, pts0)
-    out["advect_direct_rk2_1m"] = {
-        "ms_per_step": ms, "per_sec": n_p / (ms * 1e-3)
-    }
+        ms = time_loop(adv_body, pts0)
+        out[f"advect_direct{tier}_rk2_1m"] = {
+            "ms_per_step": ms, "per_sec": n_p / (ms * 1e-3)
+        }
 
     rng = np.random.default_rng(0)
     sigma0 = jnp.asarray(rng.normal(size=gf.shape).astype(np.float32))
@@ -341,11 +344,16 @@ def main():
         a("")
         a("| workload | arm | ms/step | throughput |")
         a("|---|---|---|---|")
-        av = apps_ms.get("advect_direct_rk2_1m")
-        if av:
-            a(f"| particle advection, 1M tracers, RK2 | direct model eval "
-              f"(H=128) | {av['ms_per_step']:.4f} | "
-              f"{av['per_sec']:.3e} particles*steps/s |")
+        for key, label in (
+            ("advect_direct_rk2_1m", "direct model eval (H=128, f32)"),
+            ("advect_direct_bf16_rk2_1m",
+             "direct model eval (bf16 tier)"),
+        ):
+            av = apps_ms.get(key)
+            if av:
+                a(f"| particle advection, 1M tracers, RK2 | {label} | "
+                  f"{av['ms_per_step']:.4f} | "
+                  f"{av['per_sec']:.3e} particles*steps/s |")
         for arm, label in (
             ("split_xla", "roll+select XLA step"),
             ("fused_kernel", "Pallas slab kernel"),

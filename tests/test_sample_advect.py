@@ -326,3 +326,21 @@ def test_model_velocity_periodic_seam_band_stays_in_domain():
         ncfg, nparams, face, 0.2
     )[..., 1:4]
     np.testing.assert_array_equal(np.asarray(v_n), np.asarray(v_n_face))
+
+
+def test_mlp_points_bf16_tier_tracks_f32():
+    cfg = MLPGridConfig()
+    params = mlp.init_params(cfg.dims, seed=17, scale=0.4)
+    rng = np.random.default_rng(8)
+    pts = jnp.asarray(rng.uniform(0, 1, size=(256, 3)).astype(np.float32))
+    f32 = sample.mlp_eval_points(cfg, params, pts, 0.3)
+    b16 = sample.mlp_eval_points(cfg, params, pts, 0.3, precision="bf16")
+    scale = float(jnp.max(jnp.abs(f32))) + 1e-6
+    err = float(jnp.max(jnp.abs(b16 - f32))) / scale
+    assert err <= 2e-2, err  # bf16 operand tier: 1e-3..1e-2 class
+    assert err > 0.0  # and it really is the reduced-precision path
+    # NGP family refuses the tier rather than silently serving f32
+    ncfg = ngp.NGPFieldConfig()
+    nparams = ngp.init_ngp_params(ncfg, seed=3)
+    with pytest.raises(ValueError, match="bf16 point serving"):
+        sample.evaluate_points(ncfg, nparams, pts, 0.3, precision="bf16")
