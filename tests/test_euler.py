@@ -1,0 +1,144 @@
+"""Tests for apps/euler.py (incompressible Euler smoke solver).
+
+Oracles: exact translation for a constant solenoidal velocity (the
+advect/force/project step must reduce to pure transport), the discrete
+max principle on the density, divergence held at ~0 by the projection,
+and energy monotonicity (the FFT projection is an l2-orthogonal
+projection and monotone semi-Lagrangian advection is dissipative, so
+with zero forcing kinetic energy cannot grow)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from phys_autodiff_tpu.apps import euler
+from phys_autodiff_tpu.ops.diagnostics import divergence, kinetic_energy
+from phys_autodiff_tpu.utils.config import GridSpec
+
+
+def _grid(periodic=True, nx=16, ny=12, nz=10):
+    return GridSpec(nx=nx, ny=ny, nz=nz, hx=0.5, hy=0.25, hz=0.4,
+                    dt=1e-3, periodic=periodic)
+
+
+def _rand_sigma(g, seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.normal(size=g.shape).astype(np.float32))
+
+
+def _const_u(g, ux, uy, uz):
+    return jnp.broadcast_to(
+        jnp.asarray([ux, uy, uz], jnp.float32)[:, None, None, None],
+        (3,) + g.shape,
+    )
+
+
+def _smooth_u(g, seed=0, scale=1.0):
+    rng = np.random.default_rng(seed)
+    z, y, x = np.meshgrid(
+        np.arange(g.nz), np.arange(g.ny), np.arange(g.nx), indexing="ij"
+    )
+    comps = []
+    for _ in range(3):
+        kx, ky, kz = rng.integers(1, 3, size=3)
+        ph = rng.uniform(0, 2 * np.pi, size=3)
+        comps.append(
+            (
+                np.sin(2 * np.pi * kx * x / g.nx + ph[0])
+                * np.sin(2 * np.pi * ky * y / g.ny + ph[1])
+                * np.sin(2 * np.pi * kz * z / g.nz + ph[2])
+            ).astype(np.float32)
+        )
+    return jnp.asarray(np.stack(comps)) * scale
+
+
+def test_constant_velocity_reduces_to_exact_translation():
+    g = _grid()
+    sigma = _rand_sigma(g, 1)
+    steps = 3
+    dt = g.hx  # u_x = 1 -> exactly one x-cell per step (CFL = 1)
+    u = _const_u(g, 1.0, 0.0, 0.0)
+    cfg = euler.EulerConfig(dt=dt, steps=steps)
+    final, diag = jax.jit(
+        lambda s0: euler.rollout(g, euler.EulerState(s0, u), cfg)
+    )(sigma)
+    expect = jnp.roll(sigma, steps, axis=2)
+    np.testing.assert_allclose(
+        np.asarray(final.sigma), np.asarray(expect), rtol=0, atol=1e-5
+    )
+    # the constant field is a fixed point of advect+project
+    np.testing.assert_allclose(
+        np.asarray(final.u), np.asarray(u), rtol=0, atol=1e-5
+    )
+    assert float(jnp.max(diag["max_abs_div"])) <= 1e-5
+
+
+def test_rollout_holds_divergence_near_zero():
+    g = _grid()
+    state0 = euler.EulerState(_rand_sigma(g, 2), _smooth_u(g, 2))
+    cfg = euler.EulerConfig(dt=0.05, steps=5)
+    final, diag = jax.jit(
+        lambda s: euler.rollout(g, s, cfg)
+    )(state0)
+    umax = float(jnp.max(jnp.abs(final.u))) + 1e-30
+    assert float(jnp.max(diag["max_abs_div"])) <= 1e-4 * max(umax, 1.0)
+    assert bool(jnp.all(jnp.isfinite(final.sigma)))
+    assert bool(jnp.all(jnp.isfinite(final.u)))
+
+
+def test_density_max_principle():
+    g = _grid()
+    sigma = _rand_sigma(g, 3)
+    state0 = euler.EulerState(sigma, _smooth_u(g, 3))
+    cfg = euler.EulerConfig(dt=0.05, steps=5)
+    final, _ = jax.jit(lambda s: euler.rollout(g, s, cfg))(state0)
+    assert float(jnp.max(final.sigma)) <= float(jnp.max(sigma)) + 1e-5
+    assert float(jnp.min(final.sigma)) >= float(jnp.min(sigma)) - 1e-5
+
+
+def test_zero_forcing_energy_never_grows():
+    g = _grid()
+    state0 = euler.EulerState(_rand_sigma(g, 4), _smooth_u(g, 4))
+    cfg = euler.EulerConfig(dt=0.05, steps=6)
+    _, diag = jax.jit(lambda s: euler.rollout(g, s, cfg))(state0)
+    kes = np.asarray(diag["kinetic_energy"])
+    ke0 = float(kinetic_energy(state0.u))
+    seq = np.concatenate([[ke0], kes])
+    assert np.all(np.diff(seq) <= 1e-6 * max(ke0, 1e-30)), seq
+
+
+def test_buoyancy_injects_energy_and_stays_divfree():
+    g = _grid()
+    sigma = jnp.abs(_rand_sigma(g, 5))  # positive smoke density
+    state0 = euler.EulerState(sigma, jnp.zeros((3,) + g.shape, jnp.float32))
+    cfg = euler.EulerConfig(dt=0.05, steps=4, buoyancy=1.0)
+    final, diag = jax.jit(lambda s: euler.rollout(g, s, cfg))(state0)
+    kes = np.asarray(diag["kinetic_energy"])
+    assert kes[-1] > 0.0
+    umax = float(jnp.max(jnp.abs(final.u))) + 1e-30
+    assert float(jnp.max(diag["max_abs_div"])) <= 1e-4 * max(umax, 1.0)
+
+
+def test_clamp_mode_runs_finite_with_cg_projection():
+    g = _grid(periodic=False)
+    state0 = euler.EulerState(_rand_sigma(g, 6), _smooth_u(g, 6))
+    cfg = euler.EulerConfig(dt=0.05, steps=3, cg_maxiter=150)
+    final, diag = jax.jit(lambda s: euler.rollout(g, s, cfg))(state0)
+    assert bool(jnp.all(jnp.isfinite(final.sigma)))
+    assert bool(jnp.all(jnp.isfinite(final.u)))
+    # iterative projection: divergence bounded, not exact
+    assert float(jnp.max(diag["max_abs_div"])) < 1.0
+
+
+def test_initial_state_from_model_is_projected():
+    from phys_autodiff_tpu.models import mlp
+    from phys_autodiff_tpu.utils.config import MLPDims, MLPGridConfig
+
+    g = _grid()
+    cfg = MLPGridConfig(dims=MLPDims(H=16))
+    params = mlp.init_params(cfg.dims, seed=13, scale=0.2)
+    state = euler.initial_state_from_model(g, cfg, params, t=0.25)
+    assert state.sigma.shape == g.shape
+    assert state.u.shape == (3,) + g.shape
+    umax = float(jnp.max(jnp.abs(state.u))) + 1e-30
+    assert float(jnp.max(jnp.abs(divergence(g, state.u)))) <= 1e-4 * umax
