@@ -1,0 +1,73 @@
+"""Incompressible-Euler step cost on the flagship grid.
+
+Times the full apps/euler.py advect/force/project step (semi-Lagrangian
+self-advection of 3 velocity components + buoyancy + exact FFT projection
++ density transport = 4 transported scalars, 3 rfftn/irfftn pairs and the
+stencil div/grad per step) and the FFT projection alone, via the slope
+method with the EulerState as the loop carry (each step consumes the
+previous state — nothing can be DCE'd or hoisted).
+
+Usage: python scripts/euler_bench.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", "/root/repo/build/jax_cache"
+)
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from phys_autodiff_tpu.apps import euler
+from phys_autodiff_tpu.bench.harness import time_loop, time_op
+from phys_autodiff_tpu.ops import projection
+from phys_autodiff_tpu.utils.config import GridSpec
+
+
+def main() -> None:
+    g = GridSpec(nx=128, ny=96, nz=96, hx=0.05, hy=0.05, hz=0.05, dt=1e-3)
+    rng = np.random.default_rng(0)
+    sigma0 = jnp.asarray(rng.uniform(size=g.shape).astype(np.float32))
+    u0 = jnp.asarray(
+        (0.5 * rng.normal(size=(3,) + g.shape)).astype(np.float32)
+    )
+    u0 = jax.jit(lambda v: projection.project_fft(g, v))(u0)
+    cfg = euler.EulerConfig(dt=2e-3, buoyancy=0.5, projection="fft")
+
+    def step_body(i, st):
+        return euler.euler_step(g, st, cfg)
+
+    arms = {}
+    ms = time_loop(step_body, euler.EulerState(sigma0, u0))
+    arms["euler_step_fft"] = {
+        "ms_per_step": ms,
+        "gcells_per_s": g.num_cells / (ms * 1e-3) / 1e9,
+    }
+    ms_p = time_op(
+        lambda v: projection.project_fft(g, v), u0, mode="reduce"
+    )
+    arms["project_fft"] = {
+        "ms_per_step": ms_p,
+        "gcells_per_s": g.num_cells / (ms_p * 1e-3) / 1e9,
+    }
+    for name, a in arms.items():
+        print(
+            f"euler,{name},{g.nx},{g.ny},{g.nz},{a['ms_per_step']:.4f},"
+            f"{a['gcells_per_s']:.3f}",
+            file=sys.stderr,
+        )
+    print(json.dumps({
+        "metric": "euler_step_ms",
+        "grid": [g.nx, g.ny, g.nz],
+        "arms": arms,
+    }))
+
+
+if __name__ == "__main__":
+    main()

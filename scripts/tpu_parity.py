@@ -397,6 +397,57 @@ def run_transport(nx, ny, nz, periodic=True):
     check("transport pre kernel max", float(np.max(np.abs(outp - ref))), 1e-6)
 
 
+def run_projection(nx, ny, nz):
+    """Divergence-free projection (ops/projection.py) on hardware: the FFT
+    projector must drive the framework's own discrete divergence to f32
+    rounding on periodic boxes; the curl-potential head must be solenoidal
+    to relative rounding under clamp; CGNR must cut clamp divergence by a
+    large factor. Same relative thresholds as tests/test_projection.py."""
+    from phys_autodiff_tpu.apps import euler
+    from phys_autodiff_tpu.ops import diagnostics, projection
+
+    print(f"projection {nx}x{ny}x{nz}")
+    g = GridSpec(nx=nx, ny=ny, nz=nz, hx=0.05, hy=0.05, hz=0.05, dt=1e-3)
+    rng = np.random.default_rng(7)
+    u = jnp.asarray(rng.normal(size=(3,) + g.shape).astype(np.float32))
+    u_p = jax.jit(lambda v: projection.project_fft(g, v))(u)
+    before = float(jnp.max(jnp.abs(diagnostics.divergence(g, u))))
+    after = float(jnp.max(jnp.abs(diagnostics.divergence(g, u_p))))
+    check("fft projection div reduction", after / before, 2e-5)
+    u_pp = jax.jit(lambda v: projection.project_fft(g, v))(u_p)
+    check("fft projection idempotent rel", rel_l2_err(u_pp, u_p), 1e-5)
+
+    gc = GridSpec(nx=nx // 2, ny=ny // 2, nz=nz // 2, hx=0.05, hy=0.05,
+                  hz=0.05, dt=1e-3, periodic=False)
+    A = jnp.asarray(rng.normal(size=(3,) + gc.shape).astype(np.float32))
+    u_pot = jax.jit(lambda a: projection.velocity_from_potential(gc, a))(A)
+    scale = float(jnp.max(jnp.abs(u_pot))) / min(gc.hx, gc.hy, gc.hz)
+    dpot = float(jnp.max(jnp.abs(diagnostics.divergence(gc, u_pot))))
+    check("curl-potential clamp div rel", dpot / scale, 1e-5)
+
+    uc = jnp.asarray(rng.normal(size=(3,) + gc.shape).astype(np.float32))
+    uc_p = jax.jit(
+        lambda v: projection.project_cg(gc, v, maxiter=200)
+    )(uc)
+    bc = float(jnp.max(jnp.abs(diagnostics.divergence(gc, uc))))
+    ac = float(jnp.max(jnp.abs(diagnostics.divergence(gc, uc_p))))
+    check("cg clamp projection reduction", ac / bc, 1.0 / 30.0)
+
+    # one Euler step at the parity grid stays finite + solenoidal
+    sigma0 = jnp.asarray(
+        rng.uniform(size=g.shape).astype(np.float32)
+    )
+    cfg = euler.EulerConfig(dt=2e-3, steps=5, buoyancy=0.5)
+    final, diag = jax.jit(
+        lambda s: euler.rollout(g, s, cfg)
+    )(euler.EulerState(sigma0, u_p))
+    fin = float(jnp.all(jnp.isfinite(final.sigma))
+                & jnp.all(jnp.isfinite(final.u)))
+    check("euler rollout finite", 1.0 - fin, 0.5)
+    check("euler rollout max|div|",
+          float(jnp.max(diag["max_abs_div"])) / before, 2e-4)
+
+
 if __name__ == "__main__":
     print("devices:", jax.devices())
     run(128, 96, 96, True)   # slab kernel
@@ -417,6 +468,7 @@ if __name__ == "__main__":
     run_fourier_mega(128, 96, 96)
     run_transport(128, 96, 96, True)
     run_transport(128, 96, 96, False)
+    run_projection(128, 96, 96)
     if FAILURES:
         print("FAILURES:", FAILURES)
         sys.exit(1)
