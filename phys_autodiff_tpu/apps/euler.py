@@ -9,11 +9,14 @@ entirely from framework primitives —
                               step applied per component (CFL <= 1),
   2. apply body forces        buoyancy `b * sigma * z_hat` on the smoke
                               density itself,
-  3. project                  ops.projection (exact FFT on periodic boxes,
+  3. diffuse (optional)       ops.diffusion implicit viscosity /
+                              scalar diffusivity — unconditionally
+                              stable FFT (periodic) or CG (clamp),
+  4. project                  ops.projection (exact FFT on periodic boxes,
                               CGNR under clamp) so the discrete
                               divergence the residual operator sees is
                               driven to ~0,
-  4. advect the density       through the projected velocity.
+  5. advect the density       through the projected velocity.
 
 Everything is jnp under one jit; rollouts are a single lax.scan (no
 data-dependent Python control flow); the semi-Lagrangian interpolation is
@@ -35,7 +38,7 @@ import jax
 import jax.numpy as jnp
 
 from phys_autodiff_tpu.apps.transport import max_cfl, transport_step
-from phys_autodiff_tpu.ops import diagnostics, projection
+from phys_autodiff_tpu.ops import diagnostics, diffusion, projection
 from phys_autodiff_tpu.utils.config import GridSpec
 
 
@@ -44,6 +47,8 @@ class EulerConfig:
     dt: float = 1e-3
     steps: int = 1
     buoyancy: float = 0.0  # force = buoyancy * sigma along +z
+    viscosity: float = 0.0  # implicit momentum diffusion (ops.diffusion)
+    diffusivity: float = 0.0  # implicit density diffusion
     projection: str = "auto"  # "auto" | "fft" | "cg" | "none"
     cg_maxiter: int = 200
     cg_tol: float = 1e-6
@@ -86,10 +91,19 @@ def euler_step(
     if cfg.buoyancy != 0.0:
         fz = jnp.float32(cfg.buoyancy) * sigma
         u_adv = u_adv.at[2].add(dt * fz)
-    # 3. pressure projection
+    # 3. implicit viscosity (Stam order: diffuse, then project so the
+    #    field the density sees is solenoidal; on periodic grids the
+    #    compact Laplacian commutes with div, so the order is moot there)
+    if cfg.viscosity != 0.0:
+        u_adv = diffusion.diffuse(g, u_adv, cfg.viscosity, cfg.dt)
+    # 4. pressure projection
     u_new = _project(g, u_adv, cfg)
-    # 4. density transport through the divergence-free field
+    # 5. density transport through the divergence-free field, then
+    #    implicit scalar diffusion (both stages preserve the max principle:
+    #    monotone interpolation / M-matrix resolvent)
     sigma_new = transport_step(g, sigma, u_new, cfg.dt)
+    if cfg.diffusivity != 0.0:
+        sigma_new = diffusion.diffuse(g, sigma_new, cfg.diffusivity, cfg.dt)
     return EulerState(sigma_new, u_new)
 
 
@@ -114,6 +128,109 @@ def rollout(
         body, state0, None, length=cfg.steps
     )
     return final, {"max_cfl": cfls, "max_abs_div": divs, "kinetic_energy": kes}
+
+
+def rollout_sharded(
+    g: GridSpec, state0: EulerState, cfg: EulerConfig, mesh
+):
+    """Multi-chip Euler rollout: state z-sharded over the mesh, every stage
+    expressed shard-local with explicit collectives —
+
+      * advection: shard_local_transport_step (2-plane ppermute z halo),
+      * projection: the pencil-decomposed distributed FFT
+        (parallel.spectral — two all_to_all transposes per solve),
+      * viscosity/diffusivity: pencil-decomposed implicit diffusion,
+      * diagnostics: pmax/psum reductions.
+
+    Periodic boundaries + FFT projection only (the clamp/CG path is
+    single-chip; assert early). Same stage order as `euler_step`; parity
+    vs the single-chip rollout is fp-tolerance (the pencil FFT evaluates
+    in a different order than the fused rfftn). Returns the final
+    EulerState (z-sharded) and the same diagnostics dict as `rollout`."""
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from phys_autodiff_tpu.apps.transport import shard_local_transport_step
+    from phys_autodiff_tpu.parallel.mesh import Z_AXIS
+    from phys_autodiff_tpu.parallel.spectral import (
+        _halo_zdiff,
+        _local_xydiff,
+        shard_local_diffuse_fft,
+        shard_local_project_fft,
+    )
+
+    assert g.periodic, "rollout_sharded requires periodic boundaries"
+    assert cfg.projection in ("auto", "fft"), cfg.projection
+    n = mesh.shape[Z_AXIS]
+    assert g.nz % n == 0 and g.ny % n == 0, (g.shape, n)
+
+    tstep = shard_local_transport_step(g)
+    project = shard_local_project_fft(g, n)
+    diffuse_u = (
+        shard_local_diffuse_fft(g, n, cfg.viscosity, cfg.dt)
+        if cfg.viscosity != 0.0 else None
+    )
+    diffuse_s = (
+        shard_local_diffuse_fft(g, n, cfg.diffusivity, cfg.dt)
+        if cfg.diffusivity != 0.0 else None
+    )
+    n_cells = float(g.num_cells)
+
+    def local_div(ul):
+        return (
+            _local_xydiff(ul[0], 2, 0.5 / g.hx)
+            + _local_xydiff(ul[1], 1, 0.5 / g.hy)
+            + _halo_zdiff(ul[2], 0.5 / g.hz)
+        )
+
+    def local_step(state):
+        sigma, u = state
+        dt = jnp.float32(cfg.dt)
+        u_adv = jnp.stack([tstep(u[c], u, cfg.dt) for c in range(3)])
+        if cfg.buoyancy != 0.0:
+            u_adv = u_adv.at[2].add(dt * jnp.float32(cfg.buoyancy) * sigma)
+        if diffuse_u is not None:
+            u_adv = diffuse_u(u_adv)
+        u_new = project(u_adv)
+        sigma_new = tstep(sigma, u_new, cfg.dt)
+        if diffuse_s is not None:
+            sigma_new = diffuse_s(sigma_new)
+        return EulerState(sigma_new, u_new)
+
+    def local_roll(sigma_l, u_l):
+        def body(state, _):
+            new = local_step(state)
+            cfl = jax.lax.pmax(
+                jnp.max(jnp.stack([
+                    jnp.max(jnp.abs(new.u[0])) * jnp.float32(cfg.dt) / g.hx,
+                    jnp.max(jnp.abs(new.u[1])) * jnp.float32(cfg.dt) / g.hy,
+                    jnp.max(jnp.abs(new.u[2])) * jnp.float32(cfg.dt) / g.hz,
+                ])), Z_AXIS)
+            dmax = jax.lax.pmax(
+                jnp.max(jnp.abs(local_div(new.u))), Z_AXIS)
+            ke = jax.lax.psum(
+                0.5 * jnp.sum(new.u * new.u), Z_AXIS) / n_cells
+            return new, (cfl, dmax, ke)
+
+        final, diags = jax.lax.scan(
+            body, EulerState(sigma_l, u_l), None, length=cfg.steps
+        )
+        return final.sigma, final.u, diags
+
+    rolled = jax.shard_map(
+        local_roll,
+        mesh=mesh,
+        in_specs=(P(Z_AXIS), P(None, Z_AXIS)),
+        out_specs=(P(Z_AXIS), P(None, Z_AXIS), (P(), P(), P())),
+        check_vma=False,
+    )
+    sigma0 = jax.device_put(
+        state0.sigma, NamedSharding(mesh, P(Z_AXIS)))
+    u0 = jax.device_put(state0.u, NamedSharding(mesh, P(None, Z_AXIS)))
+    sig, u, (cfls, divs, kes) = jax.jit(rolled)(sigma0, u0)
+    return EulerState(sig, u), {
+        "max_cfl": cfls, "max_abs_div": divs, "kinetic_energy": kes,
+    }
 
 
 def initial_state_from_model(

@@ -129,6 +129,36 @@ def transport(
     return out, cfl
 
 
+def shard_local_transport_step(g: GridSpec):
+    """Build the per-shard semi-Lagrangian step for a z-sharded mesh:
+    step(s_local [nz/n, ny, nx], u_local [3, nz/n, ny, nx], dt) -> s_local.
+
+    x/y sweeps are shard-local; the z sweep lerps against a 2-plane
+    ppermute halo (parallel.sharded._halo_extend_z). Identical arithmetic
+    per cell to `transport_step`, so sharded == single-chip BITWISE. Call
+    INSIDE shard_map over the Z_AXIS mesh (used by transport_sharded and
+    the sharded Euler step, apps/euler.py)."""
+    from phys_autodiff_tpu.parallel.sharded import _halo_extend_z
+
+    per = g.periodic
+
+    def step(s, ul, dt):
+        dt = jnp.float32(dt)
+        dx = jnp.clip(ul[0] * (dt / g.hx), -1.0, 1.0)
+        dy = jnp.clip(ul[1] * (dt / g.hy), -1.0, 1.0)
+        dz = jnp.clip(ul[2] * (dt / g.hz), -1.0, 1.0)
+        out = _axis_lerp(s, dx, 2, per)
+        out = _axis_lerp(out, dy, 1, per)
+        # z sweep against the halo-extended slab (2 ppermuted planes)
+        ext = _halo_extend_z(out, per)
+        f_m, f, f_p = ext[:-2], ext[1:-1], ext[2:]
+        w = jnp.abs(dz)
+        nbr = jnp.where(dz >= 0, f_m, f_p)
+        return f + w * (nbr - f)
+
+    return step
+
+
 def transport_sharded(
     g: GridSpec,
     sigma0: jnp.ndarray,
@@ -150,29 +180,14 @@ def transport_sharded(
     from jax.sharding import PartitionSpec as P
 
     from phys_autodiff_tpu.parallel.mesh import Z_AXIS
-    from phys_autodiff_tpu.parallel.sharded import _halo_extend_z
 
     n = mesh.shape[Z_AXIS]
     assert g.nz % n == 0, (g.nz, n)
-    per = g.periodic
-    dt = jnp.float32(cfg.dt)
-
-    def local_step(s, ul):
-        dx = jnp.clip(ul[0] * (dt / g.hx), -1.0, 1.0)
-        dy = jnp.clip(ul[1] * (dt / g.hy), -1.0, 1.0)
-        dz = jnp.clip(ul[2] * (dt / g.hz), -1.0, 1.0)
-        out = _axis_lerp(s, dx, 2, per)
-        out = _axis_lerp(out, dy, 1, per)
-        # z sweep against the halo-extended slab (2 ppermuted planes)
-        ext = _halo_extend_z(out, per)
-        f_m, f, f_p = ext[:-2], ext[1:-1], ext[2:]
-        w = jnp.abs(dz)
-        nbr = jnp.where(dz >= 0, f_m, f_p)
-        return f + w * (nbr - f)
+    local_step = shard_local_transport_step(g)
 
     def local_roll(s_local, u_local):
         def body(s, _):
-            return local_step(s, u_local), None
+            return local_step(s, u_local, cfg.dt), None
 
         out, _ = jax.lax.scan(body, s_local, None, length=cfg.steps)
         return out

@@ -117,6 +117,46 @@ def time_loop(body: Callable, carry0, n_small=4, target_seconds=0.5, repeats=3):
     return (t_big - t_small) / (n_big - n_small) * 1e3
 
 
+def time_loop_static(body: Callable, carry0, n_small=4, n_big=132,
+                     repeats=3):
+    """ms/iter like `time_loop`, but the trip count is STATIC: the loop is
+    a lax.scan of fixed length, jit-compiled once per trip count (exactly
+    two compiles). Same soundness properties (on-device loop, loop-carried
+    dependency, value fetch in the timed region, slope between two counts).
+
+    Use for bodies containing FFT ops: a dynamic-trip-count fori_loop
+    around rfftn/irfftn wedges the tunneled TPU worker's compiler
+    (observed 2026-08-19 on the Euler step — the SAME body under a
+    static-length scan compiles in seconds), and generally for any op
+    XLA:TPU struggles to compile inside a while loop.
+    """
+    def make_run(n):
+        @jax.jit
+        def run(carry):
+            def sbody(c, i):
+                return body(i, c), None
+
+            out, _ = jax.lax.scan(sbody, carry, jnp.arange(n))
+            return out
+
+        return run
+
+    runs = {n: make_run(n) for n in (n_small, n_big)}
+
+    def timed(n):
+        t0 = time.perf_counter()
+        out = runs[n](carry0)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        _ = float(jnp.asarray(leaf).reshape(-1)[0])  # force completion
+        return time.perf_counter() - t0
+
+    timed(n_small)
+    timed(n_big)  # compile + warm both
+    t_small = min(timed(n_small) for _ in range(repeats))
+    t_big = min(timed(n_big) for _ in range(repeats))
+    return (t_big - t_small) / (n_big - n_small) * 1e3
+
+
 def _perturb(arr, acc):
     """Single-element nudge that makes the op depend on the loop carry; the
     dynamic-update-slice is in-place on the loop-carried buffer."""

@@ -1,5 +1,5 @@
 from phys_autodiff_tpu.ops.stencil import FieldSnapshots, residuals, shift, central_diff
-from phys_autodiff_tpu.ops import diagnostics, projection
+from phys_autodiff_tpu.ops import diagnostics, diffusion, projection
 from phys_autodiff_tpu.ops.loss import (
     loss_forward,
     loss_forward_f64,
@@ -11,6 +11,7 @@ from phys_autodiff_tpu.ops.loss import (
 __all__ = [
     "FieldSnapshots",
     "diagnostics",
+    "diffusion",
     "projection",
     "residuals",
     "shift",

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from phys_autodiff_tpu.apps import euler
-from phys_autodiff_tpu.bench.harness import time_loop, time_op
+from phys_autodiff_tpu.bench.harness import time_loop_static
 from phys_autodiff_tpu.ops import projection
 from phys_autodiff_tpu.utils.config import GridSpec
 
@@ -43,15 +43,20 @@ def main() -> None:
     def step_body(i, st):
         return euler.euler_step(g, st, cfg)
 
+    # STATIC trip counts: FFT ops inside a dynamic-trip-count fori_loop
+    # wedge the tunneled worker's compiler (see time_loop_static docstring);
+    # the same bodies under static-length scans compile in seconds.
     arms = {}
-    ms = time_loop(step_body, euler.EulerState(sigma0, u0))
+    ms = time_loop_static(step_body, euler.EulerState(sigma0, u0))
     arms["euler_step_fft"] = {
         "ms_per_step": ms,
         "gcells_per_s": g.num_cells / (ms * 1e-3) / 1e9,
     }
-    ms_p = time_op(
-        lambda v: projection.project_fft(g, v), u0, mode="reduce"
-    )
+
+    def proj_body(i, v):
+        return projection.project_fft(g, v)
+
+    ms_p = time_loop_static(proj_body, u0)
     arms["project_fft"] = {
         "ms_per_step": ms_p,
         "gcells_per_s": g.num_cells / (ms_p * 1e-3) / 1e9,

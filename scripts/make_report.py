@@ -112,9 +112,11 @@ def _bench_apps(gf):
         }
 
     # incompressible Euler: full advect/force/project step + the FFT
-    # projection alone (ops/projection.py)
+    # projection alone (ops/projection.py). STATIC trip counts: FFTs
+    # inside a dynamic-trip-count fori_loop wedge the worker's compiler
+    # (bench/harness.py:time_loop_static).
     from phys_autodiff_tpu.apps import euler
-    from phys_autodiff_tpu.bench.harness import time_op
+    from phys_autodiff_tpu.bench.harness import time_loop_static
     from phys_autodiff_tpu.ops import projection
 
     u0 = jax.jit(lambda v: projection.project_fft(gf, v))(
@@ -124,7 +126,7 @@ def _bench_apps(gf):
         )
     )
     ecfg = euler.EulerConfig(dt=2e-3, buoyancy=0.5, projection="fft")
-    ms = time_loop(
+    ms = time_loop_static(
         lambda i, st: euler.euler_step(gf, st, ecfg),
         euler.EulerState(jnp.abs(sigma0), u0),
     )
@@ -132,8 +134,8 @@ def _bench_apps(gf):
         "ms_per_step": ms,
         "gcells_per_s": gf.num_cells / (ms * 1e-3) / 1e9,
     }
-    ms_p = time_op(
-        lambda v: projection.project_fft(gf, v), u0, mode="reduce"
+    ms_p = time_loop_static(
+        lambda i, v: projection.project_fft(gf, v), u0
     )
     out["project_fft"] = {
         "ms_per_step": ms_p,

@@ -130,6 +130,54 @@ def test_clamp_mode_runs_finite_with_cg_projection():
     assert float(jnp.max(diag["max_abs_div"])) < 1.0
 
 
+def test_rollout_is_differentiable_end_to_end():
+    """Inverse problem through the solver: recover an initial velocity
+    (parameterized by a vector potential, so every iterate is exactly
+    divergence-free) such that a 2-step rollout matches a target density.
+    jax.grad flows through advection's roll+select weights, the FFT
+    projection, and the scan; Adam must cut the data misfit by a large
+    factor (plain GD also converges but is ill-conditioned through
+    curl + rollout: ~8x in the same budget)."""
+    g = _grid(nx=12, ny=8, nz=6)
+    rng = np.random.default_rng(11)
+    sigma0 = jnp.asarray(rng.uniform(size=g.shape).astype(np.float32))
+    cfg = euler.EulerConfig(dt=0.08, steps=2)
+
+    A_true = 0.6 * jnp.asarray(
+        rng.normal(size=(3,) + g.shape).astype(np.float32)
+    )
+    from phys_autodiff_tpu.ops import projection
+
+    def forward(A):
+        u0 = projection.velocity_from_potential(g, A)
+        final, _ = euler.rollout(g, euler.EulerState(sigma0, u0), cfg)
+        return final.sigma
+
+    target = forward(A_true)
+
+    def loss(A):
+        r = forward(A) - target
+        return jnp.mean(r * r)
+
+    import optax
+
+    val_grad = jax.jit(jax.value_and_grad(loss))
+    A = 0.01 * jnp.asarray(
+        rng.normal(size=(3,) + g.shape).astype(np.float32)
+    )
+    opt = optax.adam(0.1)
+    opt_state = opt.init(A)
+    loss0, _ = val_grad(A)
+    for _ in range(60):
+        val, grad = val_grad(A)
+        assert bool(jnp.isfinite(val))
+        updates, opt_state = opt.update(grad, opt_state)
+        A = optax.apply_updates(A, updates)
+    loss1, _ = val_grad(A)
+    # measured 132x at this seed; 10x asserts convergence with headroom
+    assert float(loss1) < 0.1 * float(loss0), (float(loss0), float(loss1))
+
+
 def test_initial_state_from_model_is_projected():
     from phys_autodiff_tpu.models import mlp
     from phys_autodiff_tpu.utils.config import MLPDims, MLPGridConfig
