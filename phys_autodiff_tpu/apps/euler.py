@@ -37,7 +37,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from phys_autodiff_tpu.apps.transport import max_cfl, transport_step
+from phys_autodiff_tpu.apps.transport import max_cfl
 from phys_autodiff_tpu.ops import diagnostics, diffusion, projection
 from phys_autodiff_tpu.utils.config import GridSpec
 
@@ -52,6 +52,11 @@ class EulerConfig:
     projection: str = "auto"  # "auto" | "fft" | "cg" | "none"
     cg_maxiter: int = 200
     cg_tol: float = 1e-6
+    advection: str = "semi_lagrangian"  # "semi_lagrangian" | "maccormack"
+    # (second-order limited MacCormack, apps.transport.maccormack_step)
+    confinement: float = 0.0  # vorticity-confinement strength epsilon
+    # (force = eps * h * N x omega, Fedkiw/Stam/Jensen 2001) — restores
+    # the small-scale swirl the semi-Lagrangian lerp dissipates
 
 
 class EulerState(NamedTuple):
@@ -74,6 +79,44 @@ def _project(g: GridSpec, u: jnp.ndarray, cfg: EulerConfig) -> jnp.ndarray:
     raise ValueError(f"unknown projection mode {cfg.projection!r}")
 
 
+def vorticity_confinement(
+    g: GridSpec, u: jnp.ndarray, eps: float
+) -> jnp.ndarray:
+    """Vorticity-confinement body force f = eps * h * (N x omega)
+    (Fedkiw, Stam, Jensen, "Visual Simulation of Smoke", 2001):
+    omega = curl u, N = normalized grad |omega| points toward vortex
+    cores, so the force spins energy back into the swirls the
+    semi-Lagrangian lerp dissipates. h is the geometric-mean cell size
+    (the classical scalar h, generalized for anisotropic grids); built
+    entirely from the residual stencil's central differences, so the
+    boundary topology matches the rest of the framework. Returns
+    [3, nz, ny, nx]; identically zero for irrotational fields."""
+    w = diagnostics.curl(g, u)
+    wmag = jnp.sqrt(jnp.sum(w * w, axis=0))
+    per = g.periodic
+    from phys_autodiff_tpu.ops.stencil import central_diff
+
+    eta = jnp.stack([
+        central_diff(wmag, 2, 0.5 / g.hx, per),
+        central_diff(wmag, 1, 0.5 / g.hy, per),
+        central_diff(wmag, 0, 0.5 / g.hz, per),
+    ])
+    n = eta / (jnp.sqrt(jnp.sum(eta * eta, axis=0)) + jnp.float32(1e-20))
+    h = float((g.hx * g.hy * g.hz) ** (1.0 / 3.0))
+    s = jnp.float32(eps * h)
+    return s * jnp.stack([
+        n[1] * w[2] - n[2] * w[1],
+        n[2] * w[0] - n[0] * w[2],
+        n[0] * w[1] - n[1] * w[0],
+    ])
+
+
+def _advect(g: GridSpec, cfg: EulerConfig):
+    from phys_autodiff_tpu.apps.transport import TransportConfig, make_step
+
+    return make_step(g, TransportConfig(scheme=cfg.advection))
+
+
 def euler_step(
     g: GridSpec, state: EulerState, cfg: EulerConfig
 ) -> EulerState:
@@ -83,14 +126,20 @@ def euler_step(
     velocity so it is transported by a divergence-free field."""
     sigma, u = state
     dt = jnp.float32(cfg.dt)
+    advect = _advect(g, cfg)
     # 1. self-advection, component-wise through the frozen pre-step u
     u_adv = jnp.stack(
-        [transport_step(g, u[c], u, cfg.dt) for c in range(3)]
+        [advect(u[c], u, cfg.dt) for c in range(3)]
     )
-    # 2. buoyancy: smoke density pushes +z
+    # 2. body forces: buoyancy (smoke density pushes +z) + vorticity
+    #    confinement (computed from the post-advection velocity, the
+    #    standard stage order — both are pre-projection, so the
+    #    projection removes any divergence they inject)
     if cfg.buoyancy != 0.0:
         fz = jnp.float32(cfg.buoyancy) * sigma
         u_adv = u_adv.at[2].add(dt * fz)
+    if cfg.confinement != 0.0:
+        u_adv = u_adv + dt * vorticity_confinement(g, u_adv, cfg.confinement)
     # 3. implicit viscosity (Stam order: diffuse, then project so the
     #    field the density sees is solenoidal; on periodic grids the
     #    compact Laplacian commutes with div, so the order is moot there)
@@ -100,8 +149,10 @@ def euler_step(
     u_new = _project(g, u_adv, cfg)
     # 5. density transport through the divergence-free field, then
     #    implicit scalar diffusion (both stages preserve the max principle:
-    #    monotone interpolation / M-matrix resolvent)
-    sigma_new = transport_step(g, sigma, u_new, cfg.dt)
+    #    monotone interpolation / M-matrix resolvent; the limited
+    #    MacCormack scheme is clamped into the neighbor-ring bounds, so
+    #    the principle holds for it too)
+    sigma_new = advect(sigma, u_new, cfg.dt)
     if cfg.diffusivity != 0.0:
         sigma_new = diffusion.diffuse(g, sigma_new, cfg.diffusivity, cfg.dt)
     return EulerState(sigma_new, u_new)
@@ -136,7 +187,9 @@ def rollout_sharded(
     """Multi-chip Euler rollout: state z-sharded over the mesh, every stage
     expressed shard-local with explicit collectives —
 
-      * advection: shard_local_transport_step (2-plane ppermute z halo),
+      * advection: make_shard_local_step — semi-Lagrangian or limited
+        MacCormack per cfg.advection (2-plane ppermute z halos),
+      * vorticity confinement: shard-local curl/grad with z halo diffs,
       * projection: the pencil-decomposed distributed FFT
         (parallel.spectral — two all_to_all transposes per solve),
       * viscosity/diffusivity: pencil-decomposed implicit diffusion,
@@ -150,7 +203,10 @@ def rollout_sharded(
     from jax.sharding import NamedSharding
     from jax.sharding import PartitionSpec as P
 
-    from phys_autodiff_tpu.apps.transport import shard_local_transport_step
+    from phys_autodiff_tpu.apps.transport import (
+        TransportConfig,
+        make_shard_local_step,
+    )
     from phys_autodiff_tpu.parallel.mesh import Z_AXIS
     from phys_autodiff_tpu.parallel.spectral import (
         _halo_zdiff,
@@ -164,7 +220,7 @@ def rollout_sharded(
     n = mesh.shape[Z_AXIS]
     assert g.nz % n == 0 and g.ny % n == 0, (g.shape, n)
 
-    tstep = shard_local_transport_step(g)
+    tstep = make_shard_local_step(g, TransportConfig(scheme=cfg.advection))
     project = shard_local_project_fft(g, n)
     diffuse_u = (
         shard_local_diffuse_fft(g, n, cfg.viscosity, cfg.dt)
@@ -183,12 +239,39 @@ def rollout_sharded(
             + _halo_zdiff(ul[2], 0.5 / g.hz)
         )
 
+    def local_confinement(ul):
+        # shard-local curl / grad|w|: x/y diffs are local, z diffs ride
+        # the 2-plane ppermute halo — same arithmetic per cell as the
+        # single-chip vorticity_confinement (periodic precondition holds)
+        wx = _local_xydiff(ul[2], 1, 0.5 / g.hy) - _halo_zdiff(
+            ul[1], 0.5 / g.hz)
+        wy = _halo_zdiff(ul[0], 0.5 / g.hz) - _local_xydiff(
+            ul[2], 2, 0.5 / g.hx)
+        wz = _local_xydiff(ul[1], 2, 0.5 / g.hx) - _local_xydiff(
+            ul[0], 1, 0.5 / g.hy)
+        wmag = jnp.sqrt(wx * wx + wy * wy + wz * wz)
+        ex = _local_xydiff(wmag, 2, 0.5 / g.hx)
+        ey = _local_xydiff(wmag, 1, 0.5 / g.hy)
+        ez = _halo_zdiff(wmag, 0.5 / g.hz)
+        inv = 1.0 / (jnp.sqrt(ex * ex + ey * ey + ez * ez)
+                     + jnp.float32(1e-20))
+        nx_, ny_, nz_ = ex * inv, ey * inv, ez * inv
+        s = jnp.float32(
+            cfg.confinement * float((g.hx * g.hy * g.hz) ** (1.0 / 3.0)))
+        return s * jnp.stack([
+            ny_ * wz - nz_ * wy,
+            nz_ * wx - nx_ * wz,
+            nx_ * wy - ny_ * wx,
+        ])
+
     def local_step(state):
         sigma, u = state
         dt = jnp.float32(cfg.dt)
         u_adv = jnp.stack([tstep(u[c], u, cfg.dt) for c in range(3)])
         if cfg.buoyancy != 0.0:
             u_adv = u_adv.at[2].add(dt * jnp.float32(cfg.buoyancy) * sigma)
+        if cfg.confinement != 0.0:
+            u_adv = u_adv + dt * local_confinement(u_adv)
         if diffuse_u is not None:
             u_adv = diffuse_u(u_adv)
         u_new = project(u_adv)

@@ -137,6 +137,18 @@ def project_cg(
     discrete divergence to the operator's attainable range — not exact
     like the FFT path; pair with `velocity_from_potential` when exactness
     under clamp is required.
+
+    Preconditioning note (measured NEGATIVE, 2026-08-19): wrapping this CG
+    with the periodic spectral inverse of the normal operator (M(k) =
+    1/(lap(k)^2 + delta)) was tried and rejected. On rough RHS it is
+    actively harmful at any delta (1.4-5.6x worse divergence at equal
+    iterations vs plain CGNR's 1.34/1.11 at 30/60 iters) because the
+    rough RHS concentrates near the wide stencil's null modes, exactly
+    where the clamp perturbation dominates the periodic symbol; on smooth
+    RHS the best heavily-regularized setting (delta = 0.1*max lap^2) buys
+    only ~1.8-2.7x fewer-iteration-equivalent while adding two FFT pairs
+    per iteration — a net loss. Full sweep in docs/DESIGN.md ("Negative
+    results").
     """
     assert u.shape == (3,) + g.shape, (u.shape, g.shape)
     d = divergence(g, u)

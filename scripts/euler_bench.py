@@ -53,6 +53,23 @@ def main() -> None:
         "gcells_per_s": g.num_cells / (ms * 1e-3) / 1e9,
     }
 
+    # the high-quality arm: second-order limited MacCormack advection +
+    # vorticity confinement (2x transports per advected scalar + the
+    # curl/grad stencil) — the cost of the "production smoke" step
+    cfg_mc = euler.EulerConfig(
+        dt=2e-3, buoyancy=0.5, projection="fft",
+        advection="maccormack", confinement=2.0,
+    )
+
+    def step_body_mc(i, st):
+        return euler.euler_step(g, st, cfg_mc)
+
+    ms_mc = time_loop_static(step_body_mc, euler.EulerState(sigma0, u0))
+    arms["euler_step_maccormack_conf"] = {
+        "ms_per_step": ms_mc,
+        "gcells_per_s": g.num_cells / (ms_mc * 1e-3) / 1e9,
+    }
+
     def proj_body(i, v):
         return projection.project_fft(g, v)
 

@@ -190,3 +190,78 @@ def test_initial_state_from_model_is_projected():
     assert state.u.shape == (3,) + g.shape
     umax = float(jnp.max(jnp.abs(state.u))) + 1e-30
     assert float(jnp.max(jnp.abs(divergence(g, state.u)))) <= 1e-4 * umax
+
+
+# ---------------------------------------------------------------------------
+# Vorticity confinement + MacCormack advection
+
+
+def test_confinement_zero_for_irrotational_field():
+    g = _grid()
+    u = _const_u(g, 0.7, -0.3, 0.2)  # curl == 0 identically
+    f = euler.vorticity_confinement(g, u, eps=5.0)
+    np.testing.assert_allclose(np.asarray(f), 0.0, atol=1e-7)
+
+
+def test_confinement_force_orthogonal_to_vorticity():
+    from phys_autodiff_tpu.ops.diagnostics import curl
+
+    g = _grid()
+    u = _smooth_u(g, seed=3, scale=0.5)
+    f = euler.vorticity_confinement(g, u, eps=1.0)
+    w = curl(g, u)
+    dot = jnp.abs(jnp.sum(f * w, axis=0))
+    scale = jnp.max(jnp.linalg.norm(f.reshape(3, -1), axis=0)) * jnp.max(
+        jnp.linalg.norm(w.reshape(3, -1), axis=0)
+    )
+    # N x w is pointwise orthogonal to w by construction
+    assert float(jnp.max(dot)) <= 1e-5 * max(float(scale), 1e-30)
+
+
+def test_confinement_scales_linearly_in_eps():
+    g = _grid()
+    u = _smooth_u(g, seed=4, scale=0.5)
+    f1 = euler.vorticity_confinement(g, u, eps=1.0)
+    f3 = euler.vorticity_confinement(g, u, eps=3.0)
+    np.testing.assert_allclose(
+        np.asarray(f3), 3.0 * np.asarray(f1), rtol=1e-5, atol=1e-7
+    )
+
+
+def test_rollout_with_confinement_and_maccormack_stays_divfree():
+    g = _grid()
+    sigma0 = jnp.asarray(
+        np.abs(np.asarray(_rand_sigma(g, 31))).astype(np.float32)
+    )
+    u0 = _smooth_u(g, seed=5, scale=0.4)
+    cfg = euler.EulerConfig(
+        dt=0.05, steps=4, buoyancy=0.5, confinement=2.0,
+        advection="maccormack",
+    )
+    final, diag = jax.jit(
+        lambda s: euler.rollout(g, s, cfg)
+    )(euler.EulerState(sigma0, u0))
+    assert bool(jnp.all(jnp.isfinite(final.sigma)))
+    assert bool(jnp.all(jnp.isfinite(final.u)))
+    # projection runs AFTER the confinement force, so div stays rounding
+    assert float(jnp.max(diag["max_abs_div"])) <= 5e-5
+    # limited MacCormack preserves the density max principle
+    assert float(jnp.max(final.sigma)) <= float(jnp.max(sigma0)) + 1e-5
+    assert float(jnp.min(final.sigma)) >= float(jnp.min(sigma0)) - 1e-5
+
+
+def test_confinement_counteracts_dissipation():
+    # with zero forcing the semi-Lagrangian rollout dissipates kinetic
+    # energy monotonically; confinement must inject some of it back
+    g = _grid()
+    u0 = _smooth_u(g, seed=6, scale=0.5)
+    sigma0 = _rand_sigma(g, 32)
+    base = euler.EulerConfig(dt=0.05, steps=6)
+    conf = euler.EulerConfig(dt=0.05, steps=6, confinement=4.0)
+    _, d0 = jax.jit(lambda s: euler.rollout(g, s, base))(
+        euler.EulerState(sigma0, u0))
+    _, d1 = jax.jit(lambda s: euler.rollout(g, s, conf))(
+        euler.EulerState(sigma0, u0))
+    ke0 = float(d0["kinetic_energy"][-1])
+    ke1 = float(d1["kinetic_energy"][-1])
+    assert ke1 > ke0, (ke0, ke1)

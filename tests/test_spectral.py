@@ -119,3 +119,26 @@ def test_sharded_projection_uneven_z_rejected():
     except AssertionError:
         return
     raise AssertionError("nz % n != 0 must be rejected")
+
+
+def test_sharded_euler_maccormack_confinement_matches_single_chip():
+    """The round-3 additions (limited MacCormack advection + vorticity
+    confinement) through the sharded rollout: fp-tolerance parity vs the
+    single-chip rollout (the pencil FFT evaluates in a different order)."""
+    from phys_autodiff_tpu.apps import euler
+
+    g = _grid()
+    rng = np.random.default_rng(7)
+    sigma0 = jnp.asarray(rng.uniform(size=g.shape).astype(np.float32))
+    u0 = jnp.asarray(
+        (0.5 * rng.normal(size=(3,) + g.shape)).astype(np.float32)
+    )
+    cfg = euler.EulerConfig(dt=0.05, steps=3, buoyancy=0.4,
+                            confinement=2.0, advection="maccormack")
+    state0 = euler.EulerState(sigma0, u0)
+    f1, d1 = jax.jit(lambda s: euler.rollout(g, s, cfg))(state0)
+    mesh = make_mesh(N_DEV)
+    fs, ds = euler.rollout_sharded(g, state0, cfg, mesh)
+    assert rel_l2_err(np.asarray(fs.sigma), np.asarray(f1.sigma)) <= 1e-5
+    assert rel_l2_err(np.asarray(fs.u), np.asarray(f1.u)) <= 1e-5
+    assert float(jnp.max(ds["max_abs_div"])) <= 5e-5
