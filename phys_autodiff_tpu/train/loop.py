@@ -28,7 +28,13 @@ from phys_autodiff_tpu.utils.config import GridSpec, MLPGridConfig, PhysWeights
 class TrainConfig:
     steps: int = 200
     learning_rate: float = 1e-3
-    optimizer: str = "adam"  # "adam" | "sgd"
+    optimizer: str = "adam"  # "adam" | "adamw" | "sgd"
+    weight_decay: float = 0.0  # decoupled weight decay (optimizer="adamw")
+    grad_clip: float = 0.0  # global-norm gradient clip; 0 disables
+    lr_schedule: str = "constant"  # "constant" | "cosine" (warmup ->
+    # cosine decay to lr_final_scale * learning_rate over cfg.steps)
+    warmup_steps: int = 0  # linear warmup from 0 (schedules only)
+    lr_final_scale: float = 0.0  # cosine floor as a fraction of peak lr
     t: float = 0.25  # snapshot time ("fixed") or sampling base
     t_sampling: str = "fixed"  # "fixed" | "uniform" (t ~ U(0,1) per step)
     seed: int = 0
@@ -56,12 +62,42 @@ class TrainState(NamedTuple):
     key: jnp.ndarray
 
 
+def make_schedule(cfg: TrainConfig):
+    """Learning-rate schedule per cfg: a float (constant) or an optax
+    schedule callable (warmup -> cosine decay over cfg.steps)."""
+    if cfg.lr_schedule == "constant":
+        if cfg.warmup_steps > 0:
+            return optax.linear_schedule(
+                0.0, cfg.learning_rate, cfg.warmup_steps
+            )
+        return cfg.learning_rate
+    if cfg.lr_schedule == "cosine":
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=cfg.learning_rate,
+            warmup_steps=cfg.warmup_steps,
+            decay_steps=max(cfg.steps, cfg.warmup_steps + 1),
+            end_value=cfg.lr_final_scale * cfg.learning_rate,
+        )
+    raise ValueError(f"unknown lr_schedule {cfg.lr_schedule!r}")
+
+
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    """Optimizer chain: optional global-norm clip -> adam/adamw/sgd under
+    the configured schedule. Everything is optax-standard so the state
+    checkpoints through train/checkpoint.py unchanged (pure pytrees)."""
+    lr = make_schedule(cfg)
     if cfg.optimizer == "adam":
-        return optax.adam(cfg.learning_rate)
-    if cfg.optimizer == "sgd":
-        return optax.sgd(cfg.learning_rate)
-    raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+        core = optax.adam(lr)
+    elif cfg.optimizer == "adamw":
+        core = optax.adamw(lr, weight_decay=cfg.weight_decay)
+    elif cfg.optimizer == "sgd":
+        core = optax.sgd(lr)
+    else:
+        raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+    if cfg.grad_clip > 0.0:
+        return optax.chain(optax.clip_by_global_norm(cfg.grad_clip), core)
+    return core
 
 
 def init_state(

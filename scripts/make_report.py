@@ -141,6 +141,20 @@ def _bench_apps(gf):
         "ms_per_step": ms_p,
         "gcells_per_s": gf.num_cells / (ms_p * 1e-3) / 1e9,
     }
+    # high-quality arm: second-order limited MacCormack advection +
+    # vorticity confinement (8 transports + curl/grad + limiter)
+    ecfg_mc = euler.EulerConfig(
+        dt=2e-3, buoyancy=0.5, projection="fft",
+        advection="maccormack", confinement=2.0,
+    )
+    ms_mc = time_loop_static(
+        lambda i, st: euler.euler_step(gf, st, ecfg_mc),
+        euler.EulerState(jnp.abs(sigma0), u0),
+    )
+    out["euler_step_maccormack_conf"] = {
+        "ms_per_step": ms_mc,
+        "gcells_per_s": gf.num_cells / (ms_mc * 1e-3) / 1e9,
+    }
     return out
 
 
@@ -398,6 +412,8 @@ def main():
         for key, label in (
             ("euler_step_fft",
              "advect/force/project step (4 transports + FFT projection)"),
+            ("euler_step_maccormack_conf",
+             "2nd-order limited MacCormack + vorticity confinement"),
             ("project_fft", "FFT Helmholtz projection alone"),
         ):
             t = apps_ms.get(key)

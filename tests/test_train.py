@@ -158,3 +158,49 @@ def test_matmul_precision_bf16_trains():
         sbf, lbf = stbf(sbf)
     assert np.isfinite(float(lbf))
     assert abs(float(lbf) - float(l32)) <= 0.05 * max(abs(float(l32)), 1e-3)
+
+
+def test_adamw_cosine_warmup_clip_trains():
+    # the production optimizer chain: warmup -> cosine, decoupled weight
+    # decay, global-norm clipping — must still satisfy the M6 criterion
+    cfg = TrainConfig(
+        steps=300, learning_rate=3e-3, t=0.25, seed=1, log_every=50,
+        optimizer="adamw", weight_decay=1e-4, grad_clip=1.0,
+        lr_schedule="cosine", warmup_steps=30,
+    )
+    state, history, _ = fit(G, W, MCFG, cfg)
+    first, last = history[0][1], history[-1][1]
+    assert last <= 0.1 * first, (first, last)
+    assert np.isfinite(last)
+
+
+def test_grad_clip_caps_first_update():
+    # with SGD the first update is exactly -lr * clipped_grad, so the
+    # param delta's global norm must be <= lr * clip
+    from phys_autodiff_tpu.train.loop import make_optimizer
+
+    clip = 0.01
+    cfg = TrainConfig(steps=1, learning_rate=1.0, optimizer="sgd",
+                      grad_clip=clip, seed=3)
+    step = make_train_step(G, W, MCFG, cfg)
+    state0 = init_state(cfg, MCFG)
+    state1, _ = step(state0)
+    deltas = jax.tree.map(lambda a, b: a - b, state1.params, state0.params)
+    gnorm = float(
+        jnp.sqrt(sum(jnp.sum(d * d) for d in jax.tree.leaves(deltas)))
+    )
+    assert gnorm <= clip * cfg.learning_rate * (1 + 1e-5), gnorm
+    # sanity: the optimizer factory accepts every documented spelling
+    for opt in ("adam", "adamw", "sgd"):
+        make_optimizer(TrainConfig(optimizer=opt))
+
+
+def test_cosine_schedule_values():
+    from phys_autodiff_tpu.train.loop import make_schedule
+
+    cfg = TrainConfig(steps=100, learning_rate=1e-2, lr_schedule="cosine",
+                      warmup_steps=10, lr_final_scale=0.1)
+    sched = make_schedule(cfg)
+    assert float(sched(0)) == 0.0
+    np.testing.assert_allclose(float(sched(10)), 1e-2, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(100)), 1e-3, rtol=1e-5)
