@@ -117,6 +117,20 @@ def _advect(g: GridSpec, cfg: EulerConfig):
     return make_step(g, TransportConfig(scheme=cfg.advection))
 
 
+def _advect_many(g: GridSpec, cfg: EulerConfig):
+    """Batched multi-scalar advection for the velocity self-advection:
+    one pass over [3, nz, ny, nx] with shared offsets — bitwise equal to
+    three single-component steps and measured ~4x faster (lane-axis rolls
+    materialize; see transport.transport_step_many)."""
+    from phys_autodiff_tpu.apps import transport as tr
+
+    if cfg.advection == "semi_lagrangian":
+        return lambda fs, u, dt: tr.transport_step_many(g, fs, u, dt)
+    if cfg.advection == "maccormack":
+        return lambda fs, u, dt: tr.maccormack_step_many(g, fs, u, dt)
+    raise ValueError(f"unknown transport scheme {cfg.advection!r}")
+
+
 def euler_step(
     g: GridSpec, state: EulerState, cfg: EulerConfig
 ) -> EulerState:
@@ -127,10 +141,10 @@ def euler_step(
     sigma, u = state
     dt = jnp.float32(cfg.dt)
     advect = _advect(g, cfg)
-    # 1. self-advection, component-wise through the frozen pre-step u
-    u_adv = jnp.stack(
-        [advect(u[c], u, cfg.dt) for c in range(3)]
-    )
+    # 1. self-advection through the frozen pre-step u — all 3 components
+    #    in ONE batched pass (shared offsets; bitwise equal to
+    #    component-wise, ~4x faster on TPU)
+    u_adv = _advect_many(g, cfg)(u, u, cfg.dt)
     # 2. body forces: buoyancy (smoke density pushes +z) + vorticity
     #    confinement (computed from the post-advection velocity, the
     #    standard stage order — both are pre-projection, so the
@@ -206,6 +220,7 @@ def rollout_sharded(
     from phys_autodiff_tpu.apps.transport import (
         TransportConfig,
         make_shard_local_step,
+        make_shard_local_step_many,
     )
     from phys_autodiff_tpu.parallel.mesh import Z_AXIS
     from phys_autodiff_tpu.parallel.spectral import (
@@ -220,7 +235,9 @@ def rollout_sharded(
     n = mesh.shape[Z_AXIS]
     assert g.nz % n == 0 and g.ny % n == 0, (g.shape, n)
 
-    tstep = make_shard_local_step(g, TransportConfig(scheme=cfg.advection))
+    tcfg = TransportConfig(scheme=cfg.advection)
+    tstep = make_shard_local_step(g, tcfg)
+    tstep_many = make_shard_local_step_many(g, tcfg)
     project = shard_local_project_fft(g, n)
     diffuse_u = (
         shard_local_diffuse_fft(g, n, cfg.viscosity, cfg.dt)
@@ -267,7 +284,9 @@ def rollout_sharded(
     def local_step(state):
         sigma, u = state
         dt = jnp.float32(cfg.dt)
-        u_adv = jnp.stack([tstep(u[c], u, cfg.dt) for c in range(3)])
+        # batched self-advection (one pass over [3, ...], shared offsets —
+        # bitwise equal to component-wise, ~4x faster single-chip)
+        u_adv = tstep_many(u, u, cfg.dt)
         if cfg.buoyancy != 0.0:
             u_adv = u_adv.at[2].add(dt * jnp.float32(cfg.buoyancy) * sigma)
         if cfg.confinement != 0.0:

@@ -101,6 +101,71 @@ def transport_step(
     return out
 
 
+def _axis_lerp_many(f, d, axis, periodic):
+    """_axis_lerp for a [C, nz, ny, nx] batch of scalars sharing ONE
+    offset field d [nz, ny, nx]; `axis` in field coords (0=z,1=y,2=x)."""
+    f_m = shift(f, -1, axis + 1, periodic)
+    f_p = shift(f, +1, axis + 1, periodic)
+    w = jnp.abs(d)[None]
+    nbr = jnp.where((d >= 0)[None], f_m, f_p)
+    return f + w * (nbr - f)
+
+
+def transport_step_many(
+    g: GridSpec, fields: jnp.ndarray, u: jnp.ndarray, dt
+) -> jnp.ndarray:
+    """Advect a [C, nz, ny, nx] BATCH of scalars through one velocity
+    field in a single pass. Bitwise equal per channel to transport_step
+    (pinned by tests) but measured ~3-4x faster than C separate steps at
+    C=3 on TPU: lane-axis rolls materialize real copies, so batching —
+    which shares the offset computation and runs every shift/select/lerp
+    on [C, ...] blocks — is the difference between XLA fusing one chain
+    and spilling three. Used by the Euler stepper's velocity
+    self-advection (apps/euler.py)."""
+    assert fields.ndim == 4 and u.shape == (3,) + fields.shape[1:], (
+        fields.shape, u.shape)
+    dt = jnp.float32(dt)
+    per = g.periodic
+    dx = jnp.clip(u[0] * (dt / g.hx), -1.0, 1.0)
+    dy = jnp.clip(u[1] * (dt / g.hy), -1.0, 1.0)
+    dz = jnp.clip(u[2] * (dt / g.hz), -1.0, 1.0)
+    out = _axis_lerp_many(fields, dx, 2, per)
+    out = _axis_lerp_many(out, dy, 1, per)
+    out = _axis_lerp_many(out, dz, 0, per)
+    return out
+
+
+def maccormack_step_many(
+    g: GridSpec,
+    fields: jnp.ndarray,
+    u: jnp.ndarray,
+    dt,
+    *,
+    limit: bool = True,
+) -> jnp.ndarray:
+    """maccormack_step for a [C, nz, ny, nx] batch (see
+    transport_step_many for why batching matters on TPU: measured
+    1.48 -> 0.39 ms for the 3-component velocity self-advection at
+    128x96x96)."""
+    fwd = transport_step_many(g, fields, u, dt)
+    bwd = transport_step_many(g, fwd, u, -dt)
+    out = fwd + 0.5 * (fields - bwd)
+    if limit:
+        per = g.periodic
+        lo = hi = fields
+        for ax in (3, 2, 1):
+            lo = jnp.minimum(
+                jnp.minimum(shift(lo, -1, ax, per), lo),
+                shift(lo, +1, ax, per),
+            )
+            hi = jnp.maximum(
+                jnp.maximum(shift(hi, -1, ax, per), hi),
+                shift(hi, +1, ax, per),
+            )
+        out = jnp.clip(out, lo, hi)
+    return out
+
+
 def _ring_bounds(f: jnp.ndarray, periodic: bool):
     """(min, max) of f over each cell's 3x3x3 neighbor ring — computed as
     three separable one-axis reductions (erosion/dilation), zero gathers.
@@ -268,6 +333,75 @@ def shard_local_maccormack_step(g: GridSpec, *, limit: bool = True):
         return out
 
     return step
+
+
+def shard_local_transport_step_many(g: GridSpec):
+    """Batched shard-local transport: step(fields [C, nz/n, ny, nx],
+    u_local [3, nz/n, ny, nx], dt) — transport_step_many for z-sharded
+    slabs (x/y sweeps local, z sweep against the axis=1 halo extension).
+    Bitwise equal per channel to shard_local_transport_step."""
+    from phys_autodiff_tpu.parallel.sharded import _halo_extend_z
+
+    per = g.periodic
+
+    def step(fs, ul, dt):
+        dt = jnp.float32(dt)
+        dx = jnp.clip(ul[0] * (dt / g.hx), -1.0, 1.0)
+        dy = jnp.clip(ul[1] * (dt / g.hy), -1.0, 1.0)
+        dz = jnp.clip(ul[2] * (dt / g.hz), -1.0, 1.0)
+        out = _axis_lerp_many(fs, dx, 2, per)
+        out = _axis_lerp_many(out, dy, 1, per)
+        ext = _halo_extend_z(out, per, axis=1)
+        f_m, f, f_p = ext[:, :-2], ext[:, 1:-1], ext[:, 2:]
+        w = jnp.abs(dz)[None]
+        nbr = jnp.where((dz >= 0)[None], f_m, f_p)
+        return f + w * (nbr - f)
+
+    return step
+
+
+def shard_local_maccormack_step_many(g: GridSpec, *, limit: bool = True):
+    """Batched shard-local MacCormack (see maccormack_step_many); the
+    limiter's z ring reduction rides the same axis=1 halo."""
+    from phys_autodiff_tpu.parallel.sharded import _halo_extend_z
+
+    per = g.periodic
+    tstep = shard_local_transport_step_many(g)
+
+    def step(fs, ul, dt):
+        fwd = tstep(fs, ul, dt)
+        bwd = tstep(fwd, ul, -dt)
+        out = fwd + 0.5 * (fs - bwd)
+        if limit:
+            lo = hi = fs
+            for ax in (3, 2):
+                lo = jnp.minimum(
+                    jnp.minimum(shift(lo, -1, ax, per), lo),
+                    shift(lo, +1, ax, per),
+                )
+                hi = jnp.maximum(
+                    jnp.maximum(shift(hi, -1, ax, per), hi),
+                    shift(hi, +1, ax, per),
+                )
+            lo_e = _halo_extend_z(lo, per, axis=1)
+            hi_e = _halo_extend_z(hi, per, axis=1)
+            lo = jnp.minimum(
+                jnp.minimum(lo_e[:, :-2], lo_e[:, 1:-1]), lo_e[:, 2:])
+            hi = jnp.maximum(
+                jnp.maximum(hi_e[:, :-2], hi_e[:, 1:-1]), hi_e[:, 2:])
+            out = jnp.clip(out, lo, hi)
+        return out
+
+    return step
+
+
+def make_shard_local_step_many(g: GridSpec, cfg: TransportConfig):
+    """Shard-local analogue of the batched dispatch."""
+    if cfg.scheme == "semi_lagrangian":
+        return shard_local_transport_step_many(g)
+    if cfg.scheme == "maccormack":
+        return shard_local_maccormack_step_many(g, limit=cfg.mc_limit)
+    raise ValueError(f"unknown transport scheme {cfg.scheme!r}")
 
 
 def make_shard_local_step(g: GridSpec, cfg: TransportConfig):

@@ -288,3 +288,27 @@ def test_maccormack_sharded_matches_single_bitwise():
         np.testing.assert_array_equal(
             np.asarray(sharded), np.asarray(single)
         )
+
+
+def test_batched_steps_bitwise_equal_per_component():
+    # transport_step_many / maccormack_step_many on a [C, ...] batch must
+    # reproduce C single-field steps BITWISE (same arithmetic, shared
+    # offsets) — the Euler stepper's fast self-advection path rests on it
+    for periodic in (True, False):
+        g = _grid(periodic=periodic)
+        rng = np.random.default_rng(40 + periodic)
+        fields = jnp.asarray(
+            rng.normal(size=(3,) + g.shape).astype(np.float32))
+        u = jnp.asarray(
+            (rng.uniform(-0.9, 0.9, size=(3,) + g.shape)
+             * np.array([g.hx, g.hy, g.hz])[:, None, None, None] / 0.01
+             ).astype(np.float32))
+        many_sl = tr.transport_step_many(g, fields, u, 0.01)
+        many_mc = tr.maccormack_step_many(g, fields, u, 0.01)
+        for c in range(3):
+            np.testing.assert_array_equal(
+                np.asarray(many_sl[c]),
+                np.asarray(tr.transport_step(g, fields[c], u, 0.01)))
+            np.testing.assert_array_equal(
+                np.asarray(many_mc[c]),
+                np.asarray(tr.maccormack_step(g, fields[c], u, 0.01)))
