@@ -448,6 +448,81 @@ def run_projection(nx, ny, nz):
           float(jnp.max(diag["max_abs_div"])) / before, 2e-4)
 
 
+def run_session5(nx, ny, nz):
+    """Session-5 surfaces on hardware: limited MacCormack (2nd order —
+    must beat first-order SL by >= 2x on a smooth translation and keep
+    the max principle), the batched multi-scalar step (bitwise equal to
+    per-component), vorticity confinement (orthogonal to omega), and the
+    solenoidal vector-potential head (discrete div to rounding, training
+    step finite). Thresholds mirror the CPU tests."""
+    from phys_autodiff_tpu.apps import euler
+    from phys_autodiff_tpu.apps import transport as tr
+    from phys_autodiff_tpu.models import mlp as mlp_mod
+    from phys_autodiff_tpu.models import solenoidal
+    from phys_autodiff_tpu.ops import diagnostics
+    from phys_autodiff_tpu.utils.config import MLPDims, MLPGridConfig
+
+    print(f"session-5 apps {nx}x{ny}x{nz}")
+    g = GridSpec(nx=nx, ny=ny, nz=nz, hx=0.05, hy=0.05, hz=0.05, dt=1e-3)
+    rng = np.random.default_rng(11)
+    zz, yy, xx = np.meshgrid(
+        np.arange(nz), np.arange(ny), np.arange(nx), indexing="ij")
+    blob = np.exp(-(((xx - nx // 2) / 10.0) ** 2
+                    + ((yy - ny // 2) / 10.0) ** 2
+                    + ((zz - nz // 2) / 10.0) ** 2)).astype(np.float32)
+    sigma0 = jnp.asarray(blob)
+    dt, off, steps = 2e-3, 0.4, 25
+    u = jnp.broadcast_to(
+        jnp.asarray([off * g.hx / dt, 0, 0], jnp.float32)[
+            :, None, None, None], (3,) + g.shape)
+    exact = jnp.asarray(np.exp(
+        -(((xx - nx // 2 - off * steps) / 10.0) ** 2
+          + ((yy - ny // 2) / 10.0) ** 2
+          + ((zz - nz // 2) / 10.0) ** 2)).astype(np.float32))
+    sl, _ = jax.jit(lambda s: tr.transport(
+        g, s, u, tr.TransportConfig(dt=dt, steps=steps)))(sigma0)
+    mc, _ = jax.jit(lambda s: tr.transport(
+        g, s, u, tr.TransportConfig(dt=dt, steps=steps,
+                                    scheme="maccormack")))(sigma0)
+    e_sl = float(jnp.linalg.norm(sl - exact))
+    e_mc = float(jnp.linalg.norm(mc - exact))
+    check("maccormack vs sl error ratio", e_mc / e_sl, 0.5)
+    check("maccormack max principle",
+          max(float(jnp.max(mc)) - float(jnp.max(sigma0)),
+              float(jnp.min(sigma0)) - float(jnp.min(mc)), 0.0), 1e-5)
+    # batched == per-component, bitwise, on hardware
+    fields = jnp.asarray(
+        rng.normal(size=(3,) + g.shape).astype(np.float32))
+    ur = jnp.asarray(
+        (rng.uniform(-0.9, 0.9, size=(3,) + g.shape)
+         * np.array([g.hx, g.hy, g.hz])[:, None, None, None] / dt
+         ).astype(np.float32))
+    many = jax.jit(
+        lambda f, v: tr.maccormack_step_many(g, f, v, dt))(fields, ur)
+    per = jnp.stack([
+        jax.jit(lambda s, v: tr.maccormack_step(g, s, v, dt))(fields[c], ur)
+        for c in range(3)])
+    check("batched maccormack bitwise",
+          float(jnp.max(jnp.abs(many - per))), 0.0)
+    # confinement force orthogonal to vorticity
+    f_conf = jax.jit(
+        lambda v: euler.vorticity_confinement(g, v, 2.0))(ur)
+    w = diagnostics.curl(g, ur)
+    scale = (float(jnp.max(jnp.abs(f_conf))) * float(jnp.max(jnp.abs(w)))
+             + 1e-30)
+    check("confinement orthogonal to omega",
+          float(jnp.max(jnp.abs(jnp.sum(f_conf * w, axis=0)))) / scale,
+          1e-4)
+    # solenoidal head: discrete div to rounding at the parity grid
+    mcfg = MLPGridConfig(dims=MLPDims(H=64))
+    params = mlp_mod.init_params(mcfg.dims, seed=5, scale=0.5)
+    _, u_sol = solenoidal.grid_infer_solenoidal(g, mcfg, params, 0.3)
+    umax = float(jnp.max(jnp.abs(u_sol))) + 1e-30
+    check("solenoidal head div/|u|",
+          float(jnp.max(jnp.abs(diagnostics.divergence(g, u_sol)))) / umax,
+          1e-5)
+
+
 if __name__ == "__main__":
     print("devices:", jax.devices())
     run(128, 96, 96, True)   # slab kernel
@@ -469,6 +544,7 @@ if __name__ == "__main__":
     run_transport(128, 96, 96, True)
     run_transport(128, 96, 96, False)
     run_projection(128, 96, 96)
+    run_session5(128, 96, 96)
     if FAILURES:
         print("FAILURES:", FAILURES)
         sys.exit(1)
