@@ -259,11 +259,17 @@ def rollout_sharded(
     def local_confinement(ul):
         # shard-local curl / grad|w|: x/y diffs are local, z diffs ride
         # the 2-plane ppermute halo — same arithmetic per cell as the
-        # single-chip vorticity_confinement (periodic precondition holds)
-        wx = _local_xydiff(ul[2], 1, 0.5 / g.hy) - _halo_zdiff(
-            ul[1], 0.5 / g.hz)
-        wy = _halo_zdiff(ul[0], 0.5 / g.hz) - _local_xydiff(
-            ul[2], 2, 0.5 / g.hx)
+        # single-chip vorticity_confinement (periodic precondition holds).
+        # The ux/uy z-diffs share ONE batched halo exchange (axis=1), so
+        # the stage costs 2 exchange rounds, not 3.
+        from phys_autodiff_tpu.parallel.sharded import _halo_extend_z
+
+        ext01 = _halo_extend_z(ul[:2], True, axis=1)
+        inv2hz = jnp.float32(0.5 / g.hz)
+        dz_ux = (ext01[0, 2:] - ext01[0, :-2]) * inv2hz
+        dz_uy = (ext01[1, 2:] - ext01[1, :-2]) * inv2hz
+        wx = _local_xydiff(ul[2], 1, 0.5 / g.hy) - dz_uy
+        wy = dz_ux - _local_xydiff(ul[2], 2, 0.5 / g.hx)
         wz = _local_xydiff(ul[1], 2, 0.5 / g.hx) - _local_xydiff(
             ul[0], 1, 0.5 / g.hy)
         wmag = jnp.sqrt(wx * wx + wy * wy + wz * wz)
@@ -341,14 +347,9 @@ def initial_state_from_model(
     """Seed the solver from a trained field model snapshot at time t
     (MLP or any registered encoder family), optionally projecting the
     model's velocity onto the divergence-free subspace first."""
-    from phys_autodiff_tpu.models import fields as fields_mod
-    from phys_autodiff_tpu.models import ngp as ngp_mod
-    from phys_autodiff_tpu.utils.config import MLPGridConfig
+    from phys_autodiff_tpu.models.sample import grid_infer_any
 
-    if isinstance(model_cfg, MLPGridConfig):
-        y = fields_mod.grid_infer(g, model_cfg, params, t)
-    else:
-        y = ngp_mod.grid_infer(g, model_cfg, params, t)
+    y = grid_infer_any(g, model_cfg, params, t)
     sigma = y[..., 0]
     u = jnp.moveaxis(y[..., 1:4], -1, 0)
     if project:

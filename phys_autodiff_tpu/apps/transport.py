@@ -151,24 +151,17 @@ def maccormack_step_many(
     bwd = transport_step_many(g, fwd, u, -dt)
     out = fwd + 0.5 * (fields - bwd)
     if limit:
-        per = g.periodic
-        lo = hi = fields
-        for ax in (3, 2, 1):
-            lo = jnp.minimum(
-                jnp.minimum(shift(lo, -1, ax, per), lo),
-                shift(lo, +1, ax, per),
-            )
-            hi = jnp.maximum(
-                jnp.maximum(shift(hi, -1, ax, per), hi),
-                shift(hi, +1, ax, per),
-            )
+        lo, hi = _ring_bounds(fields, g.periodic, axes=(3, 2, 1))
         out = jnp.clip(out, lo, hi)
     return out
 
 
-def _ring_bounds(f: jnp.ndarray, periodic: bool):
+def _ring_bounds(f: jnp.ndarray, periodic: bool, axes=(2, 1, 0)):
     """(min, max) of f over each cell's 3x3x3 neighbor ring — computed as
-    three separable one-axis reductions (erosion/dilation), zero gathers.
+    separable one-axis reductions (erosion/dilation) over `axes`, zero
+    gathers. THE one implementation of the MacCormack limiter's bound
+    (every step flavor calls it; min/max reductions commute, so axis
+    order is immaterial).
 
     Under CFL <= 1 the split semi-Lagrangian interpolation at cell i only
     ever reads {i-1, i, i+1} per axis, so this ring is exactly the convex
@@ -176,7 +169,7 @@ def _ring_bounds(f: jnp.ndarray, periodic: bool):
     clamp bound for the MacCormack correction (Selle et al. 2008's limiter
     re-derived for the gather-free sweeps)."""
     lo = hi = f
-    for ax in (2, 1, 0):
+    for ax in axes:
         lo = jnp.minimum(
             jnp.minimum(shift(lo, -1, ax, periodic), lo),
             shift(lo, +1, ax, periodic),
@@ -185,6 +178,41 @@ def _ring_bounds(f: jnp.ndarray, periodic: bool):
             jnp.maximum(shift(hi, -1, ax, periodic), hi),
             shift(hi, +1, ax, periodic),
         )
+    return lo, hi
+
+
+def _ring_bounds_halo_z(
+    f: jnp.ndarray, periodic: bool, xy_axes, halo_axis: int
+):
+    """_ring_bounds for a z-sharded local slab: x/y reductions are
+    shard-local (`xy_axes`), the z reduction rides the 2-plane ppermute
+    halo along `halo_axis` — identical values per cell to the single-chip
+    bounds (the bitwise sharded==single parity rests on this)."""
+    from phys_autodiff_tpu.parallel.sharded import _halo_extend_z
+
+    lo, hi = _ring_bounds(f, periodic, xy_axes)
+    lo_e = _halo_extend_z(lo, periodic, axis=halo_axis)
+    hi_e = _halo_extend_z(hi, periodic, axis=halo_axis)
+    lo = jnp.minimum(
+        jnp.minimum(
+            jax.lax.slice_in_dim(lo_e, 0, lo_e.shape[halo_axis] - 2,
+                                 axis=halo_axis),
+            jax.lax.slice_in_dim(lo_e, 1, lo_e.shape[halo_axis] - 1,
+                                 axis=halo_axis),
+        ),
+        jax.lax.slice_in_dim(lo_e, 2, lo_e.shape[halo_axis],
+                             axis=halo_axis),
+    )
+    hi = jnp.maximum(
+        jnp.maximum(
+            jax.lax.slice_in_dim(hi_e, 0, hi_e.shape[halo_axis] - 2,
+                                 axis=halo_axis),
+            jax.lax.slice_in_dim(hi_e, 1, hi_e.shape[halo_axis] - 1,
+                                 axis=halo_axis),
+        ),
+        jax.lax.slice_in_dim(hi_e, 2, hi_e.shape[halo_axis],
+                             axis=halo_axis),
+    )
     return lo, hi
 
 
@@ -305,8 +333,6 @@ def shard_local_maccormack_step(g: GridSpec, *, limit: bool = True):
     halo), and the limiter's z ring reduction runs against the same halo,
     so the arithmetic per cell is identical to `maccormack_step` and
     sharded == single-chip BITWISE (pinned by tests)."""
-    from phys_autodiff_tpu.parallel.sharded import _halo_extend_z
-
     per = g.periodic
     tstep = shard_local_transport_step(g)
 
@@ -315,20 +341,8 @@ def shard_local_maccormack_step(g: GridSpec, *, limit: bool = True):
         bwd = tstep(fwd, ul, -dt)
         out = fwd + 0.5 * (s - bwd)
         if limit:
-            lo = hi = s
-            for ax in (2, 1):
-                lo = jnp.minimum(
-                    jnp.minimum(shift(lo, -1, ax, per), lo),
-                    shift(lo, +1, ax, per),
-                )
-                hi = jnp.maximum(
-                    jnp.maximum(shift(hi, -1, ax, per), hi),
-                    shift(hi, +1, ax, per),
-                )
-            lo_e = _halo_extend_z(lo, per)
-            hi_e = _halo_extend_z(hi, per)
-            lo = jnp.minimum(jnp.minimum(lo_e[:-2], lo_e[1:-1]), lo_e[2:])
-            hi = jnp.maximum(jnp.maximum(hi_e[:-2], hi_e[1:-1]), hi_e[2:])
+            lo, hi = _ring_bounds_halo_z(s, per, xy_axes=(2, 1),
+                                         halo_axis=0)
             out = jnp.clip(out, lo, hi)
         return out
 
@@ -363,8 +377,6 @@ def shard_local_transport_step_many(g: GridSpec):
 def shard_local_maccormack_step_many(g: GridSpec, *, limit: bool = True):
     """Batched shard-local MacCormack (see maccormack_step_many); the
     limiter's z ring reduction rides the same axis=1 halo."""
-    from phys_autodiff_tpu.parallel.sharded import _halo_extend_z
-
     per = g.periodic
     tstep = shard_local_transport_step_many(g)
 
@@ -373,22 +385,8 @@ def shard_local_maccormack_step_many(g: GridSpec, *, limit: bool = True):
         bwd = tstep(fwd, ul, -dt)
         out = fwd + 0.5 * (fs - bwd)
         if limit:
-            lo = hi = fs
-            for ax in (3, 2):
-                lo = jnp.minimum(
-                    jnp.minimum(shift(lo, -1, ax, per), lo),
-                    shift(lo, +1, ax, per),
-                )
-                hi = jnp.maximum(
-                    jnp.maximum(shift(hi, -1, ax, per), hi),
-                    shift(hi, +1, ax, per),
-                )
-            lo_e = _halo_extend_z(lo, per, axis=1)
-            hi_e = _halo_extend_z(hi, per, axis=1)
-            lo = jnp.minimum(
-                jnp.minimum(lo_e[:, :-2], lo_e[:, 1:-1]), lo_e[:, 2:])
-            hi = jnp.maximum(
-                jnp.maximum(hi_e[:, :-2], hi_e[:, 1:-1]), hi_e[:, 2:])
+            lo, hi = _ring_bounds_halo_z(fs, per, xy_axes=(3, 2),
+                                         halo_axis=1)
             out = jnp.clip(out, lo, hi)
         return out
 
@@ -465,15 +463,10 @@ def velocity_grid_fn_from_model(g: GridSpec, model_cfg, params):
     """`vel_at(t) -> [3, nz, ny, nx]` source for transport_time_dependent
     from any trained field model (MLP or encoded family): one grid
     inference per step, channels moved to the physics layout."""
-    from phys_autodiff_tpu.models import fields as fields_mod
-    from phys_autodiff_tpu.models import ngp as ngp_mod
-    from phys_autodiff_tpu.utils.config import MLPGridConfig
+    from phys_autodiff_tpu.models.sample import grid_infer_any
 
     def vel_at(t):
-        if isinstance(model_cfg, MLPGridConfig):
-            y = fields_mod.grid_infer(g, model_cfg, params, t)
-        else:
-            y = ngp_mod.grid_infer(g, model_cfg, params, t)
+        y = grid_infer_any(g, model_cfg, params, t)
         return jnp.moveaxis(y[..., 1:4], -1, 0)
 
     return vel_at

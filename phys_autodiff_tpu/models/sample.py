@@ -138,6 +138,21 @@ def evaluate_points(model_cfg, params, pts_unit, t, precision="f32", **kw):
     return ngp_eval_points(model_cfg, params, pts_unit, t, **kw)
 
 
+def grid_infer_any(g: GridSpec, model_cfg, params, t) -> jnp.ndarray:
+    """[nz, ny, nx, 4] raw model output on the full grid for EITHER model
+    family — the grid-side analogue of evaluate_points' dispatch. The one
+    place that routes MLPGridConfig vs encoded-family configs for grid
+    inference (apps/transport, apps/euler, and models/solenoidal all go
+    through here, so a new family plugs in once)."""
+    if isinstance(model_cfg, MLPGridConfig):
+        from phys_autodiff_tpu.models import fields as fields_mod
+
+        return fields_mod.grid_infer(g, model_cfg, params, t)
+    from phys_autodiff_tpu.models import ngp as ngp_mod
+
+    return ngp_mod.grid_infer(g, model_cfg, params, t)
+
+
 def evaluate_points_batched(
     model_cfg,
     params,

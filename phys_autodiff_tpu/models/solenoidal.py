@@ -41,43 +41,32 @@ import jax.numpy as jnp
 
 from phys_autodiff_tpu.ops.projection import velocity_from_potential
 from phys_autodiff_tpu.ops.stencil import FieldSnapshots
-from phys_autodiff_tpu.utils.config import GridSpec, MLPGridConfig
+from phys_autodiff_tpu.utils.config import GridSpec
 
 
-def _grid_infer(g: GridSpec, model_cfg, params, t, precision="f32"):
-    """[nz, ny, nx, 4] raw model output for either model family."""
-    if isinstance(model_cfg, MLPGridConfig):
-        from phys_autodiff_tpu.models import fields as fields_mod
-
-        return fields_mod.grid_infer(g, model_cfg, params, t)
-    from phys_autodiff_tpu.models import ngp as ngp_mod
-
-    del precision  # ngp.grid_infer is f32; bf16 decode lives in the
-    # generate_fields path, not the inference surface
-    return ngp_mod.grid_infer(g, model_cfg, params, t)
-
-
-def grid_infer_solenoidal(
-    g: GridSpec, model_cfg, params, t, precision: str = "f32"
-):
+def grid_infer_solenoidal(g: GridSpec, model_cfg, params, t):
     """(sigma [nz, ny, nx], u [3, nz, ny, nx]) with u = discrete curl of
     the model's potential channels — `diagnostics.divergence(g, u)` is
-    zero to rounding by construction."""
-    y = _grid_infer(g, model_cfg, params, t, precision)
+    zero to rounding by construction. Grid inference is f32 for every
+    family (the curl subtracts near-equal neighbors; a bf16 grid tier
+    would surface as spurious divergence)."""
+    from phys_autodiff_tpu.models.sample import grid_infer_any
+
+    y = grid_infer_any(g, model_cfg, params, t)
     sigma = y[..., 0]
     pot = jnp.moveaxis(y[..., 1:4], -1, 0)
     return sigma, velocity_from_potential(g, pot)
 
 
 def generate_fields_solenoidal(
-    g: GridSpec, model_cfg, params, t, dt, precision: str = "f32"
+    g: GridSpec, model_cfg, params, t, dt
 ) -> FieldSnapshots:
     """The six physics inputs at t-dt, t, t+dt with every velocity slice
     exactly divergence-free (drop-in for models.generate_fields)."""
     t = jnp.float32(t)
     dt = jnp.float32(dt)
     outs = [
-        grid_infer_solenoidal(g, model_cfg, params, tt, precision)
+        grid_infer_solenoidal(g, model_cfg, params, tt)
         for tt in (t - dt, t, t + dt)
     ]
     return FieldSnapshots(
@@ -96,7 +85,6 @@ def make_solenoidal_train_step(
     model_cfg,
     cfg,
     params0,
-    precision: str = "f32",
 ):
     """(jitted_step, state0) training the solenoidal head against the
     physics loss — `train.make_generic_train_step` over
@@ -108,7 +96,7 @@ def make_solenoidal_train_step(
         g,
         w,
         lambda p, tt: generate_fields_solenoidal(
-            g, model_cfg, p, tt, g.dt, precision
+            g, model_cfg, p, tt, g.dt
         ),
         cfg,
         params0,
@@ -148,14 +136,17 @@ def eval_points_solenoidal(
     def eval_batched(pu):  # [N, 3] -> [N, 4]
         return evaluate_points(model_cfg, params, pu, t, precision)
 
-    y = eval_batched(pts_unit)
     # one forward-mode tangent pass per spatial axis, batched over ALL
-    # points at once (each jvp is ~1 extra MXU-batched forward):
-    # dA[a][:, c] = dA_c / dx_a
+    # points at once (each jvp is ~1 extra MXU-batched forward); the
+    # primal comes from the first jvp for free — total cost is exactly
+    # the docstring's one forward + 3 tangents. dA[a][:, c] = dA_c / dx_a
+    y = None
     dA = []
     for a in range(3):
         tang = jnp.zeros_like(pts_unit).at[:, a].set(1.0)
-        _, jv = jax.jvp(eval_batched, (pts_unit,), (tang,))
+        primal, jv = jax.jvp(eval_batched, (pts_unit,), (tang,))
+        if y is None:
+            y = primal
         dA.append(jv[:, 1:4] * inv_h[a])
     u = jnp.stack(
         [

@@ -499,9 +499,8 @@ def run_session5(nx, ny, nz):
          ).astype(np.float32))
     many = jax.jit(
         lambda f, v: tr.maccormack_step_many(g, f, v, dt))(fields, ur)
-    per = jnp.stack([
-        jax.jit(lambda s, v: tr.maccormack_step(g, s, v, dt))(fields[c], ur)
-        for c in range(3)])
+    one = jax.jit(lambda s, v: tr.maccormack_step(g, s, v, dt))
+    per = jnp.stack([one(fields[c], ur) for c in range(3)])
     check("batched maccormack bitwise",
           float(jnp.max(jnp.abs(many - per))), 0.0)
     # confinement force orthogonal to vorticity
