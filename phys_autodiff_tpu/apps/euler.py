@@ -92,7 +92,12 @@ def vorticity_confinement(
     boundary topology matches the rest of the framework. Returns
     [3, nz, ny, nx]; identically zero for irrotational fields."""
     w = diagnostics.curl(g, u)
-    wmag = jnp.sqrt(jnp.sum(w * w, axis=0))
+    # sqrt(s + tiny): d/ds sqrt(s) is infinite at s=0 and would poison
+    # gradients THROUGH the rollout (the solver is differentiable and
+    # used that way — see fit_initial_velocity); the 1e-30 floor changes
+    # wmag by <= 1e-15 absolute and keeps the force identically zero for
+    # irrotational fields (w = 0 factors out of N x w)
+    wmag = jnp.sqrt(jnp.sum(w * w, axis=0) + jnp.float32(1e-30))
     per = g.periodic
     from phys_autodiff_tpu.ops.stencil import central_diff
 
@@ -272,7 +277,9 @@ def rollout_sharded(
         wy = dz_ux - _local_xydiff(ul[2], 2, 0.5 / g.hx)
         wz = _local_xydiff(ul[1], 2, 0.5 / g.hx) - _local_xydiff(
             ul[0], 1, 0.5 / g.hy)
-        wmag = jnp.sqrt(wx * wx + wy * wy + wz * wz)
+        # same AD-safe sqrt floor as vorticity_confinement (identical
+        # per-cell arithmetic keeps the sharded==single parity)
+        wmag = jnp.sqrt(wx * wx + wy * wy + wz * wz + jnp.float32(1e-30))
         ex = _local_xydiff(wmag, 2, 0.5 / g.hx)
         ey = _local_xydiff(wmag, 1, 0.5 / g.hy)
         ez = _halo_zdiff(wmag, 0.5 / g.hz)
@@ -339,6 +346,68 @@ def rollout_sharded(
     return EulerState(sig, u), {
         "max_cfl": cfls, "max_abs_div": divs, "kinetic_energy": kes,
     }
+
+
+def rollout_loss(
+    g: GridSpec,
+    u0: jnp.ndarray,
+    sigma0: jnp.ndarray,
+    target_sigma: jnp.ndarray,
+    cfg: EulerConfig,
+) -> jnp.ndarray:
+    """MSE between the density after a cfg.steps rollout from (sigma0, u0)
+    and target_sigma — THE differentiable-simulation objective: every
+    stage of the solver (semi-Lagrangian/MacCormack selects, ring-bounds
+    clamps, confinement, FFT projection, implicit diffusion) is plain jnp
+    under lax.scan, so jax.grad of this function is the exact discrete
+    adjoint of the whole rollout. u0 is projected first so the search
+    space is the solenoidal subspace the dynamics live in."""
+    u0 = _project(g, u0, cfg)
+    final, _ = rollout(g, EulerState(sigma0, u0), cfg)
+    d = final.sigma - target_sigma
+    return jnp.mean(d * d)
+
+
+def fit_initial_velocity(
+    g: GridSpec,
+    sigma0: jnp.ndarray,
+    target_sigma: jnp.ndarray,
+    cfg: EulerConfig,
+    *,
+    u0_init: jnp.ndarray | None = None,
+    opt_steps: int = 50,
+    learning_rate: float = 0.5,
+):
+    """Inverse problem / control: find the initial velocity whose
+    cfg.steps-step rollout carries sigma0 to target_sigma, by Adam on
+    jax.grad THROUGH the solver (the capability the framework's name
+    promises, applied to its own application layer — the reference has
+    no integrator, let alone its adjoint).
+
+    Whole optimization runs on-device as one jitted lax.scan over
+    optimizer steps. Returns (u0_opt [3, nz, ny, nx] — projected,
+    divergence-free, losses [opt_steps])."""
+    import optax
+
+    if u0_init is None:
+        u0_init = jnp.zeros((3,) + g.shape, jnp.float32)
+    opt = optax.adam(learning_rate)
+
+    loss_of = lambda u0: rollout_loss(g, u0, sigma0, target_sigma, cfg)
+
+    @jax.jit
+    def solve(u0):
+        def body(carry, _):
+            u, opt_state = carry
+            loss, grad = jax.value_and_grad(loss_of)(u)
+            updates, opt_state = opt.update(grad, opt_state, u)
+            return (optax.apply_updates(u, updates), opt_state), loss
+
+        (u, _), losses = jax.lax.scan(
+            body, (u0, opt.init(u0)), None, length=opt_steps)
+        return _project(g, u, cfg), losses
+
+    return solve(u0_init)
 
 
 def initial_state_from_model(
