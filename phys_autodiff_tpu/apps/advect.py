@@ -209,10 +209,16 @@ def make_advect_fn(g: GridSpec, vel_fn: VelocityFn, t0, cfg: AdvectConfig):
     key = (g, id(vel_fn), float(t0), cfg)
     hit = _ADVECT_CACHE.get(key)
     if hit is not None and hit[0] is vel_fn:
+        # LRU refresh: re-insert so the hot entry is never the eviction
+        # victim (grid-snapshot vel_fns each pin ~14 MB of device memory
+        # at the flagship grid, and a dropped executable costs the 1-2 min
+        # TPU recompile — evict one cold entry, never the working set)
+        _ADVECT_CACHE.pop(key)
+        _ADVECT_CACHE[key] = hit
         return hit[1]
     fn = jax.jit(lambda p: advect(g, vel_fn, p, t0, cfg))
-    if len(_ADVECT_CACHE) >= 64:  # bound growth; jit re-trace is safe
-        _ADVECT_CACHE.clear()
+    if len(_ADVECT_CACHE) >= 64:  # bound growth; evict least recent
+        _ADVECT_CACHE.pop(next(iter(_ADVECT_CACHE)))
     # keep vel_fn alive in the entry so its id cannot be recycled onto a
     # different function while the cached executable still closes over it
     _ADVECT_CACHE[key] = (vel_fn, fn)

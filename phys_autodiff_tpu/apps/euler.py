@@ -39,6 +39,7 @@ import jax.numpy as jnp
 
 from phys_autodiff_tpu.apps.transport import max_cfl
 from phys_autodiff_tpu.ops import diagnostics, diffusion, projection
+from phys_autodiff_tpu.ops.stencil import inv2h_f32
 from phys_autodiff_tpu.utils.config import GridSpec
 
 
@@ -98,14 +99,7 @@ def vorticity_confinement(
     # wmag by <= 1e-15 absolute and keeps the force identically zero for
     # irrotational fields (w = 0 factors out of N x w)
     wmag = jnp.sqrt(jnp.sum(w * w, axis=0) + jnp.float32(1e-30))
-    per = g.periodic
-    from phys_autodiff_tpu.ops.stencil import central_diff
-
-    eta = jnp.stack([
-        central_diff(wmag, 2, 0.5 / g.hx, per),
-        central_diff(wmag, 1, 0.5 / g.hy, per),
-        central_diff(wmag, 0, 0.5 / g.hz, per),
-    ])
+    eta = projection.grad(g, wmag)
     n = eta / (jnp.sqrt(jnp.sum(eta * eta, axis=0)) + jnp.float32(1e-20))
     h = float((g.hx * g.hy * g.hz) ** (1.0 / 3.0))
     s = jnp.float32(eps * h)
@@ -126,14 +120,11 @@ def _advect_many(g: GridSpec, cfg: EulerConfig):
     """Batched multi-scalar advection for the velocity self-advection:
     one pass over [3, nz, ny, nx] with shared offsets — bitwise equal to
     three single-component steps and measured ~4x faster (lane-axis rolls
-    materialize; see transport.transport_step_many)."""
-    from phys_autodiff_tpu.apps import transport as tr
+    materialize; see transport.transport_step_many). Scheme dispatch lives
+    in transport.make_step_many (one home for all flavors)."""
+    from phys_autodiff_tpu.apps.transport import TransportConfig, make_step_many
 
-    if cfg.advection == "semi_lagrangian":
-        return lambda fs, u, dt: tr.transport_step_many(g, fs, u, dt)
-    if cfg.advection == "maccormack":
-        return lambda fs, u, dt: tr.maccormack_step_many(g, fs, u, dt)
-    raise ValueError(f"unknown transport scheme {cfg.advection!r}")
+    return make_step_many(g, TransportConfig(scheme=cfg.advection))
 
 
 def euler_step(
@@ -256,9 +247,9 @@ def rollout_sharded(
 
     def local_div(ul):
         return (
-            _local_xydiff(ul[0], 2, 0.5 / g.hx)
-            + _local_xydiff(ul[1], 1, 0.5 / g.hy)
-            + _halo_zdiff(ul[2], 0.5 / g.hz)
+            _local_xydiff(ul[0], 2, inv2h_f32(g.hx))
+            + _local_xydiff(ul[1], 1, inv2h_f32(g.hy))
+            + _halo_zdiff(ul[2], inv2h_f32(g.hz))
         )
 
     def local_confinement(ul):
@@ -270,19 +261,19 @@ def rollout_sharded(
         from phys_autodiff_tpu.parallel.sharded import _halo_extend_z
 
         ext01 = _halo_extend_z(ul[:2], True, axis=1)
-        inv2hz = jnp.float32(0.5 / g.hz)
+        inv2hz = inv2h_f32(g.hz)
         dz_ux = (ext01[0, 2:] - ext01[0, :-2]) * inv2hz
         dz_uy = (ext01[1, 2:] - ext01[1, :-2]) * inv2hz
-        wx = _local_xydiff(ul[2], 1, 0.5 / g.hy) - dz_uy
-        wy = dz_ux - _local_xydiff(ul[2], 2, 0.5 / g.hx)
-        wz = _local_xydiff(ul[1], 2, 0.5 / g.hx) - _local_xydiff(
-            ul[0], 1, 0.5 / g.hy)
+        wx = _local_xydiff(ul[2], 1, inv2h_f32(g.hy)) - dz_uy
+        wy = dz_ux - _local_xydiff(ul[2], 2, inv2h_f32(g.hx))
+        wz = _local_xydiff(ul[1], 2, inv2h_f32(g.hx)) - _local_xydiff(
+            ul[0], 1, inv2h_f32(g.hy))
         # same AD-safe sqrt floor as vorticity_confinement (identical
         # per-cell arithmetic keeps the sharded==single parity)
         wmag = jnp.sqrt(wx * wx + wy * wy + wz * wz + jnp.float32(1e-30))
-        ex = _local_xydiff(wmag, 2, 0.5 / g.hx)
-        ey = _local_xydiff(wmag, 1, 0.5 / g.hy)
-        ez = _halo_zdiff(wmag, 0.5 / g.hz)
+        ex = _local_xydiff(wmag, 2, inv2h_f32(g.hx))
+        ey = _local_xydiff(wmag, 1, inv2h_f32(g.hy))
+        ez = _halo_zdiff(wmag, inv2h_f32(g.hz))
         inv = 1.0 / (jnp.sqrt(ex * ex + ey * ey + ez * ez)
                      + jnp.float32(1e-20))
         nx_, ny_, nz_ = ex * inv, ey * inv, ez * inv
@@ -360,8 +351,10 @@ def rollout_loss(
     stage of the solver (semi-Lagrangian/MacCormack selects, ring-bounds
     clamps, confinement, FFT projection, implicit diffusion) is plain jnp
     under lax.scan, so jax.grad of this function is the exact discrete
-    adjoint of the whole rollout. u0 is projected first so the search
-    space is the solenoidal subspace the dynamics live in."""
+    adjoint of the whole rollout. u0 passes through the cfg's projection
+    first, so under any projecting mode the search space is the solenoidal
+    subspace the dynamics live in (with cfg.projection == "none" the
+    rollout itself is unprojected and u0 is taken as-is)."""
     u0 = _project(g, u0, cfg)
     final, _ = rollout(g, EulerState(sigma0, u0), cfg)
     d = final.sigma - target_sigma
@@ -385,8 +378,10 @@ def fit_initial_velocity(
     no integrator, let alone its adjoint).
 
     Whole optimization runs on-device as one jitted lax.scan over
-    optimizer steps. Returns (u0_opt [3, nz, ny, nx] — projected,
-    divergence-free, losses [opt_steps])."""
+    optimizer steps. Returns (u0_opt [3, nz, ny, nx], losses [opt_steps]);
+    u0_opt passes through cfg's projection, so it is divergence-free under
+    any projecting mode — with cfg.projection == "none" it is the raw Adam
+    iterate (the unprojected dynamics the config asked for)."""
     import optax
 
     if u0_init is None:

@@ -265,6 +265,20 @@ def make_step(g: GridSpec, cfg: TransportConfig):
     raise ValueError(f"unknown transport scheme {cfg.scheme!r}")
 
 
+def make_step_many(g: GridSpec, cfg: TransportConfig):
+    """Batched [C, nz, ny, nx] counterpart of make_step — the single-chip
+    multi-scalar dispatch (shard-local flavor: make_shard_local_step_many).
+    All scheme dispatches live in this module so a new scheme has exactly
+    these entry points to extend."""
+    if cfg.scheme == "semi_lagrangian":
+        return lambda fs, u, dt: transport_step_many(g, fs, u, dt)
+    if cfg.scheme == "maccormack":
+        return lambda fs, u, dt: maccormack_step_many(
+            g, fs, u, dt, limit=cfg.mc_limit
+        )
+    raise ValueError(f"unknown transport scheme {cfg.scheme!r}")
+
+
 def max_cfl(g: GridSpec, u: jnp.ndarray, dt) -> jnp.ndarray:
     """max_axis |u| dt / h — the step is interpolation-exact only when
     this is <= 1 (beyond that offsets clip and the solution lags)."""

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from phys_autodiff_tpu.ops.stencil import central_diff
+from phys_autodiff_tpu.ops.stencil import central_diff, inv2h_f32
 from phys_autodiff_tpu.utils.config import GridSpec
 
 # component axes within one [nz, ny, nx] field
@@ -31,9 +31,9 @@ def divergence(g: GridSpec, u: jnp.ndarray) -> jnp.ndarray:
     assert u.shape[0] == 3, u.shape
     per = g.periodic
     return (
-        central_diff(u[0], _AX_X, 0.5 / g.hx, per)
-        + central_diff(u[1], _AX_Y, 0.5 / g.hy, per)
-        + central_diff(u[2], _AX_Z, 0.5 / g.hz, per)
+        central_diff(u[0], _AX_X, inv2h_f32(g.hx), per)
+        + central_diff(u[1], _AX_Y, inv2h_f32(g.hy), per)
+        + central_diff(u[2], _AX_Z, inv2h_f32(g.hz), per)
     )
 
 
@@ -46,7 +46,7 @@ def curl(g: GridSpec, u: jnp.ndarray) -> jnp.ndarray:
     """
     assert u.shape[0] == 3, u.shape
     per = g.periodic
-    ix, iy, iz = 0.5 / g.hx, 0.5 / g.hy, 0.5 / g.hz
+    ix, iy, iz = inv2h_f32(g.hx), inv2h_f32(g.hy), inv2h_f32(g.hz)
     wx = central_diff(u[2], _AX_Y, iy, per) - central_diff(u[1], _AX_Z, iz, per)
     wy = central_diff(u[0], _AX_Z, iz, per) - central_diff(u[2], _AX_X, ix, per)
     wz = central_diff(u[1], _AX_X, ix, per) - central_diff(u[0], _AX_Y, iy, per)

@@ -52,7 +52,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from phys_autodiff_tpu.ops.diagnostics import curl, divergence
-from phys_autodiff_tpu.ops.stencil import central_diff
+from phys_autodiff_tpu.ops.stencil import central_diff, inv2h_f32
 from phys_autodiff_tpu.utils.config import GridSpec
 
 _AX_Z, _AX_Y, _AX_X = 0, 1, 2
@@ -64,9 +64,9 @@ def grad(g: GridSpec, p: jnp.ndarray) -> jnp.ndarray:
     per = g.periodic
     return jnp.stack(
         [
-            central_diff(p, _AX_X, 0.5 / g.hx, per),
-            central_diff(p, _AX_Y, 0.5 / g.hy, per),
-            central_diff(p, _AX_Z, 0.5 / g.hz, per),
+            central_diff(p, _AX_X, inv2h_f32(g.hx), per),
+            central_diff(p, _AX_Y, inv2h_f32(g.hy), per),
+            central_diff(p, _AX_Z, inv2h_f32(g.hz), per),
         ]
     )
 

@@ -61,6 +61,21 @@ def shift(f: jnp.ndarray, delta: int, axis: int, periodic: bool) -> jnp.ndarray:
     return f
 
 
+def inv2h_f32(h: float) -> np.float32:
+    """THE central-difference scale constant, 1/(2h), with the exact f32
+    rounding the residual operator uses: np.float32(1.0/(2.0*f32(h))).
+
+    Every operator in the framework that divides by 2h (residuals,
+    diagnostics.divergence/curl, projection.grad, the shard-local spectral
+    and Euler stencils) must build its constant HERE: a naively-computed
+    f32(0.5/h) differs in the last ulp for non-power-of-two spacings (e.g.
+    h=0.05: 10.0 vs 9.99999985), so e.g. a velocity projected to zero
+    divergence under one constant would feed the residual's sigma*div_u a
+    ~1e-8-relative offset under the other — breaking the 1e-7 doctrine's
+    "the operators agree with themselves" premise."""
+    return np.float32(1.0 / (2.0 * float(np.float32(h))))
+
+
 def central_diff(
     f: jnp.ndarray, axis: int, inv2h: float, periodic: bool
 ) -> jnp.ndarray:
@@ -124,10 +139,10 @@ def residuals(g: GridSpec, fields: FieldSnapshots):
     ndim = s_t.ndim
     ax_z, ax_y, ax_x = ndim - 3, ndim - 2, ndim - 1
 
-    inv2dt = np.float32(1.0 / (2.0 * float(np.float32(g.dt))))
-    inv2hx = np.float32(1.0 / (2.0 * float(np.float32(g.hx))))
-    inv2hy = np.float32(1.0 / (2.0 * float(np.float32(g.hy))))
-    inv2hz = np.float32(1.0 / (2.0 * float(np.float32(g.hz))))
+    inv2dt = inv2h_f32(g.dt)
+    inv2hx = inv2h_f32(g.hx)
+    inv2hy = inv2h_f32(g.hy)
+    inv2hz = inv2h_f32(g.hz)
     per = g.periodic
 
     dt_sigma = (fields.sigma_tp1 - fields.sigma_tm1) * inv2dt
@@ -167,10 +182,10 @@ def residuals_zext(g: GridSpec, sigma, u):
     halo rows that already encode the global z boundary (wrap, clamp, or a
     neighbor shard's plane).
     """
-    inv2dt = np.float32(1.0 / (2.0 * float(np.float32(g.dt))))
-    inv2hx = np.float32(1.0 / (2.0 * float(np.float32(g.hx))))
-    inv2hy = np.float32(1.0 / (2.0 * float(np.float32(g.hy))))
-    inv2hz = np.float32(1.0 / (2.0 * float(np.float32(g.hz))))
+    inv2dt = inv2h_f32(g.dt)
+    inv2hx = inv2h_f32(g.hx)
+    inv2hy = inv2h_f32(g.hy)
+    inv2hz = inv2h_f32(g.hz)
     per = g.periodic
 
     s_t = sigma[1, 1:-1]

@@ -37,6 +37,7 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from phys_autodiff_tpu.ops.projection import _central_symbols
+from phys_autodiff_tpu.ops.stencil import inv2h_f32
 from phys_autodiff_tpu.parallel.mesh import Z_AXIS
 from phys_autodiff_tpu.parallel.sharded import _halo_extend_z
 from phys_autodiff_tpu.utils.config import GridSpec
@@ -97,9 +98,9 @@ def shard_local_project_fft(g: GridSpec, n: int):
     def project(u_local: jnp.ndarray) -> jnp.ndarray:
         # --- divergence (same arithmetic as ops.diagnostics.divergence)
         d = (
-            _local_xydiff(u_local[0], 2, 0.5 / g.hx)
-            + _local_xydiff(u_local[1], 1, 0.5 / g.hy)
-            + _halo_zdiff(u_local[2], 0.5 / g.hz)
+            _local_xydiff(u_local[0], 2, inv2h_f32(g.hx))
+            + _local_xydiff(u_local[1], 1, inv2h_f32(g.hy))
+            + _halo_zdiff(u_local[2], inv2h_f32(g.hz))
         )
         # --- Poisson solve under the wide central-difference symbol
         h = _pencil_rfft3(d)
@@ -109,9 +110,9 @@ def shard_local_project_fft(g: GridSpec, n: int):
         p = _pencil_irfft3(h, g.nx).astype(u_local.dtype)
         # --- u - grad p (x/y local rolls, z via the halo)
         gp = jnp.stack([
-            _local_xydiff(p, 2, 0.5 / g.hx),
-            _local_xydiff(p, 1, 0.5 / g.hy),
-            _halo_zdiff(p, 0.5 / g.hz),
+            _local_xydiff(p, 2, inv2h_f32(g.hx)),
+            _local_xydiff(p, 1, inv2h_f32(g.hy)),
+            _halo_zdiff(p, inv2h_f32(g.hz)),
         ])
         return u_local - gp
 

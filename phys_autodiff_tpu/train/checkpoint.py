@@ -25,7 +25,12 @@ def _flatten(tree: Any):
     return leaves, treedef
 
 
-def save_npz(path: str, tree: Any, meta: dict | None = None) -> None:
+def save_npz(
+    path: str,
+    tree: Any,
+    meta: dict | None = None,
+    extra: dict | None = None,
+) -> None:
     """Save any pytree (TrainState, params dict, ...) to <path>.npz (+ a
     human-readable <path>.tree.json sidecar). The manifest is EMBEDDED in
     the .npz itself, so the checkpoint is a single atomically-replaced
@@ -36,13 +41,21 @@ def save_npz(path: str, tree: Any, meta: dict | None = None) -> None:
     restore_npz(expect_meta=...) — e.g. ngp.checkpoint_meta(cfg), so an NGP
     checkpoint records its encoding schedule (level resolutions changed
     floor->round in round 2; tables with the same SHAPES decode to different
-    fields under a different schedule)."""
+    fields under a different schedule).
+
+    `extra`: optional JSON-safe dict stored in the manifest but NOT part of
+    the expect_meta contract — for run-varying bookkeeping (e.g.
+    fit_resilient's completed-step counter) that must ride the same atomic
+    file without breaking a caller's exact-meta validation. Read it back
+    with read_manifest()."""
     leaves, treedef = _flatten(tree)
     os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
     npz_path = path if path.endswith(".npz") else path + ".npz"
     manifest_dict = {"treedef": str(treedef), "n_leaves": len(leaves)}
     if meta is not None:
         manifest_dict["meta"] = meta
+    if extra is not None:
+        manifest_dict["extra"] = extra
     manifest_json = json.dumps(manifest_dict)
     tmp = npz_path + ".tmp.npz"
     np.savez(
@@ -57,6 +70,22 @@ def save_npz(path: str, tree: Any, meta: dict | None = None) -> None:
     with open(tmp_sidecar, "w") as f:
         f.write(manifest_json)
     os.replace(tmp_sidecar, sidecar)
+
+
+def read_manifest(path: str) -> dict | None:
+    """Return the checkpoint's manifest dict (embedded, or the legacy
+    .tree.json sidecar) without restoring any leaves; None when the
+    checkpoint carries neither. Keys: treedef, n_leaves, and the optional
+    meta / extra dicts passed to save_npz."""
+    npz_path = path if path.endswith(".npz") else path + ".npz"
+    sidecar = npz_path[: -len(".npz")] + ".tree.json"
+    with np.load(npz_path) as data:
+        if "__manifest__" in data.files:
+            return json.loads(bytes(data["__manifest__"].tobytes()).decode())
+    if os.path.exists(sidecar):
+        with open(sidecar) as f:
+            return json.load(f)
+    return None
 
 
 def restore_npz(

@@ -140,7 +140,13 @@ def fit_resilient(
     base = step_no(state0, 0)
 
     def reload_state(default):
-        """Last checkpoint -> (state, done); `default` when none exists."""
+        """Last checkpoint -> (state, done); `default` when none exists.
+
+        The completed-step count is authoritative from the manifest's
+        extra["fit_done"] (written with every save), so progress survives
+        failures even for state pytrees with no .step attribute — inferring
+        it from state.step is only the fallback for checkpoints written by
+        older versions (which lacked the counter)."""
         npz = (
             rcfg.ckpt_path
             if rcfg.ckpt_path.endswith(".npz")
@@ -151,7 +157,20 @@ def fit_resilient(
         s = checkpoint.restore_npz(
             rcfg.ckpt_path, state0, expect_meta=rcfg.meta
         )
+        manifest = checkpoint.read_manifest(npz)
+        extra = (manifest or {}).get("extra") or {}
+        if "fit_done" in extra:
+            return s, max(0, int(extra["fit_done"]))
         return s, max(0, step_no(s, 0) - base)
+
+    def save_ckpt(s, done_now):
+        checkpoint.save_npz(
+            rcfg.ckpt_path,
+            _to_host(s),
+            meta=rcfg.meta,
+            extra={"fit_done": int(done_now)},
+        )
+        report.checkpoints += 1
 
     def spend_failure(exc):
         if not rcfg.is_failure(exc):
@@ -185,10 +204,7 @@ def fit_resilient(
                 recovering = False
             if done == 0 and report.checkpoints == 0:
                 # initial checkpoint so the first failure can resume
-                checkpoint.save_npz(
-                    rcfg.ckpt_path, _to_host(state), meta=rcfg.meta
-                )
-                report.checkpoints += 1
+                save_ckpt(state, done)
             if done >= steps:
                 break
             burst = min(save_every, steps - done)
@@ -196,10 +212,7 @@ def fit_resilient(
                 state, loss = step(state)
             # materialize the loss: device errors surface at fetch time
             loss_f = float(jax.device_get(loss))
-            checkpoint.save_npz(
-                rcfg.ckpt_path, _to_host(state), meta=rcfg.meta
-            )
-            report.checkpoints += 1
+            save_ckpt(state, done + burst)
         except Exception as exc:  # noqa: BLE001 — filtered by predicate
             spend_failure(exc)
             recovering = True

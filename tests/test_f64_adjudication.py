@@ -89,3 +89,35 @@ def test_mega_bwd_no_worse_than_jax_grad_vs_f64_truth(spec, periodic):
     assert d_kernel <= max(1.5 * d_jax, 1e-6), (d_kernel, d_jax)
     for k in sorted(gp64):
         assert _rel(gpk[k], gp64[k]) <= max(2.0 * _rel(gp32[k], gp64[k]), 1e-6), k
+
+
+def test_f64_oracle_zero_to_one_norm():
+    """The referee must grade the function the pipeline actually evaluates:
+    with norm=ZeroToOne (u in [0,1] coords + the reference's t+0.5 time
+    quirk) the f64 oracle sits at f32 distance from jax.grad of the
+    ZeroToOne staged pipeline, while the MinusOneToOne referee is orders of
+    magnitude off — passing the wrong norm is a graded-wrong-function
+    hazard, not a tolerance detail (round-3 review finding)."""
+    from phys_autodiff_tpu.utils.config import CoordNorm
+
+    g = GridSpec(nx=16, ny=12, nz=6, hx=1 / 16, hy=1 / 12, hz=1 / 6, dt=1e-3)
+    cfg = MLPGridConfig(dims=MLPDims(H=24), norm=CoordNorm.ZeroToOne)
+    params = mlp.init_params(cfg.dims, seed=5)
+    t = 0.3
+
+    def staged_total(p, tt):
+        return ops.total_loss(
+            g, W, fields_mod.generate_fields(g, cfg, p, tt, g.dt)
+        )
+
+    l32, gp32 = jax.jit(jax.value_and_grad(staged_total))(
+        params, jnp.float32(t)
+    )
+    l64, gp64 = f64_loss_and_grad(g, W, params, t, norm=CoordNorm.ZeroToOne)
+    assert abs(float(l32) - l64) / abs(l64) < 1e-4
+    assert _rel(_cat(gp32), _cat(gp64)) < 1e-4
+
+    # the wrong-norm referee grades a different function entirely
+    l64_wrong, gp64_wrong = f64_loss_and_grad(g, W, params, t)
+    assert abs(float(l32) - l64_wrong) / abs(l64_wrong) > 1e-2
+    assert _rel(_cat(gp32), _cat(gp64_wrong)) > 1e-2

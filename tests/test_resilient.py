@@ -266,3 +266,41 @@ def test_resilient_serves_the_ngp_step(tmp_path):
     assert report.failures == 1 and report.steps_done == 6
     assert int(state.step) == 6
     assert all(np.isfinite(h[1]) for h in hist)
+
+
+def test_resilient_stepless_pytree_tracks_progress(tmp_path):
+    """A plain params-dict state (no .step attribute) must not lose its
+    progress count across failures or process-level resumes: the completed-
+    step counter rides the checkpoint manifest, not the state (round-3
+    review finding — previously a late failure re-ran the FULL budget on
+    top of the checkpoint, over-training the model)."""
+    # deterministic "optimizer": x <- x + 1, so the step count IS the value
+    calls = {"n": 0, "crashed": False}
+
+    def factory():
+        def step(state):
+            calls["n"] += 1
+            if calls["n"] == 9 and not calls["crashed"]:
+                calls["crashed"] = True
+                raise RuntimeError("TPU worker process crashed or restarted")
+            return {"x": state["x"] + 1.0}, jnp.float32(0.0)
+
+        return step
+
+    state0 = {"x": jnp.zeros(())}
+    rcfg = resilient.ResilienceConfig(
+        ckpt_path=str(tmp_path / "ck"), save_every=4, max_restarts=2
+    )
+    # crash at call 9 = first step after the step-8 checkpoint; resume must
+    # redo only steps 9..10, landing on exactly x == 10
+    state, history, report = resilient.fit_resilient(factory, state0, 10, rcfg)
+    assert report.failures == 1 and report.restores == 1
+    assert report.steps_done == 10
+    assert float(state["x"]) == 10.0
+    assert [h[0] for h in history] == [4, 8, 10]
+
+    # process-level resume: asking for 14 total continues from 10, not 0
+    s2, hist2, rep2 = resilient.fit_resilient(factory, state0, 14, rcfg)
+    assert float(s2["x"]) == 14.0
+    assert rep2.steps_done == 14 and rep2.restores == 1
+    assert [h[0] for h in hist2] == [14]
