@@ -6,7 +6,7 @@ from phys_autodiff_tpu.utils.config import (
     MLPGridConfig,
 )
 from phys_autodiff_tpu.utils.metrics import rel_l2_err, max_abs_err
-from phys_autodiff_tpu.utils import tolerances
+from phys_autodiff_tpu.utils import export, tolerances
 
 __all__ = [
     "GridSpec",
@@ -14,6 +14,7 @@ __all__ = [
     "MLPDims",
     "CoordNorm",
     "MLPGridConfig",
+    "export",
     "rel_l2_err",
     "max_abs_err",
     "tolerances",
