@@ -58,6 +58,15 @@ class EulerConfig:
     confinement: float = 0.0  # vorticity-confinement strength epsilon
     # (force = eps * h * N x omega, Fedkiw/Stam/Jensen 2001) — restores
     # the small-scale swirl the semi-Lagrangian lerp dissipates
+    remat: bool = False  # rematerialize each step in backward passes:
+    # jax.grad through the rollout normally stores EVERY intermediate of
+    # every step (tens of grid-sized arrays/step — advection offsets,
+    # MacCormack fwd/bwd fields, FFT spectra), capping the differentiable
+    # horizon at a few steps on one chip at real grids. remat=True wraps
+    # the step in jax.checkpoint, so the backward stores only the carried
+    # (sigma, u) per step and recomputes the step's interior on the way
+    # back — the classic HBM-for-FLOPs trade (forward values and gradients
+    # are unchanged; forward-only rollouts are unaffected either way)
 
 
 class EulerState(NamedTuple):
@@ -174,10 +183,18 @@ def rollout(
     """cfg.steps Euler steps as one lax.scan (call under jit).
 
     Returns (final EulerState, per-step diagnostics dict of arrays
-    [steps]: max_cfl, max |div u|, mean kinetic energy)."""
+    [steps]: max_cfl, max |div u|, mean kinetic energy).
+
+    With cfg.remat the step is checkpointed: differentiating through the
+    rollout then stores one (sigma, u) pair per step instead of every
+    interior intermediate (see EulerConfig.remat — measured on hardware,
+    scripts/euler_bench.py --remat)."""
+    step_fn = lambda s: euler_step(g, s, cfg)
+    if cfg.remat:
+        step_fn = jax.checkpoint(step_fn)
 
     def body(state, _):
-        new = euler_step(g, state, cfg)
+        new = step_fn(state)
         diag = (
             max_cfl(g, new.u, cfg.dt),
             projection.projection_residual(g, new.u),
@@ -303,9 +320,13 @@ def rollout_sharded(
             sigma_new = diffuse_s(sigma_new)
         return EulerState(sigma_new, u_new)
 
+    local_step_fn = (
+        jax.checkpoint(local_step) if cfg.remat else local_step
+    )
+
     def local_roll(sigma_l, u_l):
         def body(state, _):
-            new = local_step(state)
+            new = local_step_fn(state)
             cfl = jax.lax.pmax(
                 jnp.max(jnp.stack([
                     jnp.max(jnp.abs(new.u[0])) * jnp.float32(cfg.dt) / g.hx,
@@ -378,7 +399,11 @@ def fit_initial_velocity(
     no integrator, let alone its adjoint).
 
     Whole optimization runs on-device as one jitted lax.scan over
-    optimizer steps. Returns (u0_opt [3, nz, ny, nx], losses [opt_steps]);
+    optimizer steps. For long horizons set cfg.remat: the adjoint then
+    stores one state per rollout step instead of every interior
+    intermediate, which is the difference between a ~6-step and a
+    100+-step differentiable horizon at real grids on one chip.
+    Returns (u0_opt [3, nz, ny, nx], losses [opt_steps]);
     u0_opt passes through cfg's projection, so it is divergence-free under
     any projecting mode — with cfg.projection == "none" it is the raw Adam
     iterate (the unprojected dynamics the config asked for)."""

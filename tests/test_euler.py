@@ -359,3 +359,55 @@ def test_gradients_through_maccormack_confinement_rollout_finite():
         lambda u: euler.rollout_loss(g, u, sigma0, target, cfg))(u0)
     assert bool(jnp.all(jnp.isfinite(grad)))
     assert float(jnp.max(jnp.abs(grad))) > 0.0
+
+
+def test_remat_rollout_matches_plain():
+    """cfg.remat must change memory behavior only: forward rollout is
+    bitwise identical, and the adjoint through the full solver (MacCormack
+    + confinement + FFT projection) matches the stored-intermediates
+    gradient to fp tolerance (jax.checkpoint recomputes the same f32
+    arithmetic; only fusion boundaries differ)."""
+    g = _grid()
+    sigma0 = _rand_sigma(g)
+    u0 = _smooth_u(g, seed=3)
+    kw = dict(dt=1e-3, steps=4, buoyancy=0.5, confinement=1.0,
+              advection="maccormack")
+    cfg = euler.EulerConfig(**kw)
+    cfg_r = euler.EulerConfig(remat=True, **kw)
+
+    st, diag = jax.jit(lambda s, u: euler.rollout(
+        g, euler.EulerState(s, u), cfg))(sigma0, u0)
+    st_r, diag_r = jax.jit(lambda s, u: euler.rollout(
+        g, euler.EulerState(s, u), cfg_r))(sigma0, u0)
+    np.testing.assert_array_equal(np.asarray(st.sigma), np.asarray(st_r.sigma))
+    np.testing.assert_array_equal(np.asarray(st.u), np.asarray(st_r.u))
+    np.testing.assert_array_equal(
+        np.asarray(diag["kinetic_energy"]), np.asarray(diag_r["kinetic_energy"])
+    )
+
+    target = _rand_sigma(g, seed=9)
+    grad = jax.jit(jax.grad(
+        lambda u: euler.rollout_loss(g, u, sigma0, target, cfg)))(u0)
+    grad_r = jax.jit(jax.grad(
+        lambda u: euler.rollout_loss(g, u, sigma0, target, cfg_r)))(u0)
+    assert jnp.isfinite(grad_r).all()
+    np.testing.assert_allclose(
+        np.asarray(grad_r), np.asarray(grad), rtol=2e-5, atol=1e-7
+    )
+
+
+def test_remat_long_horizon_inverse_problem():
+    """The capability remat buys: a 24-step differentiable rollout (6x the
+    horizon of the existing inverse-problem test) still trains — the loss
+    must drop substantially from the zero-velocity start."""
+    g = _grid(nx=12, ny=8, nz=6)
+    sigma0 = _rand_sigma(g, seed=1)
+    u_true = 0.4 * euler.projection.project_fft(g, _smooth_u(g, seed=7))
+    cfg = euler.EulerConfig(dt=2e-3, steps=24, remat=True)
+    target, _ = euler.rollout(g, euler.EulerState(sigma0, u_true), cfg)
+    u_fit, losses = euler.fit_initial_velocity(
+        g, sigma0, target.sigma, cfg, opt_steps=40, learning_rate=0.3
+    )
+    assert jnp.isfinite(losses).all()
+    assert float(losses[-1]) < 0.15 * float(losses[0]), (
+        float(losses[0]), float(losses[-1]))

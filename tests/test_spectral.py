@@ -142,3 +142,28 @@ def test_sharded_euler_maccormack_confinement_matches_single_chip():
     assert rel_l2_err(np.asarray(fs.sigma), np.asarray(f1.sigma)) <= 1e-5
     assert rel_l2_err(np.asarray(fs.u), np.asarray(f1.u)) <= 1e-5
     assert float(jnp.max(ds["max_abs_div"])) <= 5e-5
+
+
+def test_sharded_remat_rollout_bitwise_matches_plain_sharded():
+    """cfg.remat on the SHARDED rollout is a memory knob only: the forward
+    pass (and its collectives) must be bitwise identical to the
+    non-remat sharded rollout."""
+    from phys_autodiff_tpu.apps import euler
+
+    g = _grid()
+    rng = np.random.default_rng(12)
+    sigma0 = jnp.asarray(rng.uniform(size=g.shape).astype(np.float32))
+    u0 = jnp.asarray(
+        (0.5 * rng.normal(size=(3,) + g.shape)).astype(np.float32)
+    )
+    kw = dict(dt=0.05, steps=3, buoyancy=0.7, advection="maccormack",
+              confinement=1.0)
+    state0 = euler.EulerState(sigma0, u0)
+    mesh = make_mesh(N_DEV)
+    f1, d1 = euler.rollout_sharded(g, state0, euler.EulerConfig(**kw), mesh)
+    f2, d2 = euler.rollout_sharded(
+        g, state0, euler.EulerConfig(remat=True, **kw), mesh)
+    np.testing.assert_array_equal(np.asarray(f1.sigma), np.asarray(f2.sigma))
+    np.testing.assert_array_equal(np.asarray(f1.u), np.asarray(f2.u))
+    np.testing.assert_array_equal(
+        np.asarray(d1["kinetic_energy"]), np.asarray(d2["kinetic_energy"]))
