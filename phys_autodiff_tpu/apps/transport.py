@@ -101,6 +101,44 @@ def transport_step(
     return out
 
 
+def transport_step_bf16(
+    g: GridSpec, sigma: jnp.ndarray, u: jnp.ndarray, dt
+) -> jnp.ndarray:
+    """bf16-I/O tier of transport_step: sigma and u live in HBM as
+    bfloat16, the sweeps run bf16 arithmetic, and the result comes back
+    bfloat16 — the step is measured bandwidth-bound at ~1 TB/s effective
+    (module docstring), so halving every stream's bytes is the one lever
+    scheduling cannot reach. Departure offsets are computed in f32 from
+    the upcast velocity (offset precision is the accuracy-critical part:
+    an f32 offset from a bf16 velocity carries only the velocity's own
+    ~4e-3 relative error, not additional interpolation error); the lerp
+    weights then round to bf16, so each sweep is a convex combination in
+    bf16 — the discrete max principle holds to bf16 rounding (~4e-3
+    relative), and total error vs the f32 step is 1e-2-class (tested).
+    Same doctrine as the bf16 point-serving tier (models/sample.py)."""
+    assert u.shape == (3,) + sigma.shape, (u.shape, sigma.shape)
+    bf16 = jnp.bfloat16
+    sigma = sigma.astype(bf16)
+    u = u.astype(bf16)
+    dt = jnp.float32(dt)
+    per = g.periodic
+    dx = jnp.clip(u[0].astype(jnp.float32) * (dt / g.hx), -1.0, 1.0)
+    dy = jnp.clip(u[1].astype(jnp.float32) * (dt / g.hy), -1.0, 1.0)
+    dz = jnp.clip(u[2].astype(jnp.float32) * (dt / g.hz), -1.0, 1.0)
+
+    def axis_lerp_bf16(f, d, axis):
+        f_m = shift(f, -1, axis, per)
+        f_p = shift(f, +1, axis, per)
+        w = jnp.abs(d).astype(bf16)
+        nbr = jnp.where(d >= 0, f_m, f_p)
+        return f + w * (nbr - f)
+
+    out = axis_lerp_bf16(sigma, dx, 2)
+    out = axis_lerp_bf16(out, dy, 1)
+    out = axis_lerp_bf16(out, dz, 0)
+    return out
+
+
 def _axis_lerp_many(f, d, axis, periodic):
     """_axis_lerp for a [C, nz, ny, nx] batch of scalars sharing ONE
     offset field d [nz, ny, nx]; `axis` in field coords (0=z,1=y,2=x)."""

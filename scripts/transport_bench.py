@@ -11,7 +11,9 @@ random CFL-0.8 velocity field, two formulations of the SAME math:
 
 Timing: bench.harness.time_loop with the sigma field as the loop carry
 (each step consumes the previous output — nothing can be DCE'd or
-hoisted). Usage: python scripts/transport_bench.py
+hoisted). Usage: python scripts/transport_bench.py [arm ...]
+(no args = every arm; name arms to time a subset, e.g.
+`transport_bench.py split split_bf16`)
 """
 
 from __future__ import annotations
@@ -70,6 +72,15 @@ def main() -> None:
     def gather_body(i, s):
         return sample.trilinear_sample(s, dep, g).reshape(g.shape)
 
+    # bf16-I/O tier: bf16 sigma carry + bf16 velocity (the step is
+    # bandwidth-bound, so halved streams are the lever; offsets still
+    # compute in f32 inside — apps/transport.transport_step_bf16)
+    u_bf16 = u.astype(jnp.bfloat16)
+    sigma0_bf16 = sigma0.astype(jnp.bfloat16)
+
+    def split_bf16_body(i, s):
+        return tr.transport_step_bf16(g, s, u_bf16, g.dt)
+
     from phys_autodiff_tpu.pallas.transport import (
         transport_step_fused_pre,
         transport_weights,
@@ -82,13 +93,17 @@ def main() -> None:
     def fused_pre_body(i, s):
         return transport_step_fused_pre(g, s, weights)
 
-    for name, body in (
-        ("split", split_body),
-        ("fused", fused_body),
-        ("fused_pre", fused_pre_body),
-        ("gather", gather_body),
+    wanted = set(sys.argv[1:])
+    for name, body, init in (
+        ("split", split_body, sigma0),
+        ("split_bf16", split_bf16_body, sigma0_bf16),
+        ("fused", fused_body, sigma0),
+        ("fused_pre", fused_pre_body, sigma0),
+        ("gather", gather_body, sigma0),
     ):
-        ms = time_loop(body, sigma0)
+        if wanted and name not in wanted:
+            continue
+        ms = time_loop(body, init)
         arms[name] = {
             "ms_per_step": ms,
             "gcells_per_s": g.num_cells / (ms * 1e-3) / 1e9,
@@ -99,14 +114,16 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    print(json.dumps({
+    out = {
         "metric": "transport_cells_steps_per_sec",
         "grid": [g.nx, g.ny, g.nz],
         "arms": arms,
-        "split_over_gather": (
+    }
+    if "gather" in arms and "split" in arms:
+        out["split_over_gather"] = (
             arms["gather"]["ms_per_step"] / arms["split"]["ms_per_step"]
-        ),
-    }))
+        )
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

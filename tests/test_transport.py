@@ -312,3 +312,34 @@ def test_batched_steps_bitwise_equal_per_component():
             np.testing.assert_array_equal(
                 np.asarray(many_mc[c]),
                 np.asarray(tr.maccormack_step(g, fields[c], u, 0.01)))
+
+
+def test_bf16_tier_matches_f32_step():
+    """transport_step_bf16: bf16 output dtype, 1e-2-class agreement with
+    the f32 step, and the max principle to bf16 rounding (each sweep is a
+    convex combination in bf16)."""
+    g = _grid(nx=16, ny=12, nz=10)
+    rng = np.random.default_rng(3)
+    sigma = jnp.asarray(rng.uniform(size=g.shape).astype(np.float32))
+    u = jnp.asarray(
+        (0.4 * rng.normal(size=(3,) + g.shape)).astype(np.float32))
+    dt = 0.1
+    ref = tr.transport_step(g, sigma, u, dt)
+    out = tr.transport_step_bf16(g, sigma, u, dt)
+    assert out.dtype == jnp.bfloat16
+    err = float(jnp.linalg.norm(out.astype(jnp.float32) - ref)
+                / jnp.linalg.norm(ref))
+    assert err < 2e-2, err
+    # max principle to bf16 rounding
+    tol = 4e-3 * float(jnp.max(jnp.abs(sigma)))
+    assert float(jnp.max(out.astype(jnp.float32))) <= float(jnp.max(sigma)) + tol
+    assert float(jnp.min(out.astype(jnp.float32))) >= float(jnp.min(sigma)) - tol
+
+
+def test_bf16_tier_exact_for_zero_velocity():
+    """Zero offsets must reproduce sigma exactly (bf16 cast only)."""
+    g = _grid()
+    sigma = _rand_sigma(g, 5)
+    out = tr.transport_step_bf16(g, sigma, jnp.zeros((3,) + g.shape), 0.05)
+    np.testing.assert_array_equal(
+        np.asarray(out), np.asarray(sigma.astype(jnp.bfloat16)))
