@@ -100,6 +100,11 @@ def register_family(cfg_type: type, family: EncoderFamily) -> None:
     _REGISTRY[cfg_type] = family
 
 
+def registered_families() -> list[type]:
+    """The registered encoder-config types (ordered by registration)."""
+    return list(_REGISTRY)
+
+
 def family_of(cfg) -> EncoderFamily:
     fam = _REGISTRY.get(type(cfg))
     if fam is None:

@@ -10,10 +10,11 @@ from phys_autodiff_tpu.train.loop import (
     make_generic_train_step,
 )
 from phys_autodiff_tpu.train.loop import make_ngp_train_step
-from phys_autodiff_tpu.train import checkpoint, resilient
+from phys_autodiff_tpu.train import checkpoint, fit_field, resilient
 from phys_autodiff_tpu.train.resilient import ResilienceConfig, fit_resilient
 
 __all__ = [
+    "fit_field",
     "make_ngp_train_step",
     "resilient",
     "ResilienceConfig",
