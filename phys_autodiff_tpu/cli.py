@@ -185,7 +185,8 @@ def cmd_fit(args) -> int:
     mcfg = _model_cfg_from_args(args)
     cfg = _train_cfg_from_args(args)
     params, losses = ff.fit_field(
-        g, mcfg, targets, cfg, phys_weight=args.phys_weight)
+        g, mcfg, targets, cfg, phys_weight=args.phys_weight,
+        engine=args.engine)
     modelio.save_model(args.out, g, mcfg, params)
     report = ff.fit_report(g, mcfg, params, targets)
     report.update(loss_first=float(losses[0]), loss_last=float(losses[-1]),
@@ -296,6 +297,9 @@ def build_parser() -> argparse.ArgumentParser:
     _add_opt_args(p)
     p.add_argument("--phys-weight", type=float, default=0.0,
                    help="PINN composite: weight of the physics residual")
+    p.add_argument("--engine", choices=["auto", "mega", "xla"],
+                   default="auto",
+                   help="gradient engine: mega = one-kernel Pallas fit step")
     p.add_argument("--out", required=True, help="model checkpoint path")
 
     p = sub.add_parser("serve", help="evaluate a model checkpoint")

@@ -1,0 +1,284 @@
+"""One-kernel supervised-fit step: data-MSE loss AND parameter gradients.
+
+TPU-native analogue of the reference's fused MLP backward
+(`k_backward_fused_mlp`, src/mlp_cuda.cu:39-89, driven by
+mlp_loss_grads_*, src/mlp_cuda.cu:123-184) — the ONE fused backward the
+reference actually built, an MSE-vs-target head over the grid MLP. The
+reference never connects it to real targets; here it drives
+train/fit_field's supervised fitting (data assimilation / neural-field
+compression) end to end.
+
+Structure (cf. pallas/mega_bwd.py, which fuses the PHYSICS head): the data
+loss has no stencil coupling, so no rolling window is needed — every z row
+is independent and one program handles one row completely:
+
+  forward   a1 = relu(AB + CD[z])  per H-chunk (rank-1 layer-1 tables,
+            pallas/mlp.py folds), y = W2 . a1 + b2 accumulated over chunks;
+  loss      e = y - target[z]; raw per-plane partials part[{sigma,u}, z]
+            (combined outside by ops.loss.sum_partials — the deterministic
+            fixed-order reduction every loss in the framework uses);
+  backward  gy = (2 w / N) * e (the reference's residual-space VJP scale,
+            src/phys_cpu.cpp:162-163, applied to the data error), then the
+            standard MLP backward per H-chunk: dW2 += gy . a1^T,
+            db2 += sum(gy), dz1 = [a1 > 0] * (W2^T gy), dAB += dz1,
+            dCD[z] = sum_lanes(dz1).
+
+Outside the kernel (same contract as mega_bwd), (dAB, dCD, dW2T, db2) pull
+back to (W1, b1, W2, b2, t) through jax.vjp of the table fold — exact for
+the kernel's own forward formulation. Nothing grid-sized beyond the target
+itself exists in HBM in either direction: the [N, H] activation tensor the
+XLA backward materializes (1.8 GB at the flagship grid for H=128) never
+exists.
+
+Plane layout: rows are processed FLAT ([ny*nx] cells per z row), so the
+only alignment requirement is ny*nx % 128 == 0 — both the 128-aligned and
+the reference's unaligned benchmark grids (64^3, 96x96x64) qualify.
+
+Contraction strategy table is inherited from pallas/mega_bwd.py (measured
+there on the identical shapes): f32 tiers run the VPU broadcast-FMA arms,
+bf16 runs native-rate MXU dots.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from phys_autodiff_tpu.models import mlp
+from phys_autodiff_tpu.ops import loss as ops_loss
+from phys_autodiff_tpu.pallas.mega import pick_hk
+from phys_autodiff_tpu.pallas.mega_bwd import _resolve_mode
+from phys_autodiff_tpu.pallas.mlp import fold_ab_plane, fold_cd
+from phys_autodiff_tpu.utils.config import GridSpec, MLPGridConfig, PhysWeights
+
+
+def _default_interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def fit_supported(g: GridSpec) -> bool:
+    """Eligibility for the one-kernel fit step: rows are processed flat, so
+    the only requirement is lane alignment of a whole plane. (No stencil ->
+    no scheme/neighbor constraints, unlike mega_supported.)"""
+    return (g.ny * g.nx) % 128 == 0
+
+
+def _build_fit_call(g: GridSpec, h: int, w: PhysWeights, precision, interpret):
+    nz, ny, nx = g.shape
+    m = ny * nx
+    hk = pick_hk(h)
+    n_chunks = h // hk
+    fwd_mode = _resolve_mode("fwd", precision)
+    dw2_mode = _resolve_mode("dw2", precision)
+    da1_mode = _resolve_mode("da1", precision)
+    dot_prec = (
+        jax.lax.Precision.DEFAULT
+        if precision == "bf16"
+        else jax.lax.Precision.HIGHEST
+    )
+    # residual-space VJP scales (see module docstring)
+    ss = 2.0 * float(w.w_sigma) / g.num_cells
+    su = 2.0 * float(w.w_u) / g.num_cells
+    dims_fwd = (((1,), (0,)), ((), ()))  # [4,hk] x [hk,M] -> [4,M]
+    dims_dw2 = (((1,), (1,)), ((), ()))  # [4,M] x [hk,M] -> [4,hk]
+    dims_da1 = (((0,), (0,)), ((), ()))  # [4,hk] x [4,M] -> [hk,M]
+
+    def kernel(abf_ref, cd_ref, w2_ref, w2hk_ref, b2_ref, tgt_ref,
+               part_ref, dabf_ref, dcdx_ref, dw2_ref, db2x_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            dabf_ref[...] = jnp.zeros_like(dabf_ref)
+            dw2_ref[...] = jnp.zeros_like(dw2_ref)
+            db2x_ref[...] = jnp.zeros_like(db2x_ref)
+
+        b2 = b2_ref[...]  # [1, 4]
+        cdv = cd_ref[0]  # [H, 1]
+
+        # ---- forward: y = W2 . relu(AB + CD[z]) + b2, chunked over H ----
+        if fwd_mode == "vpu":
+            ys = [jnp.zeros((1, m), jnp.float32) for _ in range(4)]
+            for c in range(n_chunks):
+                a1 = jnp.maximum(
+                    abf_ref[pl.ds(c * hk, hk)] + cdv[c * hk : (c + 1) * hk], 0.0
+                )  # [hk, M]
+                w2k = w2hk_ref[pl.ds(c * hk, hk), :]  # [hk, 4]
+                for o in range(4):
+                    ys[o] = ys[o] + jnp.sum(
+                        a1 * w2k[:, o : o + 1], axis=0, keepdims=True
+                    )
+            y = jnp.concatenate(ys, axis=0)  # [4, M]
+        else:
+            y = jnp.zeros((4, m), jnp.float32)
+            for c in range(n_chunks):
+                a1 = jnp.maximum(
+                    abf_ref[pl.ds(c * hk, hk)] + cdv[c * hk : (c + 1) * hk], 0.0
+                )
+                w2c = w2_ref[:, pl.ds(c * hk, hk)]  # [4, hk]
+                if precision == "bf16":
+                    a1 = a1.astype(jnp.bfloat16)
+                    w2c = w2c.astype(jnp.bfloat16)
+                y = y + jax.lax.dot_general(
+                    w2c, a1, dimension_numbers=dims_fwd,
+                    preferred_element_type=jnp.float32, precision=dot_prec,
+                )
+
+        # ---- loss partials + scaled error cotangents ---------------------
+        tgt = tgt_ref[0]  # [4, M]
+        e_rows = [y[o : o + 1] + b2[0, o] - tgt[o : o + 1] for o in range(4)]
+        part_ref[0, i] = jnp.sum(e_rows[0] * e_rows[0])
+        part_ref[1, i] = (
+            jnp.sum(e_rows[1] * e_rows[1])
+            + jnp.sum(e_rows[2] * e_rows[2])
+            + jnp.sum(e_rows[3] * e_rows[3])
+        )
+        gy = jnp.concatenate(
+            [ss * e_rows[0], su * e_rows[1], su * e_rows[2], su * e_rows[3]],
+            axis=0,
+        )  # [4, M]
+        db2x_ref[...] = db2x_ref[...] + jnp.broadcast_to(
+            jnp.sum(gy, axis=1, keepdims=True), (4, 128)
+        )
+
+        # ---- MLP backward per H-chunk ------------------------------------
+        gy_in = gy.astype(jnp.bfloat16) if precision == "bf16" else gy
+        for c in range(n_chunks):
+            a1 = jnp.maximum(
+                abf_ref[pl.ds(c * hk, hk)] + cdv[c * hk : (c + 1) * hk], 0.0
+            )  # [hk, M]
+            if dw2_mode == "dot":
+                a1_in = a1.astype(jnp.bfloat16) if precision == "bf16" else a1
+                dw2_ref[:, pl.ds(c * hk, hk)] = (
+                    dw2_ref[:, pl.ds(c * hk, hk)]
+                    + jax.lax.dot_general(
+                        gy_in, a1_in, dimension_numbers=dims_dw2,
+                        preferred_element_type=jnp.float32,
+                        precision=dot_prec,
+                    )
+                )
+            else:  # "vpu": per-channel multiply + lane reduction
+                for o in range(4):
+                    dw2_ref[pl.ds(c * hk, hk), o : o + 1] = (
+                        dw2_ref[pl.ds(c * hk, hk), o : o + 1]
+                        + jnp.sum(a1 * gy[o : o + 1], axis=1, keepdims=True)
+                    )
+            if da1_mode == "vpu":
+                w2k = w2hk_ref[pl.ds(c * hk, hk), :]  # [hk, 4]
+                da1 = w2k[:, 0:1] * gy[0:1]
+                for o in range(1, 4):
+                    da1 = da1 + w2k[:, o : o + 1] * gy[o : o + 1]
+            else:
+                w2c = w2_ref[:, pl.ds(c * hk, hk)]
+                if precision == "bf16":
+                    w2c = w2c.astype(jnp.bfloat16)
+                da1 = jax.lax.dot_general(
+                    w2c, gy_in, dimension_numbers=dims_da1,
+                    preferred_element_type=jnp.float32, precision=dot_prec,
+                )  # [hk, M]
+            dz1 = jnp.where(a1 > 0.0, da1, 0.0)
+            dabf_ref[pl.ds(c * hk, hk)] = (
+                dabf_ref[pl.ds(c * hk, hk)] + dz1
+            )
+            dcdx_ref[0, pl.ds(c * hk, hk)] = jnp.broadcast_to(
+                jnp.sum(dz1, axis=1, keepdims=True), (hk, 128)
+            )
+
+    in_specs = [
+        pl.BlockSpec((h, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, h, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((4, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((h, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 4, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    out_specs = (
+        pl.BlockSpec((2, nz), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((h, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, h, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (4, h) if dw2_mode == "dot" else (h, 4),
+            lambda i: (0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec((4, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((2, nz), jnp.float32),
+        jax.ShapeDtypeStruct((h, m), jnp.float32),
+        jax.ShapeDtypeStruct((nz, h, 128), jnp.float32),
+        jax.ShapeDtypeStruct(
+            (4, h) if dw2_mode == "dot" else (h, 4), jnp.float32
+        ),
+        jax.ShapeDtypeStruct((4, 128), jnp.float32),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(nz,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            # fwd + dW2 + da1 contractions (2*4*H each) + ~4 VPU sweeps
+            flops=3 * (2 * h * 4) * g.num_cells + 8 * h * g.num_cells,
+            bytes_accessed=(2 * h * m + 4 * g.num_cells + nz * h * 128) * 4,
+            transcendentals=0,
+        ),
+    )
+
+
+def pack_target(g: GridSpec, sigma, u) -> jnp.ndarray:
+    """[nz, 4, ny*nx] kernel operand from the standard field layouts
+    ([nz, ny, nx] sigma, [3, nz, ny, nx] u) — a pure reshape/transpose."""
+    m = g.ny * g.nx
+    s = jnp.asarray(sigma, jnp.float32).reshape(g.nz, 1, m)
+    uu = jnp.moveaxis(jnp.asarray(u, jnp.float32).reshape(3, g.nz, m), 0, 1)
+    return jnp.concatenate([s, uu], axis=1)
+
+
+def fit_loss_and_grad(
+    g: GridSpec,
+    cfg: MLPGridConfig,
+    params: mlp.Params,
+    target_packed: jnp.ndarray,
+    t,
+    w: PhysWeights = PhysWeights(),
+    precision: str = "f32",
+    interpret=None,
+):
+    """(loss, (grad_params, grad_t)) of the weighted data MSE against one
+    packed target ([nz, 4, ny*nx], see pack_target) from ONE kernel pass.
+
+    Loss semantics match train.fit_field.data_loss (reference
+    src/phys_cpu.cpp:140-148 weighting doctrine): L = w_sigma*mean(ds^2)
+    + w_u*mean(sum_c du_c^2), combined by the deterministic fixed-order
+    plane reduction (ops.loss.sum_partials)."""
+    if interpret is None:
+        interpret = _default_interpret()
+    assert fit_supported(g), "one-kernel fit needs ny*nx % 128 == 0"
+    h = cfg.dims.H
+    m = g.ny * g.nx
+    t = jnp.float32(t)
+
+    def tables(p, tt):
+        abf = fold_ab_plane(g, cfg, p).reshape(h, m)
+        cd = fold_cd(g, cfg, p, jnp.stack([tt]))  # [nz, H, 1]
+        return abf, cd, p["W2"].T, p["b2"].reshape(1, -1)
+
+    (abf, cd, w2t, b2), vjp = jax.vjp(tables, params, t)
+    call = _build_fit_call(g, h, w, precision, interpret)
+    parts, dabf, dcdx, dw2g, db2x = call(abf, cd, w2t, w2t.T, b2, target_packed)
+    if _resolve_mode("dw2", precision) != "dot":
+        dw2g = dw2g.T  # the vpu arm accumulates [h, 4]
+    ls, lu = ops_loss.sum_partials(g, w, parts)
+    dcd = dcdx[..., :1]  # reduced value broadcast along lanes: column 0
+    db2 = db2x[:, 0].reshape(1, 4)
+    d_params, d_t = vjp((dabf, dcd, dw2g, db2))
+    return ls + lu, (d_params, d_t)

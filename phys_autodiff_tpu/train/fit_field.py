@@ -139,6 +139,89 @@ def make_fit_loss(
     return loss_fn
 
 
+def _resolve_fit_engine(engine: str, g, model_cfg, phys_weight) -> str:
+    """"mega" = the one-kernel Pallas gradient engines (pallas/fit.py for
+    the data term; pallas/mega_bwd.py for the physics term of the PINN
+    composite); "xla" = jax.value_and_grad of the staged loss. "auto"
+    picks mega whenever the config supports it on a TPU backend (the
+    interpret-mode kernels are parity tools, not a fast CPU path)."""
+    if engine == "xla":
+        return "xla"
+    eligible = isinstance(model_cfg, MLPGridConfig)
+    if eligible:
+        from phys_autodiff_tpu.pallas.fit import fit_supported
+
+        eligible = fit_supported(g)
+    if eligible and phys_weight:
+        from phys_autodiff_tpu.pallas.mega_bwd import mega_supported
+
+        eligible = mega_supported(g)
+    if engine == "mega":
+        if not eligible:
+            raise ValueError(
+                "engine='mega' needs the MLP family and ny*nx % 128 == 0 "
+                "(plus mega_supported(g) when phys_weight > 0)"
+            )
+        return "mega"
+    assert engine == "auto", f"unknown fit engine {engine!r}"
+    return (
+        "mega"
+        if eligible and jax.default_backend() != "cpu"
+        else "xla"
+    )
+
+
+def _make_mega_loss_and_grad(
+    g: GridSpec,
+    model_cfg,
+    targets: Sequence[FitTarget],
+    w_data: PhysWeights,
+    phys_weight: float,
+    w_phys: PhysWeights,
+    precision: str,
+    interpret=None,
+):
+    """(params) -> (loss, grads) through the one-kernel engines — same
+    composite semantics as make_fit_loss (snapshot mean, + phys_weight
+    times the physics-residual loss)."""
+    from phys_autodiff_tpu.pallas import fit as pfit
+    from phys_autodiff_tpu.pallas.mega_bwd import mega_loss_and_grad
+
+    targets = list(targets)
+    packed = [pfit.pack_target(g, tgt.sigma, tgt.u) for tgt in targets]
+    inv = 1.0 / len(targets)
+    pw = float(phys_weight)
+
+    def loss_and_grad(params):
+        total = jnp.float32(0.0)
+        gacc = None
+        for tgt, pk in zip(targets, packed):
+            ld, (gd, _) = pfit.fit_loss_and_grad(
+                g, model_cfg, params, pk, tgt.t, w_data,
+                precision=precision, interpret=interpret,
+            )
+            total = total + ld
+            gacc = (
+                gd
+                if gacc is None
+                else jax.tree_util.tree_map(jnp.add, gacc, gd)
+            )
+            if pw:
+                lp, (gp, _) = mega_loss_and_grad(
+                    g, w_phys, model_cfg, params, tgt.t, precision, interpret
+                )
+                total = total + jnp.float32(pw) * lp
+                gacc = jax.tree_util.tree_map(
+                    lambda a, b: a + jnp.float32(pw) * b, gacc, gp
+                )
+        scale = jnp.float32(inv)
+        return total * scale, jax.tree_util.tree_map(
+            lambda x: x * scale, gacc
+        )
+
+    return loss_and_grad
+
+
 def fit_field(
     g: GridSpec,
     model_cfg,
@@ -148,22 +231,39 @@ def fit_field(
     w_data: PhysWeights = PhysWeights(),
     phys_weight: float = 0.0,
     w_phys: PhysWeights = PhysWeights(),
+    engine: str = "auto",
+    interpret=None,
 ):
     """Fit model_cfg's parameters to the target snapshots.
 
     Runs cfg.steps optimizer steps (cfg's optimizer/schedule/clip chain,
     train/loop.make_optimizer) as ONE on-device lax.scan. Returns
     (params, losses[cfg.steps]).
-    """
+
+    engine: "auto" | "mega" | "xla" (see _resolve_fit_engine) — "mega"
+    computes loss + ALL gradients in one Pallas kernel per term
+    (cfg.precision selects the kernel tier)."""
     params = init_any(model_cfg, seed=cfg.seed) if params0 is None else params0
-    loss_fn = make_fit_loss(g, model_cfg, targets, w_data, phys_weight, w_phys)
+    if _resolve_fit_engine(engine, g, model_cfg, phys_weight) == "mega":
+        loss_and_grad = _make_mega_loss_and_grad(
+            g, model_cfg, targets, w_data, phys_weight, w_phys,
+            cfg.precision, interpret,
+        )
+    else:
+        loss_fn = make_fit_loss(
+            g, model_cfg, targets, w_data, phys_weight, w_phys
+        )
+
+        def loss_and_grad(params):
+            return jax.value_and_grad(loss_fn)(params)
+
     opt = make_optimizer(cfg)
 
     @jax.jit
     def run(params):
         def body(carry, _):
             params, opt_state = carry
-            loss, grads = jax.value_and_grad(loss_fn)(params)
+            loss, grads = loss_and_grad(params)
             updates, opt_state = opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state), loss

@@ -54,21 +54,37 @@ def make_target(g: GridSpec) -> ff.FitTarget:
     )
 
 
-def bench_family(name, g, mcfg, tgt, steps, lr) -> dict:
-    tc = TrainConfig(steps=steps, learning_rate=lr, seed=0)
-    loss_fn = ff.make_fit_loss(g, mcfg, [tgt])
+def bench_family(
+    name, g, mcfg, tgt, steps, lr, engine="xla", precision="f32"
+) -> dict:
+    tc = TrainConfig(
+        steps=steps, learning_rate=lr, seed=0, precision=precision
+    )
+    if engine == "mega":
+        from phys_autodiff_tpu.train.fit_field import _make_mega_loss_and_grad
+        from phys_autodiff_tpu.utils.config import PhysWeights
+
+        loss_and_grad = _make_mega_loss_and_grad(
+            g, mcfg, [tgt], PhysWeights(), 0.0, PhysWeights(), precision
+        )
+    else:
+        loss_fn = ff.make_fit_loss(g, mcfg, [tgt])
+
+        def loss_and_grad(params):
+            return jax.value_and_grad(loss_fn)(params)
+
     opt = make_optimizer(tc)
     params0 = ff.init_any(mcfg, seed=0)
 
     def body(i, carry):
         params, opt_state = carry
-        _, grads = jax.value_and_grad(loss_fn)(params)
+        _, grads = loss_and_grad(params)
         updates, opt_state = opt.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state
 
     ms = time_loop(body, (params0, opt.init(params0)))
 
-    params, losses = ff.fit_field(g, mcfg, [tgt], tc)
+    params, losses = ff.fit_field(g, mcfg, [tgt], tc, engine=engine)
     rep = ff.fit_report(g, mcfg, params, [tgt])
     row = {
         "ms_per_step": ms,
@@ -92,10 +108,15 @@ def main() -> None:
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 300
     g = GridSpec(nx=128, ny=96, nz=96, hx=0.05, hy=0.05, hz=0.05, dt=1e-3)
     tgt = make_target(g)
+    mcfg = MLPGridConfig(dims=MLPDims(H=128))
     arms = {
-        "mlp_h128": bench_family(
-            "mlp_h128", g, MLPGridConfig(dims=MLPDims(H=128)), tgt, steps,
-            lr=3e-3,
+        "mlp_h128": bench_family("mlp_h128", g, mcfg, tgt, steps, lr=3e-3),
+        "mlp_h128_mega": bench_family(
+            "mlp_h128_mega", g, mcfg, tgt, steps, lr=3e-3, engine="mega"
+        ),
+        "mlp_h128_mega_bf16": bench_family(
+            "mlp_h128_mega_bf16", g, mcfg, tgt, steps, lr=3e-3,
+            engine="mega", precision="bf16",
         ),
         "ngp_dense": bench_family(
             "ngp_dense", g, NGPFieldConfig(), tgt, steps, lr=5e-3

@@ -522,6 +522,34 @@ def run_session5(nx, ny, nz):
           1e-5)
 
 
+def run_fit(nx, ny, nz):
+    """Session-7 arm: the one-kernel supervised-fit step (pallas/fit.py)
+    against jax.grad of the staged data loss, on hardware."""
+    from phys_autodiff_tpu.pallas import fit as pfit
+    from phys_autodiff_tpu.train import fit_field as ff
+
+    g = GridSpec(nx=nx, ny=ny, nz=nz, hx=L / nx, hy=L / ny, hz=L / nz, dt=1e-3)
+    print(f"fit kernel {nx}x{ny}x{nz} H=128")
+    cfg = MLPGridConfig(dims=MLPDims(H=128))
+    params = mlp.init_params(cfg.dims, seed=11)
+    f = manufactured.solution2_fields(g, 0.7)
+    tgt = ff.FitTarget(jnp.asarray(f["sigma_t"]), jnp.asarray(f["u_t"]), 0.3)
+    w = PhysWeights(w_sigma=1.3, w_u=0.7)
+    packed = pfit.pack_target(g, tgt.sigma, tgt.u)
+
+    l_k, (gp_k, _) = jax.jit(
+        lambda p: pfit.fit_loss_and_grad(g, cfg, p, packed, tgt.t, w)
+    )(params)
+    l_x, gp_x = jax.jit(
+        jax.value_and_grad(lambda p: ff.data_loss(g, cfg, p, tgt, w))
+    )(params)
+    check("fit loss rel", abs(float(l_k) - float(l_x)) / abs(float(l_x)), 1e-5)
+    cat = lambda gp: np.concatenate(
+        [np.asarray(gp[k], np.float64).ravel() for k in sorted(gp)]
+    )
+    check("fit grads rel (global)", rel_l2_err(cat(gp_k), cat(gp_x)), 1e-4)
+
+
 if __name__ == "__main__":
     print("devices:", jax.devices())
     run(128, 96, 96, True)   # slab kernel
@@ -544,6 +572,8 @@ if __name__ == "__main__":
     run_transport(128, 96, 96, False)
     run_projection(128, 96, 96)
     run_session5(128, 96, 96)
+    run_fit(128, 96, 96)     # one-kernel fit step, aligned plane
+    run_fit(96, 96, 64)      # unaligned nx (flat M rows)
     if FAILURES:
         print("FAILURES:", FAILURES)
         sys.exit(1)

@@ -1,0 +1,156 @@
+"""Parity tests for the one-kernel supervised-fit step (pallas/fit.py):
+loss and every parameter gradient against jax.grad of the staged XLA data
+loss (train.fit_field.data_loss), interpret mode on the CPU backend."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from phys_autodiff_tpu.pallas import fit as pfit
+from phys_autodiff_tpu.train import fit_field as ff
+from phys_autodiff_tpu.utils.config import (
+    GridSpec,
+    MLPDims,
+    MLPGridConfig,
+    PhysWeights,
+)
+
+
+def _grid(nx=16, ny=8, nz=6):
+    return GridSpec(nx=nx, ny=ny, nz=nz, hx=0.2, hy=0.2, hz=0.2, dt=1e-3)
+
+
+def _target(g, seed=0):
+    rng = np.random.default_rng(seed)
+    sigma = rng.normal(size=g.shape).astype(np.float32)
+    u = (0.5 * rng.normal(size=(3,) + g.shape)).astype(np.float32)
+    return ff.FitTarget(jnp.asarray(sigma), jnp.asarray(u), 0.3)
+
+
+def _xla_loss_and_grad(g, cfg, params, tgt, w):
+    def loss_fn(p, tt):
+        return ff.data_loss(
+            g, cfg, p, ff.FitTarget(tgt.sigma, tgt.u, tt), w
+        )
+
+    (loss, grads) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+        params, jnp.float32(tgt.t)
+    )
+    return loss, grads
+
+
+@pytest.mark.parametrize(
+    "shape",
+    [(16, 8, 6), (12, 32, 5)],  # aligned nx; unaligned nx with M % 128 == 0
+    ids=["aligned", "flatM"],
+)
+def test_fit_kernel_matches_jax_grad(shape):
+    nx, ny, nz = shape
+    g = _grid(nx=nx, ny=ny, nz=nz)
+    cfg = MLPGridConfig(dims=MLPDims(H=8))
+    params = ff.init_any(cfg, seed=1)
+    tgt = _target(g)
+    w = PhysWeights(w_sigma=1.3, w_u=0.6)
+
+    packed = pfit.pack_target(g, tgt.sigma, tgt.u)
+    loss_k, (gp_k, gt_k) = pfit.fit_loss_and_grad(
+        g, cfg, params, packed, tgt.t, w, interpret=True
+    )
+    loss_x, (gp_x, gt_x) = _xla_loss_and_grad(g, cfg, params, tgt, w)
+
+    np.testing.assert_allclose(float(loss_k), float(loss_x), rtol=1e-6)
+    for k in gp_x:
+        np.testing.assert_allclose(
+            np.asarray(gp_k[k]), np.asarray(gp_x[k]), rtol=2e-5, atol=1e-7,
+            err_msg=k,
+        )
+    np.testing.assert_allclose(float(gt_k), float(gt_x), rtol=1e-4, atol=1e-7)
+
+
+def test_fit_supported_predicate():
+    assert pfit.fit_supported(_grid(nx=16, ny=8))
+    assert pfit.fit_supported(_grid(nx=12, ny=32))
+    assert not pfit.fit_supported(_grid(nx=10, ny=10))
+
+
+def test_pack_target_layout():
+    """pack_target must be the exact C-order flatten of the field layouts
+    (row m of plane z is cell (y, x) with m = y*nx + x)."""
+    g = _grid(nx=4, ny=2, nz=2)
+    sigma = jnp.arange(g.num_cells, dtype=jnp.float32).reshape(g.shape)
+    u = jnp.stack([sigma + 100, sigma + 200, sigma + 300])
+    packed = pfit.pack_target(g, sigma, u)
+    assert packed.shape == (g.nz, 4, g.ny * g.nx)
+    np.testing.assert_array_equal(
+        np.asarray(packed[1, 0]), np.asarray(sigma[1]).reshape(-1)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(packed[0, 2]), np.asarray(u[1, 0]).reshape(-1)
+    )
+
+
+def test_fit_field_mega_engine_matches_xla():
+    """fit_field(engine="mega") must track engine="xla": same loss
+    trajectory and near-identical parameters after a short run (the two
+    engines differ only in reduction order)."""
+    from phys_autodiff_tpu.train import TrainConfig
+
+    g = _grid(nx=16, ny=8, nz=6)
+    cfg = MLPGridConfig(dims=MLPDims(H=8))
+    tgt = _target(g, seed=3)
+    tc = TrainConfig(steps=8, learning_rate=1e-3, seed=2)
+
+    px, lx = ff.fit_field(g, cfg, [tgt], tc, engine="xla")
+    pm, lm = ff.fit_field(g, cfg, [tgt], tc, engine="mega", interpret=True)
+
+    np.testing.assert_allclose(np.asarray(lm), np.asarray(lx), rtol=1e-5)
+    for k in px:
+        np.testing.assert_allclose(
+            np.asarray(pm[k]), np.asarray(px[k]), rtol=2e-4, atol=1e-6,
+            err_msg=k,
+        )
+
+
+def test_fit_field_mega_composite_physics():
+    """The PINN composite under engine="mega" (data kernel + physics
+    backward mega-kernel) matches the XLA composite."""
+    from phys_autodiff_tpu.train import TrainConfig
+
+    g = _grid(nx=16, ny=8, nz=6)
+    cfg = MLPGridConfig(dims=MLPDims(H=8))
+    tgt = _target(g, seed=5)
+    tc = TrainConfig(steps=4, learning_rate=1e-3, seed=4)
+
+    px, lx = ff.fit_field(g, cfg, [tgt], tc, phys_weight=0.5, engine="xla")
+    pm, lm = ff.fit_field(
+        g, cfg, [tgt], tc, phys_weight=0.5, engine="mega", interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(lm), np.asarray(lx), rtol=2e-5)
+    for k in px:
+        np.testing.assert_allclose(
+            np.asarray(pm[k]), np.asarray(px[k]), rtol=3e-4, atol=1e-6,
+            err_msg=k,
+        )
+
+
+def test_fit_engine_resolution():
+    from phys_autodiff_tpu.train.fit_field import _resolve_fit_engine
+
+    g_ok = _grid(nx=16, ny=8, nz=6)
+    g_bad = _grid(nx=10, ny=10, nz=6)
+    cfg = MLPGridConfig(dims=MLPDims(H=8))
+    assert _resolve_fit_engine("mega", g_ok, cfg, 0.0) == "mega"
+    with pytest.raises(ValueError, match="mega"):
+        _resolve_fit_engine("mega", g_bad, cfg, 0.0)
+    # auto on the CPU test backend stays on the XLA arm
+    assert _resolve_fit_engine("auto", g_ok, cfg, 0.0) == "xla"
+    # non-MLP families have no fused fit kernel
+    from phys_autodiff_tpu.models.hash_encoder import HashEncodingConfig
+    from phys_autodiff_tpu.models.ngp import NGPFieldConfig
+
+    ncfg = NGPFieldConfig(
+        encoding=HashEncodingConfig(num_levels=2, max_resolution=8)
+    )
+    with pytest.raises(ValueError, match="mega"):
+        _resolve_fit_engine("mega", g_ok, ncfg, 0.0)
