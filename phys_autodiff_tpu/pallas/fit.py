@@ -65,8 +65,18 @@ def fit_supported(g: GridSpec) -> bool:
     return (g.ny * g.nx) % 128 == 0
 
 
-def _build_fit_call(g: GridSpec, h: int, w: PhysWeights, precision, interpret):
+def _build_fit_call(
+    g: GridSpec, h: int, w: PhysWeights, precision, interpret,
+    nz_local: int | None = None,
+):
+    """nz_local < nz builds the SHARD-LOCAL kernel: it processes one
+    contiguous block of nz_local rows whose CD columns and target rows the
+    caller has already sliced — the data loss has no stencil coupling, so
+    unlike mega_bwd's shard-local build there are no halos, no global row
+    indices, and no runtime z0 scalar at all."""
     nz, ny, nx = g.shape
+    if nz_local is not None:
+        nz = nz_local
     m = ny * nx
     hk = pick_hk(h)
     n_chunks = h // hk
@@ -282,3 +292,79 @@ def fit_loss_and_grad(
     db2 = db2x[:, 0].reshape(1, 4)
     d_params, d_t = vjp((dabf, dcd, dw2g, db2))
     return ls + lu, (d_params, d_t)
+
+
+def fit_loss_and_grad_sharded(
+    g: GridSpec,
+    cfg: MLPGridConfig,
+    mesh,
+    w: PhysWeights = PhysWeights(),
+    precision: str = "f32",
+    interpret=None,
+):
+    """Returns fn(params, target_packed, t) -> (loss, (grad_params,
+    grad_t)) running the fit kernel PER SHARD under shard_map: the target
+    arrives z-sharded (P(Z_AXIS) on its leading axis), each device's
+    kernel instance covers its contiguous z rows (CD columns sliced
+    locally — no halos, the data loss has no stencil), parameter-gradient
+    partials are psum'd, per-row dCD gradients all-gathered, and the loss
+    combined from gathered per-plane partials in the fixed global order —
+    sharded == single-chip at the 1e-7 doctrine. The multi-chip analogue
+    of mega_loss_and_grad_sharded for the SUPERVISED head."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from phys_autodiff_tpu.parallel.mesh import Z_AXIS
+
+    if interpret is None:
+        interpret = _default_interpret()
+    assert fit_supported(g), "one-kernel fit needs ny*nx % 128 == 0"
+    n_shards = mesh.shape[Z_AXIS]
+    assert g.nz % n_shards == 0
+    nz_local = g.nz // n_shards
+    h = cfg.dims.H
+    m = g.ny * g.nx
+    call = _build_fit_call(g, h, w, precision, interpret, nz_local=nz_local)
+
+    def tables(p, tt):
+        abf = fold_ab_plane(g, cfg, p).reshape(h, m)
+        cd = fold_cd(g, cfg, p, jnp.stack([tt]))  # [nz, H, 1]
+        return abf, cd, p["W2"].T, p["b2"].reshape(1, -1)
+
+    def local(params, tgt_local, t):
+        t = jnp.float32(t)
+        me = jax.lax.axis_index(Z_AXIS)
+        (abf, cd, w2t, b2), vjp = jax.vjp(tables, params, t)
+        cd_local = jax.lax.dynamic_slice_in_dim(
+            cd, me * nz_local, nz_local, axis=0
+        )
+        parts, dabf, dcdx, dw2g, db2x = call(
+            abf, cd_local, w2t, w2t.T, b2, tgt_local
+        )
+        if _resolve_mode("dw2", precision) != "dot":
+            dw2g = dw2g.T
+        parts_all = jax.lax.all_gather(parts, Z_AXIS, axis=1, tiled=True)
+        ls, lu = ops_loss.sum_partials(g, w, parts_all)
+        dabf = jax.lax.psum(dabf, Z_AXIS)
+        dcd = jax.lax.all_gather(
+            dcdx[..., :1], Z_AXIS, axis=0, tiled=True
+        )  # [nz, H, 1]
+        dw2g = jax.lax.psum(dw2g, Z_AXIS)
+        db2 = jax.lax.psum(db2x, Z_AXIS)[:, 0].reshape(1, 4)
+        d_params, d_t = vjp((dabf, dcd, dw2g, db2))
+        return ls + lu, d_params, d_t
+
+    sharded = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(Z_AXIS, None, None), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    tgt_sharding = NamedSharding(mesh, P(Z_AXIS, None, None))
+
+    def loss_and_grad(params, target_packed, t):
+        loss, d_params, d_t = sharded(params, target_packed, t)
+        return loss, (d_params, d_t)
+
+    loss_and_grad.target_sharding = tgt_sharding
+    return loss_and_grad

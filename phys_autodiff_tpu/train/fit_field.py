@@ -285,17 +285,30 @@ def make_sharded_fit_step(
     w_data: PhysWeights = PhysWeights(),
     phys_weight: float = 0.0,
     w_phys: PhysWeights = PhysWeights(),
+    engine: str = "auto",
+    interpret=None,
 ):
-    """Multi-chip supervised fitting (GSPMD arm): params replicated,
-    targets and the model's grid output z-sharded, the gradient
-    all-reduce inserted by the partitioner — the fit-side counterpart of
+    """Multi-chip supervised fitting: params replicated, targets and the
+    model's grid output z-sharded — the fit-side counterpart of
     parallel.sharded.make_generic_sharded_train_step, so data
     assimilation scales over the mesh exactly like physics training.
+
+    Two arms (engine, resolved by _resolve_fit_engine):
+    - "xla": GSPMD — the partitioner inserts the gradient all-reduce.
+    - "mega": the one-kernel fit step PER SHARD under shard_map
+      (pallas.fit.fit_loss_and_grad_sharded; the PINN composite adds the
+      per-shard physics backward mega-kernel) — the mesh needs a z axis
+      with g.nz % shards == 0.
 
     Returns (step, init): step(params, opt_state) -> (params',
     opt_state', loss); init(params=None) places replicated params +
     optimizer state on the mesh. The targets are device_put z-sharded
     once, here."""
+    if _resolve_fit_engine(engine, g, model_cfg, phys_weight) == "mega":
+        return _make_sharded_fit_step_mega(
+            g, model_cfg, targets, mesh, cfg, w_data, phys_weight, w_phys,
+            interpret,
+        )
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from phys_autodiff_tpu.parallel.mesh import (
@@ -343,6 +356,81 @@ def make_sharded_fit_step(
     @jax.jit
     def step(params, opt_state):
         loss, grads = jax.value_and_grad(loss_of)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    def init(params=None):
+        if params is None:
+            params = init_any(model_cfg, seed=cfg.seed)
+        params = jax.device_put(params, rep)
+        return params, jax.device_put(opt.init(params), rep)
+
+    return step, init
+
+
+def _make_sharded_fit_step_mega(
+    g: GridSpec,
+    model_cfg,
+    targets: Sequence[FitTarget],
+    mesh,
+    cfg: TrainConfig,
+    w_data: PhysWeights,
+    phys_weight: float,
+    w_phys: PhysWeights,
+    interpret=None,
+):
+    """The engine="mega" arm of make_sharded_fit_step (see its docstring):
+    per-shard one-kernel data gradients, plus the per-shard physics
+    backward mega-kernel when phys_weight > 0."""
+    from phys_autodiff_tpu.pallas import fit as pfit
+    from phys_autodiff_tpu.parallel.mesh import replicated
+
+    rep = replicated(mesh)
+    lag = pfit.fit_loss_and_grad_sharded(
+        g, model_cfg, mesh, w_data, cfg.precision, interpret
+    )
+    targets = list(targets)
+    packed = [
+        (
+            jax.device_put(
+                pfit.pack_target(g, tgt.sigma, tgt.u), lag.target_sharding
+            ),
+            tgt.t,
+        )
+        for tgt in targets
+    ]
+    inv = 1.0 / len(targets)
+    pw = float(phys_weight)
+    if pw:
+        from phys_autodiff_tpu.pallas.mega_bwd import mega_loss_and_grad_sharded
+
+        plag = mega_loss_and_grad_sharded(
+            g, w_phys, model_cfg, mesh, cfg.precision, interpret
+        )
+    opt = make_optimizer(cfg)
+
+    @jax.jit
+    def step(params, opt_state):
+        total = jnp.float32(0.0)
+        gacc = None
+        for pk, tt in packed:
+            ld, (gd, _) = lag(params, pk, jnp.float32(tt))
+            total = total + ld
+            gacc = (
+                gd
+                if gacc is None
+                else jax.tree_util.tree_map(jnp.add, gacc, gd)
+            )
+            if pw:
+                lp, (gp, _) = plag(params, jnp.float32(tt))
+                total = total + jnp.float32(pw) * lp
+                gacc = jax.tree_util.tree_map(
+                    lambda a, b: a + jnp.float32(pw) * b, gacc, gp
+                )
+        scale = jnp.float32(inv)
+        loss = total * scale
+        grads = jax.tree_util.tree_map(lambda x: x * scale, gacc)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss

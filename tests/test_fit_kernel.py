@@ -154,3 +154,69 @@ def test_fit_engine_resolution():
     )
     with pytest.raises(ValueError, match="mega"):
         _resolve_fit_engine("mega", g_ok, ncfg, 0.0)
+
+
+def test_sharded_fit_kernel_matches_single_chip():
+    """fit_loss_and_grad_sharded on the 8-device mesh must match the
+    single-chip kernel at the deterministic-reduction doctrine (identical
+    per-plane partials, fixed-order combination)."""
+    from phys_autodiff_tpu.parallel.mesh import make_mesh
+
+    g = _grid(nx=16, ny=8, nz=16)
+    cfg = MLPGridConfig(dims=MLPDims(H=8))
+    params = ff.init_any(cfg, seed=7)
+    tgt = _target(g, seed=7)
+    w = PhysWeights(w_sigma=1.1, w_u=0.9)
+    packed = pfit.pack_target(g, tgt.sigma, tgt.u)
+
+    l1, (gp1, gt1) = pfit.fit_loss_and_grad(
+        g, cfg, params, packed, tgt.t, w, interpret=True
+    )
+    mesh = make_mesh(8)
+    lag = pfit.fit_loss_and_grad_sharded(g, cfg, mesh, w, interpret=True)
+    l8, (gp8, gt8) = lag(
+        params, jax.device_put(packed, lag.target_sharding), tgt.t
+    )
+    np.testing.assert_allclose(float(l8), float(l1), rtol=1e-7)
+    for k in gp1:
+        np.testing.assert_allclose(
+            np.asarray(gp8[k]), np.asarray(gp1[k]), rtol=1e-5, atol=1e-8,
+            err_msg=k,
+        )
+
+
+def test_sharded_fit_step_mega_matches_xla_arm():
+    """make_sharded_fit_step(engine="mega") tracks the GSPMD arm: same
+    loss sequence and parameters to fp tolerance, incl. the PINN
+    composite (per-shard physics mega-kernel)."""
+    from phys_autodiff_tpu.parallel.mesh import make_mesh
+    from phys_autodiff_tpu.train import TrainConfig
+
+    g = _grid(nx=16, ny=8, nz=16)
+    cfg = MLPGridConfig(dims=MLPDims(H=8))
+    tgt = _target(g, seed=9)
+    tc = TrainConfig(steps=4, learning_rate=1e-3, seed=6)
+    mesh = make_mesh(8)
+
+    losses = {}
+    leaves = {}
+    for eng in ("xla", "mega"):
+        step, init = ff.make_sharded_fit_step(
+            g, cfg, [tgt], mesh, tc, phys_weight=0.3, engine=eng,
+            interpret=True,
+        )
+        params, opt_state = init()
+        ls = []
+        for _ in range(tc.steps):
+            params, opt_state, loss = step(params, opt_state)
+            ls.append(float(loss))
+        losses[eng] = ls
+        leaves[eng] = jax.tree_util.tree_leaves(params)
+
+    np.testing.assert_allclose(
+        np.asarray(losses["mega"]), np.asarray(losses["xla"]), rtol=1e-5
+    )
+    for a, b in zip(leaves["mega"], leaves["xla"]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-4, atol=1e-6
+        )
