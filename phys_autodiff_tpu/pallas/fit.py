@@ -368,3 +368,296 @@ def fit_loss_and_grad_sharded(
 
     loss_and_grad.target_sharding = tgt_sharding
     return loss_and_grad
+
+
+# ---------------------------------------------------------------------------
+# The NGP (encoded-family) fused fit step — pallas/mega_ngp.py's head with
+# the MSE-vs-target cotangent instead of the stencil adjoint. One program
+# per z row: base = W1c^T enc (the time-independent layer-1 term,
+# models/ngp.py _head_base), a1 = relu(base + tb1), y = W2 a1 + b2,
+# e = y - target, then the head backward entirely in VMEM with dEnc as the
+# kernel's one grid-sized output (pulled back through the scatter-free
+# encoder VJP outside). The W1 time row's gradient is t * db1 (single
+# slice), computed outside.
+# ---------------------------------------------------------------------------
+
+
+def _build_ngp_fit_call(
+    g: GridSpec, lf: int, h: int, w: PhysWeights, precision, interpret,
+    need_denc: bool = True,
+):
+    nz = g.nz
+    m = g.ny * g.nx
+    r = m // 128
+    fwd_mode = _resolve_mode("fwd", precision)
+    if fwd_mode == "vpu" and lf > 24:
+        # per-channel FMA chains unroll LF plane-sized temporaries; Mosaic
+        # spills them (measured in mega_ngp: LF=39 f32 -> 129 MB OOM)
+        fwd_mode = "dot"
+    dw2_mode = _resolve_mode("dw2", precision)
+    da1_mode = _resolve_mode("da1", precision)
+    dot_prec = (
+        jax.lax.Precision.DEFAULT
+        if precision == "bf16"
+        else jax.lax.Precision.HIGHEST
+    )
+    ss = 2.0 * float(w.w_sigma) / g.num_cells
+    su = 2.0 * float(w.w_u) / g.num_cells
+    dims_base = (((1,), (0,)), ((), ()))  # [h,LF] x [LF,M] -> [h,M]
+    dims_fwd = (((1,), (0,)), ((), ()))   # [4,h] x [h,M] -> [4,M]
+    dims_da1 = (((0,), (0,)), ((), ()))   # [4,h] x [4,M] -> [h,M]
+    dims_dw2 = (((1,), (1,)), ((), ()))   # [4,M] x [h,M] -> [4,h]
+    dims_dw1 = (((1,), (1,)), ((), ()))   # [LF,M] x [h,M] -> [LF,h]
+    dims_denc = (((1,), (0,)), ((), ()))  # [LF,h] x [h,M] -> [LF,M]
+
+    def kernel(enc_ref, w1c_ref, w1hk_ref, tb1_ref, w2_ref, w2hk_ref,
+               b2_ref, tgt_ref, *rest):
+        if need_denc:
+            part_ref, denc_ref, dw1_ref, db1x_ref, dw2_ref, db2x_ref = rest
+        else:
+            part_ref, dw1_ref, db1x_ref, dw2_ref, db2x_ref = rest
+            denc_ref = None
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            dw1_ref[...] = jnp.zeros_like(dw1_ref)
+            db1x_ref[...] = jnp.zeros_like(db1x_ref)
+            dw2_ref[...] = jnp.zeros_like(dw2_ref)
+            db2x_ref[...] = jnp.zeros_like(db2x_ref)
+
+        b2 = b2_ref[...]  # [1, 4]
+        enc = enc_ref[0].reshape(lf, m)
+
+        # ---- forward: base -> relu head -> y -----------------------------
+        if fwd_mode == "vpu":
+            base = w1hk_ref[:, 0:1] * enc[0:1]
+            for c in range(1, lf):
+                base = base + w1hk_ref[:, c : c + 1] * enc[c : c + 1]
+        else:
+            enc_in = enc.astype(jnp.bfloat16) if precision == "bf16" else enc
+            w1k = w1hk_ref[...]
+            if precision == "bf16":
+                w1k = w1k.astype(jnp.bfloat16)
+            base = jax.lax.dot_general(
+                w1k, enc_in, dimension_numbers=dims_base,
+                preferred_element_type=jnp.float32, precision=dot_prec,
+            )  # [h, M]
+        a1 = jnp.maximum(base + tb1_ref[...], 0.0)  # [h, M]
+        if fwd_mode == "vpu":
+            ys = [
+                jnp.sum(a1 * w2hk_ref[:, o : o + 1], axis=0, keepdims=True)
+                for o in range(4)
+            ]
+            y = jnp.concatenate(ys, axis=0)
+        else:
+            a1_in = a1.astype(jnp.bfloat16) if precision == "bf16" else a1
+            w2c = w2_ref[...]
+            if precision == "bf16":
+                w2c = w2c.astype(jnp.bfloat16)
+            y = jax.lax.dot_general(
+                w2c, a1_in, dimension_numbers=dims_fwd,
+                preferred_element_type=jnp.float32, precision=dot_prec,
+            )  # [4, M]
+
+        # ---- loss partials + scaled error cotangents ---------------------
+        tgt = tgt_ref[0]  # [4, M]
+        e_rows = [y[o : o + 1] + b2[0, o] - tgt[o : o + 1] for o in range(4)]
+        part_ref[0, i] = jnp.sum(e_rows[0] * e_rows[0])
+        part_ref[1, i] = (
+            jnp.sum(e_rows[1] * e_rows[1])
+            + jnp.sum(e_rows[2] * e_rows[2])
+            + jnp.sum(e_rows[3] * e_rows[3])
+        )
+        gy = jnp.concatenate(
+            [ss * e_rows[0], su * e_rows[1], su * e_rows[2], su * e_rows[3]],
+            axis=0,
+        )  # [4, M]
+        db2x_ref[...] = db2x_ref[...] + jnp.broadcast_to(
+            jnp.sum(gy, axis=1, keepdims=True), (4, 128)
+        )
+
+        # ---- head backward ------------------------------------------------
+        if da1_mode == "vpu":
+            da1 = w2hk_ref[:, 0:1] * gy[0:1]
+            for o in range(1, 4):
+                da1 = da1 + w2hk_ref[:, o : o + 1] * gy[o : o + 1]
+        else:
+            gy_in = gy.astype(jnp.bfloat16) if precision == "bf16" else gy
+            w2c = w2_ref[...]
+            if precision == "bf16":
+                w2c = w2c.astype(jnp.bfloat16)
+            da1 = jax.lax.dot_general(
+                w2c, gy_in, dimension_numbers=dims_da1,
+                preferred_element_type=jnp.float32, precision=dot_prec,
+            )  # [h, M]
+        dz1 = jnp.where(a1 > 0.0, da1, 0.0)
+        db1x_ref[...] = db1x_ref[...] + jnp.broadcast_to(
+            jnp.sum(dz1, axis=1, keepdims=True), (h, 128)
+        )
+        if dw2_mode == "dot":
+            gy_in = gy.astype(jnp.bfloat16) if precision == "bf16" else gy
+            a1_in = a1.astype(jnp.bfloat16) if precision == "bf16" else a1
+            dw2_ref[...] = dw2_ref[...] + jax.lax.dot_general(
+                gy_in, a1_in, dimension_numbers=dims_dw2,
+                preferred_element_type=jnp.float32, precision=dot_prec,
+            )
+        else:
+            for o in range(4):
+                dw2_ref[:, o : o + 1] = dw2_ref[:, o : o + 1] + jnp.sum(
+                    a1 * gy[o : o + 1], axis=1, keepdims=True
+                )
+        enc_in = enc.astype(jnp.bfloat16) if precision == "bf16" else enc
+        dz_in = dz1.astype(jnp.bfloat16) if precision == "bf16" else dz1
+        dw1_ref[...] = dw1_ref[...] + jax.lax.dot_general(
+            enc_in, dz_in, dimension_numbers=dims_dw1,
+            preferred_element_type=jnp.float32, precision=dot_prec,
+        )
+        if denc_ref is not None:
+            w1c = w1c_ref[...]
+            if precision == "bf16":
+                w1c = w1c.astype(jnp.bfloat16)
+            denc = jax.lax.dot_general(
+                w1c, dz_in, dimension_numbers=dims_denc,
+                preferred_element_type=jnp.float32, precision=dot_prec,
+            )  # [LF, M]
+            denc_ref[0] = denc.reshape(lf, r, 128)
+
+    in_specs = [
+        pl.BlockSpec((1, lf, r, 128), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((lf, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((h, lf), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((h, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((4, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((h, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 4, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    denc_spec = (
+        [
+            pl.BlockSpec((1, lf, r, 128), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ]
+        if need_denc
+        else []
+    )
+    denc_shape = (
+        [jax.ShapeDtypeStruct((nz, lf, r, 128), jnp.float32)]
+        if need_denc
+        else []
+    )
+    out_specs = tuple(
+        [pl.BlockSpec((2, nz), lambda i: (0, 0), memory_space=pltpu.SMEM)]
+        + denc_spec
+        + [
+            pl.BlockSpec((lf, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (4, h) if dw2_mode == "dot" else (h, 4),
+                lambda i: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((4, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ]
+    )
+    out_shape = tuple(
+        [jax.ShapeDtypeStruct((2, nz), jnp.float32)]
+        + denc_shape
+        + [
+            jax.ShapeDtypeStruct((lf, h), jnp.float32),
+            jax.ShapeDtypeStruct((h, 128), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (4, h) if dw2_mode == "dot" else (h, 4), jnp.float32
+            ),
+            jax.ShapeDtypeStruct((4, 128), jnp.float32),
+        ]
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(nz,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=(4 * lf * h + 6 * h * 4 + 2 * lf * h) * g.num_cells,
+            bytes_accessed=2 * lf * g.num_cells * 4 + 4 * g.num_cells * 4,
+            transcendentals=0,
+        ),
+    )
+
+
+def ngp_fit_loss_and_grad(
+    g: GridSpec,
+    ncfg,
+    params: dict,
+    target_packed: jnp.ndarray,
+    t,
+    w: PhysWeights = PhysWeights(),
+    precision: str = "f32",
+    interpret=None,
+):
+    """(loss, (grad_params, grad_t)) of the weighted data MSE for an
+    encoded field model (hash / Fourier / registered third-party families)
+    from ONE kernel pass plus the scatter-free encoder VJP — the NGP twin
+    of fit_loss_and_grad, sharing its target layout and loss doctrine.
+    Gradient surface matches jax.grad of train.fit_field.data_loss."""
+    from phys_autodiff_tpu.models.encoders import encode_grid_zcf
+
+    if interpret is None:
+        interpret = _default_interpret()
+    assert fit_supported(g), "one-kernel fit needs ny*nx % 128 == 0"
+    assert ncfg.out == 4, "kernel head is fixed to the 4 physics channels"
+    lf = ncfg.encoding.out_dim
+    h = ncfg.hidden
+    t = jnp.float32(t)
+
+    has_enc_params = any(
+        leaf.size > 0 for leaf in jax.tree_util.tree_leaves(params["tables"])
+    )
+    if has_enc_params:
+        enc_zcf, enc_vjp = jax.vjp(
+            lambda tb: encode_grid_zcf(ncfg.encoding, tb, g),
+            params["tables"],
+        )  # [nz, LF, ny, nx]
+    else:
+        enc_zcf = encode_grid_zcf(ncfg.encoding, params["tables"], g)
+    m = g.ny * g.nx
+    enc_k = enc_zcf.reshape(g.nz, lf, m // 128, 128)
+    w1 = params["W1"]  # [LF+1, H]
+    w1c = w1[:-1]
+    tb1 = params["b1"][:, None] + w1[-1][:, None] * t  # [H, 1]
+    w2t = params["W2"].T
+    b2 = params["b2"].reshape(1, 4)
+    call = _build_ngp_fit_call(
+        g, lf, h, w, precision, interpret, need_denc=has_enc_params
+    )
+    outs = call(enc_k, w1c, w1c.T, tb1, w2t, params["W2"], b2, target_packed)
+    if has_enc_params:
+        parts, denc, dw1g, db1x, dw2g, db2x = outs
+    else:
+        parts, dw1g, db1x, dw2g, db2x = outs
+    ls, lu = ops_loss.sum_partials(g, w, parts)
+    db1 = db1x[:, 0]
+    dw2 = dw2g.T if _resolve_mode("dw2", precision) == "dot" else dw2g
+    # single slice: the W1 time row's gradient is t * db1 exactly
+    dw1_full = jnp.concatenate([dw1g, (t * db1)[None, :]], axis=0)
+    if has_enc_params:
+        denc_grid = denc.reshape(g.nz, lf, g.ny, g.nx)
+        (d_tables,) = enc_vjp(denc_grid)
+    else:
+        d_tables = jax.tree.map(jnp.zeros_like, params["tables"])
+    d_t = jnp.sum(w1[-1] * db1)
+    grads = {
+        "tables": d_tables,
+        "W1": dw1_full,
+        "b1": db1,
+        "W2": dw2,
+        "b2": db2x[:, 0],
+    }
+    return ls + lu, (grads, d_t)

@@ -147,11 +147,18 @@ def _resolve_fit_engine(engine: str, g, model_cfg, phys_weight) -> str:
     interpret-mode kernels are parity tools, not a fast CPU path)."""
     if engine == "xla":
         return "xla"
-    eligible = isinstance(model_cfg, MLPGridConfig)
-    if eligible:
-        from phys_autodiff_tpu.pallas.fit import fit_supported
+    from phys_autodiff_tpu.pallas.fit import fit_supported
 
+    if isinstance(model_cfg, MLPGridConfig):
         eligible = fit_supported(g)
+    else:
+        from phys_autodiff_tpu.models.ngp import NGPFieldConfig
+
+        eligible = (
+            isinstance(model_cfg, NGPFieldConfig)
+            and model_cfg.out == 4
+            and fit_supported(g)
+        )
     if eligible and phys_weight:
         from phys_autodiff_tpu.pallas.mega_bwd import mega_supported
 
@@ -159,8 +166,9 @@ def _resolve_fit_engine(engine: str, g, model_cfg, phys_weight) -> str:
     if engine == "mega":
         if not eligible:
             raise ValueError(
-                "engine='mega' needs the MLP family and ny*nx % 128 == 0 "
-                "(plus mega_supported(g) when phys_weight > 0)"
+                "engine='mega' needs the MLP or NGP (out=4) family and "
+                "ny*nx % 128 == 0 (plus mega_supported(g) when "
+                "phys_weight > 0)"
             )
         return "mega"
     assert engine == "auto", f"unknown fit engine {engine!r}"
@@ -185,7 +193,18 @@ def _make_mega_loss_and_grad(
     composite semantics as make_fit_loss (snapshot mean, + phys_weight
     times the physics-residual loss)."""
     from phys_autodiff_tpu.pallas import fit as pfit
-    from phys_autodiff_tpu.pallas.mega_bwd import mega_loss_and_grad
+
+    is_mlp = isinstance(model_cfg, MLPGridConfig)
+    if is_mlp:
+        from phys_autodiff_tpu.pallas.mega_bwd import mega_loss_and_grad
+
+        data_lag = pfit.fit_loss_and_grad
+        phys_lag = mega_loss_and_grad
+    else:
+        from phys_autodiff_tpu.pallas.mega_ngp import ngp_loss_and_grad
+
+        data_lag = pfit.ngp_fit_loss_and_grad
+        phys_lag = ngp_loss_and_grad
 
     targets = list(targets)
     packed = [pfit.pack_target(g, tgt.sigma, tgt.u) for tgt in targets]
@@ -196,7 +215,7 @@ def _make_mega_loss_and_grad(
         total = jnp.float32(0.0)
         gacc = None
         for tgt, pk in zip(targets, packed):
-            ld, (gd, _) = pfit.fit_loss_and_grad(
+            ld, (gd, _) = data_lag(
                 g, model_cfg, params, pk, tgt.t, w_data,
                 precision=precision, interpret=interpret,
             )
@@ -207,7 +226,7 @@ def _make_mega_loss_and_grad(
                 else jax.tree_util.tree_map(jnp.add, gacc, gd)
             )
             if pw:
-                lp, (gp, _) = mega_loss_and_grad(
+                lp, (gp, _) = phys_lag(
                     g, w_phys, model_cfg, params, tgt.t, precision, interpret
                 )
                 total = total + jnp.float32(pw) * lp
@@ -305,10 +324,17 @@ def make_sharded_fit_step(
     optimizer state on the mesh. The targets are device_put z-sharded
     once, here."""
     if _resolve_fit_engine(engine, g, model_cfg, phys_weight) == "mega":
-        return _make_sharded_fit_step_mega(
-            g, model_cfg, targets, mesh, cfg, w_data, phys_weight, w_phys,
-            interpret,
-        )
+        if isinstance(model_cfg, MLPGridConfig):
+            return _make_sharded_fit_step_mega(
+                g, model_cfg, targets, mesh, cfg, w_data, phys_weight,
+                w_phys, interpret,
+            )
+        if engine == "mega":
+            raise ValueError(
+                "the sharded one-kernel fit covers the MLP family; "
+                "encoded families scale through the GSPMD arm "
+                "(engine='xla' or 'auto')"
+            )
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from phys_autodiff_tpu.parallel.mesh import (

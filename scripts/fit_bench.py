@@ -121,6 +121,14 @@ def main() -> None:
         "ngp_dense": bench_family(
             "ngp_dense", g, NGPFieldConfig(), tgt, steps, lr=5e-3
         ),
+        "ngp_dense_mega": bench_family(
+            "ngp_dense_mega", g, NGPFieldConfig(), tgt, steps, lr=5e-3,
+            engine="mega",
+        ),
+        "ngp_dense_mega_bf16": bench_family(
+            "ngp_dense_mega_bf16", g, NGPFieldConfig(), tgt, steps,
+            lr=5e-3, engine="mega", precision="bf16",
+        ),
     }
     print(json.dumps({
         "metric": "fit_field_flagship",

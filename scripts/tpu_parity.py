@@ -550,6 +550,38 @@ def run_fit(nx, ny, nz):
     check("fit grads rel (global)", rel_l2_err(cat(gp_k), cat(gp_x)), 1e-4)
 
 
+def run_fit_ngp(nx, ny, nz):
+    """The NGP fused fit step (dense default config) vs jax.grad of the
+    staged data loss, on hardware."""
+    import jax.flatten_util
+
+    from phys_autodiff_tpu.models.ngp import NGPFieldConfig
+    from phys_autodiff_tpu.pallas import fit as pfit
+    from phys_autodiff_tpu.train import fit_field as ff
+
+    g = GridSpec(nx=nx, ny=ny, nz=nz, hx=L / nx, hy=L / ny, hz=L / nz, dt=1e-3)
+    print(f"ngp fit kernel {nx}x{ny}x{nz}")
+    ncfg = NGPFieldConfig()
+    params = ff.init_any(ncfg, seed=13)
+    f = manufactured.solution2_fields(g, 0.7)
+    tgt = ff.FitTarget(jnp.asarray(f["sigma_t"]), jnp.asarray(f["u_t"]), 0.3)
+    packed = pfit.pack_target(g, tgt.sigma, tgt.u)
+
+    l_k, (gp_k, _) = jax.jit(
+        lambda p: pfit.ngp_fit_loss_and_grad(g, ncfg, p, packed, tgt.t)
+    )(params)
+    l_x, gp_x = jax.jit(
+        jax.value_and_grad(lambda p: ff.data_loss(g, ncfg, p, tgt))
+    )(params)
+    check("ngp fit loss rel",
+          abs(float(l_k) - float(l_x)) / abs(float(l_x)), 1e-5)
+    fk, _ = jax.flatten_util.ravel_pytree(gp_k)
+    fx, _ = jax.flatten_util.ravel_pytree(gp_x)
+    check("ngp fit grads rel (global)",
+          rel_l2_err(np.asarray(fk, np.float64), np.asarray(fx, np.float64)),
+          1e-4)
+
+
 if __name__ == "__main__":
     print("devices:", jax.devices())
     run(128, 96, 96, True)   # slab kernel
@@ -574,6 +606,7 @@ if __name__ == "__main__":
     run_session5(128, 96, 96)
     run_fit(128, 96, 96)     # one-kernel fit step, aligned plane
     run_fit(96, 96, 64)      # unaligned nx (flat M rows)
+    run_fit_ngp(128, 96, 96)  # NGP fused fit step
     if FAILURES:
         print("FAILURES:", FAILURES)
         sys.exit(1)

@@ -145,15 +145,16 @@ def test_fit_engine_resolution():
         _resolve_fit_engine("mega", g_bad, cfg, 0.0)
     # auto on the CPU test backend stays on the XLA arm
     assert _resolve_fit_engine("auto", g_ok, cfg, 0.0) == "xla"
-    # non-MLP families have no fused fit kernel
+    # encoded families (out=4) route through the NGP fit kernel
     from phys_autodiff_tpu.models.hash_encoder import HashEncodingConfig
     from phys_autodiff_tpu.models.ngp import NGPFieldConfig
 
     ncfg = NGPFieldConfig(
         encoding=HashEncodingConfig(num_levels=2, max_resolution=8)
     )
+    assert _resolve_fit_engine("mega", g_ok, ncfg, 0.0) == "mega"
     with pytest.raises(ValueError, match="mega"):
-        _resolve_fit_engine("mega", g_ok, ncfg, 0.0)
+        _resolve_fit_engine("mega", g_bad, ncfg, 0.0)
 
 
 def test_sharded_fit_kernel_matches_single_chip():
@@ -220,3 +221,95 @@ def test_sharded_fit_step_mega_matches_xla_arm():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=3e-4, atol=1e-6
         )
+
+
+def _ngp_cfg(small=True):
+    from phys_autodiff_tpu.models.hash_encoder import HashEncodingConfig
+    from phys_autodiff_tpu.models.ngp import NGPFieldConfig
+
+    enc = HashEncodingConfig(
+        num_levels=3,
+        features_per_level=2,
+        log2_table_size=9,
+        base_resolution=3,
+        max_resolution=12,
+    )
+    return NGPFieldConfig(encoding=enc, hidden=16)
+
+
+def test_ngp_fit_kernel_matches_jax_grad():
+    """The NGP fused fit step: loss + head grads + encoder-table grads
+    against jax.grad of the staged data loss (hash family, dEnc path)."""
+    g = _grid(nx=16, ny=8, nz=6)
+    ncfg = _ngp_cfg()
+    params = ff.init_any(ncfg, seed=2)
+    tgt = _target(g, seed=4)
+    w = PhysWeights(w_sigma=1.2, w_u=0.8)
+    packed = pfit.pack_target(g, tgt.sigma, tgt.u)
+
+    loss_k, (gp_k, gt_k) = pfit.ngp_fit_loss_and_grad(
+        g, ncfg, params, packed, tgt.t, w, interpret=True
+    )
+    loss_x, gp_x = jax.value_and_grad(
+        lambda p: ff.data_loss(g, ncfg, p, tgt, w)
+    )(params)
+
+    np.testing.assert_allclose(float(loss_k), float(loss_x), rtol=1e-6)
+    flat_k, _ = jax.flatten_util.ravel_pytree(gp_k)
+    flat_x, _ = jax.flatten_util.ravel_pytree(gp_x)
+    err = float(
+        jnp.linalg.norm(flat_k - flat_x) / (jnp.linalg.norm(flat_x) + 1e-30)
+    )
+    assert err < 2e-5, err
+
+
+def test_fourier_fit_kernel_matches_jax_grad():
+    """Parameter-free encoding (Fourier): the kernel drops dEnc entirely
+    (need_denc=False) and must still match jax.grad."""
+    from phys_autodiff_tpu.models.fourier import FourierEncodingConfig
+    from phys_autodiff_tpu.models.ngp import NGPFieldConfig
+
+    g = _grid(nx=16, ny=8, nz=5)
+    ncfg = NGPFieldConfig(
+        encoding=FourierEncodingConfig(num_frequencies=3), hidden=16
+    )
+    params = ff.init_any(ncfg, seed=3)
+    tgt = _target(g, seed=6)
+    packed = pfit.pack_target(g, tgt.sigma, tgt.u)
+
+    loss_k, (gp_k, _) = pfit.ngp_fit_loss_and_grad(
+        g, ncfg, params, packed, tgt.t, interpret=True
+    )
+    loss_x, gp_x = jax.value_and_grad(
+        lambda p: ff.data_loss(g, ncfg, p, tgt)
+    )(params)
+    np.testing.assert_allclose(float(loss_k), float(loss_x), rtol=1e-6)
+    flat_k, _ = jax.flatten_util.ravel_pytree(gp_k)
+    flat_x, _ = jax.flatten_util.ravel_pytree(gp_x)
+    err = float(
+        jnp.linalg.norm(flat_k - flat_x) / (jnp.linalg.norm(flat_x) + 1e-30)
+    )
+    assert err < 2e-5, err
+
+
+def test_fit_field_mega_engine_ngp():
+    """fit_field(engine="mega") for the hash-NGP family tracks the XLA
+    engine, incl. the PINN composite (physics via the NGP mega-kernel)."""
+    from phys_autodiff_tpu.train import TrainConfig
+
+    g = _grid(nx=16, ny=8, nz=6)
+    ncfg = _ngp_cfg()
+    tgt = _target(g, seed=8)
+    tc = TrainConfig(steps=4, learning_rate=3e-3, seed=5)
+
+    px, lx = ff.fit_field(g, ncfg, [tgt], tc, phys_weight=0.2, engine="xla")
+    pm, lm = ff.fit_field(
+        g, ncfg, [tgt], tc, phys_weight=0.2, engine="mega", interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(lm), np.asarray(lx), rtol=2e-5)
+    fx, _ = jax.flatten_util.ravel_pytree(px)
+    fm, _ = jax.flatten_util.ravel_pytree(pm)
+    err = float(
+        jnp.linalg.norm(fm - fx) / (jnp.linalg.norm(fx) + 1e-30)
+    )
+    assert err < 3e-4, err
