@@ -384,9 +384,13 @@ def fit_loss_and_grad_sharded(
 
 def _build_ngp_fit_call(
     g: GridSpec, lf: int, h: int, w: PhysWeights, precision, interpret,
-    need_denc: bool = True,
+    need_denc: bool = True, nz_local: int | None = None,
 ):
-    nz = g.nz
+    """nz_local < nz builds the SHARD-LOCAL kernel: encoding, target, and
+    dEnc blocks all cover one contiguous nz_local-row range the caller has
+    already sliced (no halos, no global row indices — same simplification
+    as the MLP fit kernel's shard-local build)."""
+    nz = g.nz if nz_local is None else nz_local
     m = g.ny * g.nx
     r = m // 128
     fwd_mode = _resolve_mode("fwd", precision)
@@ -661,3 +665,111 @@ def ngp_fit_loss_and_grad(
         "b2": db2x[:, 0],
     }
     return ls + lu, (grads, d_t)
+
+
+def ngp_fit_loss_and_grad_sharded(
+    g: GridSpec,
+    ncfg,
+    mesh,
+    w: PhysWeights = PhysWeights(),
+    precision: str = "f32",
+    interpret=None,
+):
+    """Returns fn(params, target_packed, t) -> (loss, (grad_params,
+    grad_t)) running the NGP fit kernel PER SHARD under shard_map: the
+    encoder is shard-local (encode_grid_zcf_rows over exactly this
+    shard's z rows — no halos, the data loss has no stencil), the target
+    arrives z-sharded, dEnc pulls back through the shard-local encoder
+    VJP with the partial d_tables psum'd, head-gradient partials psum'd,
+    and the loss combined in fixed global order — sharded == single-chip
+    at the 1e-7 doctrine. Nothing grid-sized is ever gathered."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from phys_autodiff_tpu.models.encoders import encode_grid_zcf_rows
+    from phys_autodiff_tpu.parallel.mesh import Z_AXIS
+
+    if interpret is None:
+        interpret = _default_interpret()
+    assert fit_supported(g), "one-kernel fit needs ny*nx % 128 == 0"
+    assert ncfg.out == 4
+    n_shards = mesh.shape[Z_AXIS]
+    assert g.nz % n_shards == 0
+    nz_local = g.nz // n_shards
+    lf = ncfg.encoding.out_dim
+    h = ncfg.hidden
+    m = g.ny * g.nx
+
+    def local(params, tgt_local, t):
+        has_enc = any(
+            leaf.size > 0
+            for leaf in jax.tree_util.tree_leaves(params["tables"])
+        )
+        call = _build_ngp_fit_call(
+            g, lf, h, w, precision, interpret, need_denc=has_enc,
+            nz_local=nz_local,
+        )
+        t = jnp.float32(t)
+        me = jax.lax.axis_index(Z_AXIS)
+        rows = me * nz_local + jnp.arange(nz_local)
+        if has_enc:
+            enc_rows, enc_vjp = jax.vjp(
+                lambda tb: encode_grid_zcf_rows(ncfg.encoding, tb, g, rows),
+                params["tables"],
+            )  # [nz_local, LF, ny, nx]
+        else:
+            enc_rows = encode_grid_zcf_rows(
+                ncfg.encoding, params["tables"], g, rows
+            )
+        enc_k = enc_rows.reshape(nz_local, lf, m // 128, 128)
+        w1 = params["W1"]
+        w1c = w1[:-1]
+        tb1 = params["b1"][:, None] + w1[-1][:, None] * t
+        outs = call(
+            enc_k, w1c, w1c.T, tb1, params["W2"].T, params["W2"],
+            params["b2"].reshape(1, 4), tgt_local,
+        )
+        if has_enc:
+            parts, denc, dw1g, db1x, dw2g, db2x = outs
+        else:
+            parts, dw1g, db1x, dw2g, db2x = outs
+        parts_all = jax.lax.all_gather(parts, Z_AXIS, axis=1, tiled=True)
+        ls, lu = ops_loss.sum_partials(g, w, parts_all)
+        if has_enc:
+            (d_tables_part,) = enc_vjp(
+                denc.reshape(nz_local, lf, g.ny, g.nx)
+            )
+            d_tables = jax.lax.psum(d_tables_part, Z_AXIS)
+        else:
+            d_tables = jax.tree.map(jnp.zeros_like, params["tables"])
+        db1 = jax.lax.psum(db1x, Z_AXIS)[:, 0]
+        dw1g_s = jax.lax.psum(dw1g, Z_AXIS)
+        dw2g_s = jax.lax.psum(dw2g, Z_AXIS)
+        db2 = jax.lax.psum(db2x, Z_AXIS)[:, 0]
+        dw2 = (
+            dw2g_s.T if _resolve_mode("dw2", precision) == "dot" else dw2g_s
+        )
+        grads = {
+            "tables": d_tables,
+            "W1": jnp.concatenate([dw1g_s, (t * db1)[None, :]], axis=0),
+            "b1": db1,
+            "W2": dw2,
+            "b2": db2,
+        }
+        d_t = jnp.sum(w1[-1] * db1)
+        return ls + lu, grads, d_t
+
+    sharded = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(Z_AXIS, None, None), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    tgt_sharding = NamedSharding(mesh, P(Z_AXIS, None, None))
+
+    def loss_and_grad(params, target_packed, t):
+        loss, d_params, d_t = sharded(params, target_packed, t)
+        return loss, (d_params, d_t)
+
+    loss_and_grad.target_sharding = tgt_sharding
+    return loss_and_grad

@@ -324,17 +324,10 @@ def make_sharded_fit_step(
     optimizer state on the mesh. The targets are device_put z-sharded
     once, here."""
     if _resolve_fit_engine(engine, g, model_cfg, phys_weight) == "mega":
-        if isinstance(model_cfg, MLPGridConfig):
-            return _make_sharded_fit_step_mega(
-                g, model_cfg, targets, mesh, cfg, w_data, phys_weight,
-                w_phys, interpret,
-            )
-        if engine == "mega":
-            raise ValueError(
-                "the sharded one-kernel fit covers the MLP family; "
-                "encoded families scale through the GSPMD arm "
-                "(engine='xla' or 'auto')"
-            )
+        return _make_sharded_fit_step_mega(
+            g, model_cfg, targets, mesh, cfg, w_data, phys_weight,
+            w_phys, interpret,
+        )
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from phys_autodiff_tpu.parallel.mesh import (
@@ -413,9 +406,15 @@ def _make_sharded_fit_step_mega(
     from phys_autodiff_tpu.parallel.mesh import replicated
 
     rep = replicated(mesh)
-    lag = pfit.fit_loss_and_grad_sharded(
-        g, model_cfg, mesh, w_data, cfg.precision, interpret
-    )
+    is_mlp = isinstance(model_cfg, MLPGridConfig)
+    if is_mlp:
+        lag = pfit.fit_loss_and_grad_sharded(
+            g, model_cfg, mesh, w_data, cfg.precision, interpret
+        )
+    else:
+        lag = pfit.ngp_fit_loss_and_grad_sharded(
+            g, model_cfg, mesh, w_data, cfg.precision, interpret
+        )
     targets = list(targets)
     packed = [
         (
@@ -429,11 +428,22 @@ def _make_sharded_fit_step_mega(
     inv = 1.0 / len(targets)
     pw = float(phys_weight)
     if pw:
-        from phys_autodiff_tpu.pallas.mega_bwd import mega_loss_and_grad_sharded
+        if is_mlp:
+            from phys_autodiff_tpu.pallas.mega_bwd import (
+                mega_loss_and_grad_sharded,
+            )
 
-        plag = mega_loss_and_grad_sharded(
-            g, w_phys, model_cfg, mesh, cfg.precision, interpret
-        )
+            plag = mega_loss_and_grad_sharded(
+                g, w_phys, model_cfg, mesh, cfg.precision, interpret
+            )
+        else:
+            from phys_autodiff_tpu.pallas.mega_ngp import (
+                ngp_loss_and_grad_sharded,
+            )
+
+            plag = ngp_loss_and_grad_sharded(
+                g, w_phys, model_cfg, mesh, cfg.precision, interpret
+            )
     opt = make_optimizer(cfg)
 
     @jax.jit

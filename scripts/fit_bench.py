@@ -130,11 +130,18 @@ def main() -> None:
             lr=5e-3, engine="mega", precision="bf16",
         ),
     }
-    print(json.dumps({
+    payload = {
         "metric": "fit_field_flagship",
         "grid": [g.nx, g.ny, g.nz],
         "arms": arms,
-    }))
+    }
+    print(json.dumps(payload))
+    # persisted for scripts/make_report.py's "Supervised fitting" table
+    import os
+
+    os.makedirs("build", exist_ok=True)
+    with open("build/fit_results.json", "w") as f:
+        json.dump(payload, f, indent=1)
 
 
 if __name__ == "__main__":

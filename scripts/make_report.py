@@ -435,6 +435,44 @@ def main():
         a("divergence the residual operator sees drops to f32 rounding —")
         a("ops/projection.py) into one jitted advect/force/project update.")
         a("")
+    fit_path = "build/fit_results.json"
+    if os.path.exists(fit_path):
+        with open(fit_path) as f:
+            fit = json.load(f)
+        fg = fit.get("grid", [])
+        a("## Supervised fitting (train/fit_field — the Instant-NGP "
+          "workload)")
+        a("")
+        a(f"Fit a neural field to a {fg[0]}x{fg[1]}x{fg[2]}x4 f32 snapshot "
+          f"(scripts/fit_bench.py; slope-method ms/step of the full "
+          f"optimizer step, PSNR after {next(iter(fit['arms'].values()))['steps']} steps):")
+        a("")
+        a("| arm | engine | ms/step | PSNR sigma (dB) | compression |")
+        a("|---|---|---|---|---|")
+        fit_notes = {
+            "mlp_h128": ("coordinate MLP H=128", "XLA jax.grad"),
+            "mlp_h128_mega": ("coordinate MLP H=128",
+                              "ONE fit kernel (pallas/fit.py), f32"),
+            "mlp_h128_mega_bf16": ("coordinate MLP H=128",
+                                   "ONE fit kernel, bf16 tier"),
+            "ngp_dense": ("hash-NGP (dense levels)", "XLA jax.grad"),
+            "ngp_dense_mega": ("hash-NGP (dense levels)",
+                               "NGP fit kernel + encoder VJP, f32"),
+            "ngp_dense_mega_bf16": ("hash-NGP (dense levels)",
+                                    "NGP fit kernel, bf16 tier"),
+        }
+        for k, v in fit["arms"].items():
+            fam, eng = fit_notes.get(k, (k, ""))
+            a(f"| {fam} | {eng} | {v['ms_per_step']:.4f} | "
+              f"{v['psnr_sigma_db']:.2f} | {v['compression_ratio']:.1f}x |")
+        a("")
+        a("The hash-NGP family fits the detail-rich target ~57 dB better")
+        a("than the coordinate MLP at the same step budget (the encoding's")
+        a("purpose); the MLP compresses 4000x. The fit kernels compute the")
+        a("data-MSE loss and every parameter gradient in one Pallas pass")
+        a("(the reference's one actually-built fused backward,")
+        a("src/mlp_cuda.cu:39-184, it never connected to data).")
+        a("")
     a("## Correctness gates accompanying these numbers")
     a("")
     a("`python -m pytest tests/ -q` (8-device CPU mesh) and")

@@ -313,3 +313,72 @@ def test_fit_field_mega_engine_ngp():
         jnp.linalg.norm(fm - fx) / (jnp.linalg.norm(fx) + 1e-30)
     )
     assert err < 3e-4, err
+
+
+def test_sharded_ngp_fit_kernel_matches_single_chip():
+    """ngp_fit_loss_and_grad_sharded on the 8-device mesh: shard-local
+    encode + per-shard kernel + psum'd table pullback must match the
+    single-chip NGP fit kernel."""
+    from phys_autodiff_tpu.parallel.mesh import make_mesh
+
+    g = _grid(nx=16, ny=8, nz=16)
+    ncfg = _ngp_cfg()
+    params = ff.init_any(ncfg, seed=11)
+    tgt = _target(g, seed=11)
+    w = PhysWeights(w_sigma=1.05, w_u=0.95)
+    packed = pfit.pack_target(g, tgt.sigma, tgt.u)
+
+    l1, (gp1, gt1) = pfit.ngp_fit_loss_and_grad(
+        g, ncfg, params, packed, tgt.t, w, interpret=True
+    )
+    mesh = make_mesh(8)
+    lag = pfit.ngp_fit_loss_and_grad_sharded(g, ncfg, mesh, w, interpret=True)
+    l8, (gp8, gt8) = lag(
+        params, jax.device_put(packed, lag.target_sharding), tgt.t
+    )
+    np.testing.assert_allclose(float(l8), float(l1), rtol=1e-7)
+    f1, _ = jax.flatten_util.ravel_pytree(gp1)
+    f8, _ = jax.flatten_util.ravel_pytree(gp8)
+    err = float(
+        jnp.linalg.norm(f8 - f1) / (jnp.linalg.norm(f1) + 1e-30)
+    )
+    assert err < 1e-5, err
+    np.testing.assert_allclose(float(gt8), float(gt1), rtol=1e-5, atol=1e-9)
+
+
+def test_sharded_fit_step_mega_ngp_matches_xla_arm():
+    """make_sharded_fit_step(engine="mega") for the hash-NGP family tracks
+    the GSPMD arm, incl. the PINN composite via the sharded NGP physics
+    mega-kernel."""
+    from phys_autodiff_tpu.parallel.mesh import make_mesh
+    from phys_autodiff_tpu.train import TrainConfig
+
+    g = _grid(nx=16, ny=8, nz=16)
+    ncfg = _ngp_cfg()
+    tgt = _target(g, seed=13)
+    tc = TrainConfig(steps=3, learning_rate=3e-3, seed=8)
+    mesh = make_mesh(8)
+
+    losses = {}
+    flats = {}
+    for eng in ("xla", "mega"):
+        step, init = ff.make_sharded_fit_step(
+            g, ncfg, [tgt], mesh, tc, phys_weight=0.2, engine=eng,
+            interpret=True,
+        )
+        params, opt_state = init()
+        ls = []
+        for _ in range(tc.steps):
+            params, opt_state, loss = step(params, opt_state)
+            ls.append(float(loss))
+        losses[eng] = ls
+        flats[eng], _ = jax.flatten_util.ravel_pytree(params)
+
+    np.testing.assert_allclose(
+        np.asarray(losses["mega"]), np.asarray(losses["xla"]), rtol=2e-5
+    )
+    err = float(
+        jnp.linalg.norm(flats["mega"] - flats["xla"])
+        / (jnp.linalg.norm(flats["xla"]) + 1e-30)
+    )
+    assert err < 3e-4, err
