@@ -473,6 +473,46 @@ def main():
         a("(the reference's one actually-built fused backward,")
         a("src/mlp_cuda.cu:39-184, it never connected to data).")
         a("")
+    ladder_path = "build/fit_ladder.json"
+    if os.path.exists(ladder_path):
+        with open(ladder_path) as f:
+            lad = json.load(f)
+        lg = lad.get("grid", [])
+        steps0 = next(iter(lad["rows"].values()))["steps"]
+        a("### Compression-quality ladder (encoding schedule as the dial)")
+        a("")
+        a(f"Same {lg[0]}x{lg[1]}x{lg[2]} snapshot and step budget "
+          f"({steps0} steps, scripts/fit_ladder.py), sweeping the hash "
+          "encoding schedule from the quality-max default to the compact "
+          "end; every row trains through the fused fit engine. "
+          "`dense rN` stores oversubscribed levels densely "
+          "(scatter-free backward); `hash` rows are the literal "
+          "Instant-NGP table configuration (collisions trade PSNR for "
+          "parameters, and the table backward pays the corner scatter).")
+        a("")
+        a("| config | params (MB) | compression | PSNR sigma (dB) | "
+          "PSNR u (dB) |")
+        a("|---|---|---|---|---|")
+        ladder_names = {
+            "ngp_dense_r128": "NGP dense r128 (framework default)",
+            "ngp_dense_r96": "NGP dense r96",
+            "ngp_dense_r64": "NGP dense r64",
+            "ngp_dense_r48": "NGP dense r48",
+            "ngp_dense_r32": "NGP dense r32",
+            "ngp_hash_r128_t14": "NGP all-hash r128, T=2^14 (Instant-NGP)",
+            "ngp_hash_r128_t12": "NGP all-hash r128, T=2^12",
+            "mlp_h128": "coordinate MLP H=128 (anchor)",
+        }
+        for k, v in lad["rows"].items():
+            a(f"| {ladder_names.get(k, k)} | "
+              f"{v['param_bytes'] / 1e6:.2f} | "
+              f"{v['compression_ratio']:.1f}x | {v['psnr_sigma_db']:.2f} | "
+              f"{v['psnr_u_db']:.2f} |")
+        a("")
+        a("The schedule is the quality/size dial: pick the smallest row")
+        a("meeting the PSNR target. Dense rows keep the NGP step's")
+        a("scatter-free backward at every point on the ladder.")
+        a("")
     a("## Correctness gates accompanying these numbers")
     a("")
     a("`python -m pytest tests/ -q` (8-device CPU mesh) and")

@@ -382,3 +382,52 @@ def test_sharded_fit_step_mega_ngp_matches_xla_arm():
         / (jnp.linalg.norm(flats["xla"]) + 1e-30)
     )
     assert err < 3e-4, err
+
+
+@pytest.mark.parametrize(
+    "enc_kwargs",
+    [
+        # mixed: dense top levels + hashed low levels (the fit_ladder.py
+        # dense rows' structure: T=64, resolutions 3/5/8 -> levels 5,8 dense)
+        dict(num_levels=3, log2_table_size=6, base_resolution=3,
+             max_resolution=8, dense_oversubscribed=True),
+        # all-hash with an oversubscribed top level (the ladder's literal
+        # Instant-NGP rows: the table backward is the corner scatter-add)
+        dict(num_levels=3, log2_table_size=6, base_resolution=3,
+             max_resolution=8, dense_oversubscribed=False),
+    ],
+    ids=["dense_mixed", "all_hash_oversub"],
+)
+def test_ngp_fit_kernel_ladder_configs(enc_kwargs):
+    """Every scripts/fit_ladder.py schedule shape (dense+hash mix and
+    oversubscribed all-hash) runs through the fused fit engine and matches
+    jax.grad — the CPU gate for the hardware compression sweep."""
+    from phys_autodiff_tpu.models.hash_encoder import HashEncodingConfig
+    from phys_autodiff_tpu.models.ngp import NGPFieldConfig
+
+    g = _grid(nx=16, ny=8, nz=6)
+    ncfg = NGPFieldConfig(
+        encoding=HashEncodingConfig(**enc_kwargs), hidden=16
+    )
+    assert bool(ncfg.encoding.dense_levels()) == enc_kwargs[
+        "dense_oversubscribed"
+    ]
+    params = ff.init_any(ncfg, seed=5)
+    tgt = _target(g, seed=6)
+    w = PhysWeights(w_sigma=1.1, w_u=0.7)
+    packed = pfit.pack_target(g, tgt.sigma, tgt.u)
+
+    loss_k, (gp_k, _) = pfit.ngp_fit_loss_and_grad(
+        g, ncfg, params, packed, tgt.t, w, interpret=True
+    )
+    loss_x, gp_x = jax.value_and_grad(
+        lambda p: ff.data_loss(g, ncfg, p, tgt, w)
+    )(params)
+
+    np.testing.assert_allclose(float(loss_k), float(loss_x), rtol=1e-6)
+    flat_k, _ = jax.flatten_util.ravel_pytree(gp_k)
+    flat_x, _ = jax.flatten_util.ravel_pytree(gp_x)
+    err = float(
+        jnp.linalg.norm(flat_k - flat_x) / (jnp.linalg.norm(flat_x) + 1e-30)
+    )
+    assert err < 2e-5, err
