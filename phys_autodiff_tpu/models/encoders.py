@@ -28,6 +28,8 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, Callable
 
+import jax
+
 from phys_autodiff_tpu.models import fourier as _fourier
 from phys_autodiff_tpu.models import hash_encoder as _hash
 from phys_autodiff_tpu.models.fourier import FourierEncodingConfig
@@ -71,6 +73,17 @@ class EncoderFamily:
       encode_grid_zcf_rows(cfg, params, g, rows) -> [len(rows), ...] —
         encode_grid_zcf restricted to the given global z rows, bit-identical
         per row (the sharded step's shard-local encoder contract)
+
+    OPTIONAL fast variants (default None -> the exact callables serve both
+    tiers): `encode_grid_zcf_fast` / `encode_grid_zcf_rows_fast` are
+    reduced-precision encodes for consumers that truncate the encoding to
+    bf16 anyway (the bf16-tier one-kernel steps). Contract: same shapes and
+    differentiability as the exact callables, output (and VJP) within the
+    bf16 tier's 5e-2 relative doctrine of the exact encode. The hash family
+    uses these to run its dense-level resample matmuls at DEFAULT precision
+    instead of HIGHEST (1 MXU pass per dot instead of ~6 — measured as the
+    bf16 NGP fit step's dominant cost); parameter-free families have no
+    matmuls to relax, so fast == exact by fallback.
     """
 
     name: str
@@ -80,6 +93,10 @@ class EncoderFamily:
     encode_grid: Callable[[Any, Any, Any], Any]
     encode_grid_zcf: Callable[[Any, Any, Any], Any]
     encode_grid_zcf_rows: Callable[[Any, Any, Any, Any], Any]
+    encode_grid_zcf_fast: Callable[[Any, Any, Any], Any] | None = None
+    encode_grid_zcf_rows_fast: Callable[[Any, Any, Any, Any], Any] | None = (
+        None
+    )
 
 
 _REGISTRY: dict[type, EncoderFamily] = {}
@@ -144,16 +161,27 @@ def encode_grid(cfg, params, g):
     return family_of(cfg).encode_grid(cfg, params, g)
 
 
-def encode_grid_zcf(cfg, params, g):
+def encode_grid_zcf(cfg, params, g, *, fast: bool = False):
     """Regular grid -> [nz, out_dim, ny, nx] (z-major channel-first, the
-    NGP backward mega-kernel's input layout)."""
-    return family_of(cfg).encode_grid_zcf(cfg, params, g)
+    NGP backward mega-kernel's input layout). `fast=True` requests the
+    family's reduced-precision variant for bf16-tier consumers (falls back
+    to the exact encode when the family registers none — see the
+    EncoderFamily docstring for the fast contract)."""
+    fam = family_of(cfg)
+    if fast and fam.encode_grid_zcf_fast is not None:
+        return fam.encode_grid_zcf_fast(cfg, params, g)
+    return fam.encode_grid_zcf(cfg, params, g)
 
 
-def encode_grid_zcf_rows(cfg, params, g, rows):
+def encode_grid_zcf_rows(cfg, params, g, rows, *, fast: bool = False):
     """encode_grid_zcf restricted to the given global z rows (bit-identical
-    per row — the sharded step's shard-local encoder contract)."""
-    return family_of(cfg).encode_grid_zcf_rows(cfg, params, g, rows)
+    per row — the sharded step's shard-local encoder contract; under
+    `fast=True`, row-identical to the matching encode_grid_zcf(fast=True)
+    row)."""
+    fam = family_of(cfg)
+    if fast and fam.encode_grid_zcf_rows_fast is not None:
+        return fam.encode_grid_zcf_rows_fast(cfg, params, g, rows)
+    return fam.encode_grid_zcf_rows(cfg, params, g, rows)
 
 
 register_family(
@@ -168,6 +196,14 @@ register_family(
         encode_grid=_hash.encode_grid,
         encode_grid_zcf=_hash.encode_grid_zcf,
         encode_grid_zcf_rows=_hash.encode_grid_zcf_rows,
+        encode_grid_zcf_fast=lambda cfg, params, g: _hash.encode_grid_zcf(
+            cfg, params, g, precision=jax.lax.Precision.DEFAULT
+        ),
+        encode_grid_zcf_rows_fast=lambda cfg, params, g, rows: (
+            _hash.encode_grid_zcf_rows(
+                cfg, params, g, rows, precision=jax.lax.Precision.DEFAULT
+            )
+        ),
     ),
 )
 

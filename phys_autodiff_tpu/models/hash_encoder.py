@@ -305,19 +305,26 @@ def _resample_matrix(n: int, r: int) -> np.ndarray:
     return m
 
 
-def _axis_lerp_dense(grid, n: int, r: int, axis: int):
+def _axis_lerp_dense(grid, n: int, r: int, axis: int, precision=None):
     """Matmul form of _axis_lerp: contracting with the static interpolation
     matrix makes the VJP a TRANSPOSED MATMUL instead of a scatter-add — the
     whole point of dense levels (the backward scatter into the tables was
-    the NGP step's bottleneck). HIGHEST precision keeps the two-nonzero
-    contraction bit-comparable to the lerp's f32 FMA."""
+    the NGP step's bottleneck). HIGHEST precision (the default) keeps the
+    two-nonzero contraction bit-comparable to the lerp's f32 FMA; bf16-tier
+    consumers pass DEFAULT (see encode_grid_zcf's `precision`), since they
+    truncate the encoding to bf16 anyway and HIGHEST costs multiple MXU
+    passes per dot."""
+    if precision is None:
+        precision = jax.lax.Precision.HIGHEST
     m = jnp.asarray(_resample_matrix(n, r))
-    out = jnp.tensordot(grid, m, axes=([axis], [0]), precision=jax.lax.Precision.HIGHEST)
+    out = jnp.tensordot(grid, m, axes=([axis], [0]), precision=precision)
     # tensordot appends the new axis last; restore it to `axis`
     return jnp.moveaxis(out, -1, axis)
 
 
-def encode_grid_zcf(cfg: HashEncodingConfig, tables, g) -> jnp.ndarray:
+def encode_grid_zcf(
+    cfg: HashEncodingConfig, tables, g, precision=None
+) -> jnp.ndarray:
     """encode_grid in the z-major CHANNEL-FIRST layout [nz, L*F, ny, nx]
     the NGP backward mega-kernel consumes (pallas/mega_ngp.py) — per-z
     blocks of feature planes, so the kernel's BlockSpec fetches one row's
@@ -328,12 +335,20 @@ def encode_grid_zcf(cfg: HashEncodingConfig, tables, g) -> jnp.ndarray:
     the flagship grid) to [z, F, y, x], then the three separable resamples
     run on axes (0, 2, 3), and levels concatenate on the feature axis.
     Numerically identical to encode_grid up to summation order (the same
-    static resampling weights contract the same corner values)."""
-    return _encode_grid_zcf_impl(cfg, tables, g, None)
+    static resampling weights contract the same corner values).
+
+    `precision=None` (the default) pins the dense-level resample matmuls to
+    HIGHEST — the exact-f32 tier. bf16-tier kernel callers pass
+    jax.lax.Precision.DEFAULT: they truncate the encoding (and its dEnc
+    cotangent) to bf16 operands regardless, and HIGHEST costs ~6 MXU passes
+    per dot for accuracy the consumer immediately throws away. The VJP
+    inherits the same precision (the pullback is the transposed matmul of
+    the same dots). DEFAULT stays within the bf16 tier's 5e-2 doctrine."""
+    return _encode_grid_zcf_impl(cfg, tables, g, None, precision)
 
 
 def encode_grid_zcf_rows(
-    cfg: HashEncodingConfig, tables, g, rows: jnp.ndarray
+    cfg: HashEncodingConfig, tables, g, rows: jnp.ndarray, precision=None
 ) -> jnp.ndarray:
     """encode_grid_zcf restricted to the given GLOBAL z rows (a traced int
     vector, e.g. a shard's own rows plus stencil halos under shard_map) ->
@@ -346,11 +361,17 @@ def encode_grid_zcf_rows(
     lerp with _axis_lerp's own indices/weights gathered at `rows`. Each
     produced row is bit-identical to the matching encode_grid_zcf row; the
     sharded NGP step uses this to encode (and pull back) only nz/shards + 4
-    rows per device instead of the full grid on every device."""
-    return _encode_grid_zcf_impl(cfg, tables, g, rows)
+    rows per device instead of the full grid on every device. `precision`
+    follows encode_grid_zcf's contract (None -> HIGHEST exact tier;
+    DEFAULT for bf16-tier consumers)."""
+    return _encode_grid_zcf_impl(cfg, tables, g, rows, precision)
 
 
-def _encode_grid_zcf_impl(cfg: HashEncodingConfig, tables, g, rows):
+def _encode_grid_zcf_impl(
+    cfg: HashEncodingConfig, tables, g, rows, precision=None
+):
+    if precision is None:
+        precision = jax.lax.Precision.HIGHEST
     nz, ny, nx = g.shape
     hash_tables, dense = _tables_view(cfg, tables)
     hash_pos = {l: i for i, l in enumerate(cfg.hash_levels())}
@@ -372,18 +393,17 @@ def _encode_grid_zcf_impl(cfg: HashEncodingConfig, tables, g, rows):
         corner = jnp.moveaxis(corner, -1, 1)  # [z, F, y, x] (lattice-sized)
         if lvl in dense:
             if rows is None:
-                lev = _axis_lerp_dense(corner, nz, r, 0)
+                lev = _axis_lerp_dense(corner, nz, r, 0, precision)
             else:
                 mz = jnp.take(
                     jnp.asarray(_resample_matrix(nz, r)), rows, axis=1
                 )  # [r+1, K] — the K selected columns
                 lev = jnp.tensordot(
-                    corner, mz, axes=([0], [0]),
-                    precision=jax.lax.Precision.HIGHEST,
+                    corner, mz, axes=([0], [0]), precision=precision
                 )  # [F, y, x, K]
                 lev = jnp.moveaxis(lev, -1, 0)
-            lev = _axis_lerp_dense(lev, ny, r, 2)
-            lev = _axis_lerp_dense(lev, nx, r, 3)
+            lev = _axis_lerp_dense(lev, ny, r, 2, precision)
+            lev = _axis_lerp_dense(lev, nx, r, 3, precision)
         else:
             if rows is None:
                 lev = _axis_lerp(corner, nz, r, 0)

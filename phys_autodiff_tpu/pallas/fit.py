@@ -624,13 +624,19 @@ def ngp_fit_loss_and_grad(
     has_enc_params = any(
         leaf.size > 0 for leaf in jax.tree_util.tree_leaves(params["tables"])
     )
+    # bf16 tier: the kernel truncates enc (and emits dEnc feeding a bf16-
+    # class gradient) anyway, so the encoder fwd/VJP runs the family's fast
+    # variant — measured as this step's dominant cost at HIGHEST.
+    fast_enc = precision == "bf16"
     if has_enc_params:
         enc_zcf, enc_vjp = jax.vjp(
-            lambda tb: encode_grid_zcf(ncfg.encoding, tb, g),
+            lambda tb: encode_grid_zcf(ncfg.encoding, tb, g, fast=fast_enc),
             params["tables"],
         )  # [nz, LF, ny, nx]
     else:
-        enc_zcf = encode_grid_zcf(ncfg.encoding, params["tables"], g)
+        enc_zcf = encode_grid_zcf(
+            ncfg.encoding, params["tables"], g, fast=fast_enc
+        )
     m = g.ny * g.nx
     enc_k = enc_zcf.reshape(g.nz, lf, m // 128, 128)
     w1 = params["W1"]  # [LF+1, H]
@@ -711,14 +717,17 @@ def ngp_fit_loss_and_grad_sharded(
         t = jnp.float32(t)
         me = jax.lax.axis_index(Z_AXIS)
         rows = me * nz_local + jnp.arange(nz_local)
+        fast_enc = precision == "bf16"  # same tier rule as the single-chip step
         if has_enc:
             enc_rows, enc_vjp = jax.vjp(
-                lambda tb: encode_grid_zcf_rows(ncfg.encoding, tb, g, rows),
+                lambda tb: encode_grid_zcf_rows(
+                    ncfg.encoding, tb, g, rows, fast=fast_enc
+                ),
                 params["tables"],
             )  # [nz_local, LF, ny, nx]
         else:
             enc_rows = encode_grid_zcf_rows(
-                ncfg.encoding, params["tables"], g, rows
+                ncfg.encoding, params["tables"], g, rows, fast=fast_enc
             )
         enc_k = enc_rows.reshape(nz_local, lf, m // 128, 128)
         w1 = params["W1"]

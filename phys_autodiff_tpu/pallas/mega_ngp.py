@@ -508,13 +508,19 @@ def ngp_loss_and_grad(
     has_enc_params = any(
         leaf.size > 0 for leaf in jax.tree_util.tree_leaves(params["tables"])
     )
+    # bf16 tier: the kernel truncates enc (and its dEnc cotangent feeds a
+    # bf16-class gradient) anyway, so the encoder fwd/VJP runs the family's
+    # fast variant (DEFAULT-precision resamples for the hash family).
+    fast_enc = precision == "bf16"
     if has_enc_params:
         enc_zcf, enc_vjp = jax.vjp(
-            lambda tb: encode_grid_zcf(ncfg.encoding, tb, g),
+            lambda tb: encode_grid_zcf(ncfg.encoding, tb, g, fast=fast_enc),
             params["tables"],
         )  # [nz, LF, ny, nx]
     else:
-        enc_zcf = encode_grid_zcf(ncfg.encoding, params["tables"], g)
+        enc_zcf = encode_grid_zcf(
+            ncfg.encoding, params["tables"], g, fast=fast_enc
+        )
     if mega_flat(g):
         enc_k = enc_zcf.reshape(g.nz, lf, flat_rows(g), 128)
     else:
@@ -613,14 +619,17 @@ def ngp_loss_and_grad_sharded(
         z0 = (me * nz_local).astype(jnp.int32)
         rows = z0 - 2 + jnp.arange(nz_local + 4)
         rows = rows % nz if g.periodic else jnp.clip(rows, 0, nz - 1)
+        fast_enc = precision == "bf16"  # same tier rule as the single-chip step
         if has_enc:
             enc_rows, enc_vjp = jax.vjp(
-                lambda tb: encode_grid_zcf_rows(ncfg.encoding, tb, g, rows),
+                lambda tb: encode_grid_zcf_rows(
+                    ncfg.encoding, tb, g, rows, fast=fast_enc
+                ),
                 params["tables"],
             )  # [nz_local + 4, LF, ny, nx]
         else:
             enc_rows = encode_grid_zcf_rows(
-                ncfg.encoding, params["tables"], g, rows
+                ncfg.encoding, params["tables"], g, rows, fast=fast_enc
             )
         enc_ext = enc_rows.reshape(nz_local + 4, lf, pny, pnx)
         w1 = params["W1"]

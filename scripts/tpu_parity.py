@@ -582,6 +582,62 @@ def run_fit_ngp(nx, ny, nz):
           1e-4)
 
 
+def run_fast_encoder(nx, ny, nz):
+    """Round-3 fast-encoder tier: the hash family's DEFAULT-precision
+    resample (encode_grid_zcf fast=True — what the bf16-tier kernels feed
+    on) stays within the bf16 5e-2 doctrine of the exact HIGHEST encode,
+    the shard-rows variant matches the grid variant at the shard's rows,
+    and the bf16 NGP fit step that consumes it keeps loss/grad parity
+    class vs jax.grad of the staged data loss. On CPU DEFAULT == HIGHEST,
+    so only this hardware arm can see the precision split."""
+    import jax.flatten_util
+
+    from phys_autodiff_tpu.models import encoders
+    from phys_autodiff_tpu.models.ngp import NGPFieldConfig
+    from phys_autodiff_tpu.pallas import fit as pfit
+    from phys_autodiff_tpu.train import fit_field as ff
+
+    g = GridSpec(nx=nx, ny=ny, nz=nz, hx=L / nx, hy=L / ny, hz=L / nz, dt=1e-3)
+    print(f"fast encoder tier {nx}x{ny}x{nz}")
+    ncfg = NGPFieldConfig()
+    params = ff.init_any(ncfg, seed=13)
+    enc_exact = jax.jit(
+        lambda tb: encoders.encode_grid_zcf(ncfg.encoding, tb, g)
+    )(params["tables"])
+    enc_fast = jax.jit(
+        lambda tb: encoders.encode_grid_zcf(ncfg.encoding, tb, g, fast=True)
+    )(params["tables"])
+    check("fast encode vs exact rel",
+          rel_l2_err(np.asarray(enc_fast, np.float64),
+                     np.asarray(enc_exact, np.float64)), 5e-2)
+    rows = jnp.arange(nz // 4, nz // 4 + nz // 8, dtype=jnp.int32)
+    enc_rows = jax.jit(
+        lambda tb: encoders.encode_grid_zcf_rows(
+            ncfg.encoding, tb, g, rows, fast=True)
+    )(params["tables"])
+    check("fast rows vs fast grid rel",
+          rel_l2_err(np.asarray(enc_rows, np.float64),
+                     np.asarray(enc_fast, np.float64)[np.asarray(rows)]),
+          1e-6)
+    f = manufactured.solution2_fields(g, 0.7)
+    tgt = ff.FitTarget(jnp.asarray(f["sigma_t"]), jnp.asarray(f["u_t"]), 0.3)
+    packed = pfit.pack_target(g, tgt.sigma, tgt.u)
+    l_k, (gp_k, _) = jax.jit(
+        lambda p: pfit.ngp_fit_loss_and_grad(
+            g, ncfg, p, packed, tgt.t, precision="bf16")
+    )(params)
+    l_x, gp_x = jax.jit(
+        jax.value_and_grad(lambda p: ff.data_loss(g, ncfg, p, tgt))
+    )(params)
+    check("bf16 ngp fit loss rel",
+          abs(float(l_k) - float(l_x)) / abs(float(l_x)), 5e-2)
+    fk, _ = jax.flatten_util.ravel_pytree(gp_k)
+    fx, _ = jax.flatten_util.ravel_pytree(gp_x)
+    check("bf16 ngp fit grads rel (global)",
+          rel_l2_err(np.asarray(fk, np.float64), np.asarray(fx, np.float64)),
+          5e-2)
+
+
 if __name__ == "__main__":
     print("devices:", jax.devices())
     run(128, 96, 96, True)   # slab kernel
@@ -607,6 +663,7 @@ if __name__ == "__main__":
     run_fit(128, 96, 96)     # one-kernel fit step, aligned plane
     run_fit(96, 96, 64)      # unaligned nx (flat M rows)
     run_fit_ngp(128, 96, 96)  # NGP fused fit step
+    run_fast_encoder(128, 96, 96)  # bf16-tier DEFAULT-precision encoder
     if FAILURES:
         print("FAILURES:", FAILURES)
         sys.exit(1)

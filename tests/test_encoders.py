@@ -153,6 +153,76 @@ def test_toy_family_mega_matches_staged_grad(periodic):
         assert _leaf_close(g_ref[k], grads[k], tol), k
 
 
+def test_fast_encode_dispatch():
+    """The fast-encode registry surface: families WITHOUT a fast variant
+    fall back to the exact encode bit-for-bit; families WITH one route
+    fast=True there (pinned with a marker impl); the built-in hash family
+    registers fast variants that keep shapes/values within the bf16-tier
+    doctrine (on this CPU backend DEFAULT == HIGHEST, so exact equality —
+    the precision split is a TPU-only effect checked by the hardware
+    parity sweep, scripts/tpu_parity.py)."""
+    g, _, _, _ = _setup(nx=12, ny=7, nz=5)
+
+    # 1) no-fast family: fallback is the exact callable
+    p = encoders.init_params(ENC, seed=3)
+    exact = np.asarray(encoders.encode_grid_zcf(ENC, p, g))
+    fast = np.asarray(encoders.encode_grid_zcf(ENC, p, g, fast=True))
+    np.testing.assert_array_equal(exact, fast)
+    rows = jnp.asarray([2, 0, 4], jnp.int32)
+    np.testing.assert_array_equal(
+        np.asarray(encoders.encode_grid_zcf_rows(ENC, p, g, rows)),
+        np.asarray(encoders.encode_grid_zcf_rows(ENC, p, g, rows, fast=True)),
+    )
+
+    # 2) fast routing is actually taken when registered
+    @dataclasses.dataclass(frozen=True)
+    class MarkedConfig:
+        base: FourierEncodingConfig = FourierEncodingConfig(num_frequencies=1)
+
+        @property
+        def out_dim(self) -> int:
+            return self.base.out_dim
+
+    base_fam = encoders.family_of(ENC)
+    register_family(
+        MarkedConfig,
+        dataclasses.replace(
+            base_fam,
+            name="marked",
+            encode_grid_zcf_fast=lambda cfg, p, g: (
+                2.0 * base_fam.encode_grid_zcf(cfg, p, g)
+            ),
+            encode_grid_zcf_rows_fast=lambda cfg, p, g, rows: (
+                2.0 * base_fam.encode_grid_zcf_rows(cfg, p, g, rows)
+            ),
+        ),
+    )
+    mc = MarkedConfig()
+    pm = encoders.init_params(mc, seed=0)
+    e = np.asarray(encoders.encode_grid_zcf(mc, pm, g))
+    f = np.asarray(encoders.encode_grid_zcf(mc, pm, g, fast=True))
+    np.testing.assert_allclose(f, 2.0 * e, rtol=1e-6)
+    er = np.asarray(encoders.encode_grid_zcf_rows(mc, pm, g, rows))
+    fr = np.asarray(encoders.encode_grid_zcf_rows(mc, pm, g, rows, fast=True))
+    np.testing.assert_allclose(fr, 2.0 * er, rtol=1e-6)
+
+    # 3) hash family: fast variants registered, shape-identical, exact on CPU
+    from phys_autodiff_tpu.models.hash_encoder import HashEncodingConfig
+
+    hcfg = HashEncodingConfig(
+        num_levels=3, base_resolution=3, max_resolution=10,
+        log2_table_size=5, dense_oversubscribed=True,
+    )
+    assert hcfg.dense_levels(), "config must exercise the dense matmul path"
+    ht = encoders.init_params(hcfg, seed=1)
+    he = np.asarray(encoders.encode_grid_zcf(hcfg, ht, g))
+    hf = np.asarray(encoders.encode_grid_zcf(hcfg, ht, g, fast=True))
+    assert he.shape == hf.shape
+    np.testing.assert_allclose(hf, he, rtol=1e-6, atol=1e-7)
+    hr = np.asarray(encoders.encode_grid_zcf_rows(hcfg, ht, g, rows, fast=True))
+    np.testing.assert_allclose(hr, hf[np.asarray(rows)], rtol=1e-6, atol=1e-7)
+
+
 def test_toy_family_sharded_matches_single():
     """The sharded per-shard kernel serves the registered family: the
     shard-local encode_grid_zcf_rows + psum'd encoder-gradient pullback
