@@ -74,8 +74,18 @@ class EulerState(NamedTuple):
     u: jnp.ndarray  # [3, nz, ny, nx]
 
 
-def _project(g: GridSpec, u: jnp.ndarray, cfg: EulerConfig) -> jnp.ndarray:
+def _project(
+    g: GridSpec, u: jnp.ndarray, cfg: EulerConfig, mask=None
+) -> jnp.ndarray:
     mode = cfg.projection
+    if mask is not None and mode != "none":
+        # obstacles have no fast diagonalization; always the masked CGNR
+        # solve (ops.obstacles.project_masked), either boundary mode
+        from phys_autodiff_tpu.ops import obstacles
+
+        return obstacles.project_masked(
+            g, u, mask, maxiter=cfg.cg_maxiter, tol=cfg.cg_tol
+        )
     if mode == "auto":
         mode = "fft" if g.periodic else "cg"
     if mode == "fft":
@@ -137,35 +147,60 @@ def _advect_many(g: GridSpec, cfg: EulerConfig):
 
 
 def euler_step(
-    g: GridSpec, state: EulerState, cfg: EulerConfig
+    g: GridSpec, state: EulerState, cfg: EulerConfig, *, mask=None
 ) -> EulerState:
     """One advect/force/project step. Velocity self-advection uses the
     pre-step velocity for the backtrace (standard semi-Lagrangian
     linearization); the density advects through the POST-projection
-    velocity so it is transported by a divergence-free field."""
+    velocity so it is transported by a divergence-free field.
+
+    `mask` (optional [nz, ny, nx] fluid mask, 1 = fluid, 0 = solid —
+    ops.obstacles) adds internal solid boundaries: every stage's output
+    is re-masked (no-slip; exact fixed point for semi-Lagrangian
+    advection, enforcement for MacCormack's corrector and the implicit
+    diffusion resolvent, which are solved obstacle-blind — first-order
+    splitting), forces act on fluid cells only, and the projection is
+    the masked CGNR solve. The smoke density is also zeroed in solids
+    (it can never be transported in: the advecting velocity is zero
+    there)."""
     sigma, u = state
     dt = jnp.float32(cfg.dt)
     advect = _advect(g, cfg)
+    if mask is not None:
+        from phys_autodiff_tpu.ops.obstacles import apply_no_slip
+
+        u = apply_no_slip(u, mask)
     # 1. self-advection through the frozen pre-step u — all 3 components
     #    in ONE batched pass (shared offsets; bitwise equal to
     #    component-wise, ~4x faster on TPU)
     u_adv = _advect_many(g, cfg)(u, u, cfg.dt)
+    if mask is not None:
+        u_adv = apply_no_slip(u_adv, mask)
     # 2. body forces: buoyancy (smoke density pushes +z) + vorticity
     #    confinement (computed from the post-advection velocity, the
     #    standard stage order — both are pre-projection, so the
     #    projection removes any divergence they inject)
     if cfg.buoyancy != 0.0:
         fz = jnp.float32(cfg.buoyancy) * sigma
+        if mask is not None:
+            fz = fz * mask
         u_adv = u_adv.at[2].add(dt * fz)
     if cfg.confinement != 0.0:
-        u_adv = u_adv + dt * vorticity_confinement(g, u_adv, cfg.confinement)
+        conf = vorticity_confinement(g, u_adv, cfg.confinement)
+        if mask is not None:
+            from phys_autodiff_tpu.ops.obstacles import apply_no_slip
+
+            conf = apply_no_slip(conf, mask)
+        u_adv = u_adv + dt * conf
     # 3. implicit viscosity (Stam order: diffuse, then project so the
     #    field the density sees is solenoidal; on periodic grids the
     #    compact Laplacian commutes with div, so the order is moot there)
     if cfg.viscosity != 0.0:
         u_adv = diffusion.diffuse(g, u_adv, cfg.viscosity, cfg.dt)
-    # 4. pressure projection
-    u_new = _project(g, u_adv, cfg)
+        if mask is not None:
+            u_adv = apply_no_slip(u_adv, mask)
+    # 4. pressure projection (masked CGNR when obstacles are present)
+    u_new = _project(g, u_adv, cfg, mask)
     # 5. density transport through the divergence-free field, then
     #    implicit scalar diffusion (both stages preserve the max principle:
     #    monotone interpolation / M-matrix resolvent; the limited
@@ -174,11 +209,13 @@ def euler_step(
     sigma_new = advect(sigma, u_new, cfg.dt)
     if cfg.diffusivity != 0.0:
         sigma_new = diffusion.diffuse(g, sigma_new, cfg.diffusivity, cfg.dt)
+    if mask is not None:
+        sigma_new = sigma_new * mask
     return EulerState(sigma_new, u_new)
 
 
 def rollout(
-    g: GridSpec, state0: EulerState, cfg: EulerConfig
+    g: GridSpec, state0: EulerState, cfg: EulerConfig, *, mask=None
 ):
     """cfg.steps Euler steps as one lax.scan (call under jit).
 
@@ -188,8 +225,19 @@ def rollout(
     With cfg.remat the step is checkpointed: differentiating through the
     rollout then stores one (sigma, u) pair per step instead of every
     interior intermediate (see EulerConfig.remat — measured on hardware,
-    scripts/euler_bench.py --remat)."""
-    step_fn = lambda s: euler_step(g, s, cfg)
+    scripts/euler_bench.py --remat).
+
+    `mask` adds solid obstacles (see euler_step); the max_abs_div
+    diagnostic then reports only INTERIOR fluid cells (the boundary
+    layer sees the solid through the wide stencil and is excluded —
+    ops.obstacles.fluid_divergence)."""
+    step_fn = lambda s: euler_step(g, s, cfg, mask=mask)
+    if mask is None:
+        div_of = lambda u: projection.projection_residual(g, u)
+    else:
+        from phys_autodiff_tpu.ops.obstacles import fluid_divergence
+
+        div_of = lambda u: fluid_divergence(g, u, mask)
     if cfg.remat:
         step_fn = jax.checkpoint(step_fn)
 
@@ -197,7 +245,7 @@ def rollout(
         new = step_fn(state)
         diag = (
             max_cfl(g, new.u, cfg.dt),
-            projection.projection_residual(g, new.u),
+            div_of(new.u),
             diagnostics.kinetic_energy(new.u),
         )
         return new, diag
@@ -366,6 +414,8 @@ def rollout_loss(
     sigma0: jnp.ndarray,
     target_sigma: jnp.ndarray,
     cfg: EulerConfig,
+    *,
+    mask=None,
 ) -> jnp.ndarray:
     """MSE between the density after a cfg.steps rollout from (sigma0, u0)
     and target_sigma — THE differentiable-simulation objective: every
@@ -375,9 +425,11 @@ def rollout_loss(
     adjoint of the whole rollout. u0 passes through the cfg's projection
     first, so under any projecting mode the search space is the solenoidal
     subspace the dynamics live in (with cfg.projection == "none" the
-    rollout itself is unprojected and u0 is taken as-is)."""
-    u0 = _project(g, u0, cfg)
-    final, _ = rollout(g, EulerState(sigma0, u0), cfg)
+    rollout itself is unprojected and u0 is taken as-is). With a fluid
+    `mask` the whole chain is obstacle-aware (masks are multiplies, so
+    the adjoint passes through them exactly)."""
+    u0 = _project(g, u0, cfg, mask)
+    final, _ = rollout(g, EulerState(sigma0, u0), cfg, mask=mask)
     d = final.sigma - target_sigma
     return jnp.mean(d * d)
 
@@ -391,6 +443,7 @@ def fit_initial_velocity(
     u0_init: jnp.ndarray | None = None,
     opt_steps: int = 50,
     learning_rate: float = 0.5,
+    mask=None,
 ):
     """Inverse problem / control: find the initial velocity whose
     cfg.steps-step rollout carries sigma0 to target_sigma, by Adam on
@@ -413,7 +466,8 @@ def fit_initial_velocity(
         u0_init = jnp.zeros((3,) + g.shape, jnp.float32)
     opt = optax.adam(learning_rate)
 
-    loss_of = lambda u0: rollout_loss(g, u0, sigma0, target_sigma, cfg)
+    loss_of = lambda u0: rollout_loss(
+        g, u0, sigma0, target_sigma, cfg, mask=mask)
 
     @jax.jit
     def solve(u0):
@@ -425,7 +479,7 @@ def fit_initial_velocity(
 
         (u, _), losses = jax.lax.scan(
             body, (u0, opt.init(u0)), None, length=opt_steps)
-        return _project(g, u, cfg), losses
+        return _project(g, u, cfg, mask), losses
 
     return solve(u0_init)
 

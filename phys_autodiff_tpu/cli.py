@@ -219,6 +219,34 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def _parse_obstacles(g, specs):
+    """--obstacle values -> fluid mask (None when no obstacles).
+
+    Syntax (cell indices, z-y-x order like the array layout):
+      box:z0,y0,x0:z1,y1,x1     solid box over [lo, hi)
+      sphere:cz,cy,cx:r         solid sphere, physical-unit radius
+    """
+    if not specs:
+        return None
+    from phys_autodiff_tpu.ops import obstacles
+
+    masks = []
+    for s in specs:
+        parts = s.split(":")
+        if parts[0] == "box" and len(parts) == 3:
+            lo = [int(v) for v in parts[1].split(",")]
+            hi = [int(v) for v in parts[2].split(",")]
+            masks.append(obstacles.box_mask(g, lo, hi))
+        elif parts[0] == "sphere" and len(parts) == 3:
+            c = [float(v) for v in parts[1].split(",")]
+            masks.append(obstacles.sphere_mask(g, c, float(parts[2])))
+        else:
+            raise SystemExit(
+                f"bad --obstacle {s!r}: expected box:z0,y0,x0:z1,y1,x1 "
+                "or sphere:cz,cy,cx:r")
+    return obstacles.union(*masks)
+
+
 def cmd_simulate(args) -> int:
     import jax
     import jax.numpy as jnp
@@ -243,7 +271,13 @@ def cmd_simulate(args) -> int:
         dt=args.sim_dt, steps=args.steps_per_frame, buoyancy=args.buoyancy,
         advection=args.advection, confinement=args.confinement,
         projection="fft" if g.periodic else "cg")
-    roll = jax.jit(lambda s: euler.rollout(g, s, cfg))
+    mask = _parse_obstacles(g, args.obstacle)
+    if mask is not None:
+        from phys_autodiff_tpu.ops.obstacles import apply_no_slip
+
+        state = euler.EulerState(
+            state.sigma * mask, apply_no_slip(state.u, mask))
+    roll = jax.jit(lambda s: euler.rollout(g, s, cfg, mask=mask))
     frames = []
     diags = []
     for _ in range(args.frames):
@@ -325,6 +359,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--advection",
                    choices=["semi_lagrangian", "maccormack"],
                    default="maccormack")
+    p.add_argument("--obstacle", action="append", default=[],
+                   help="solid obstacle (repeatable): "
+                        "box:z0,y0,x0:z1,y1,x1 or sphere:cz,cy,cx:r "
+                        "(cell indices, z-y-x; sphere radius in "
+                        "physical units). Projection switches to the "
+                        "masked CGNR solve.")
     p.add_argument("--out", required=True, help="VTK series prefix")
 
     p = sub.add_parser("export", help="snapshot .npz -> VTK")

@@ -1,5 +1,5 @@
 from phys_autodiff_tpu.ops.stencil import FieldSnapshots, residuals, shift, central_diff
-from phys_autodiff_tpu.ops import diagnostics, diffusion, projection
+from phys_autodiff_tpu.ops import diagnostics, diffusion, obstacles, projection
 from phys_autodiff_tpu.ops.loss import (
     loss_forward,
     loss_forward_f64,
@@ -12,6 +12,7 @@ __all__ = [
     "FieldSnapshots",
     "diagnostics",
     "diffusion",
+    "obstacles",
     "projection",
     "residuals",
     "shift",

@@ -145,6 +145,29 @@ def test_cli_train_serve_simulate_export_pipeline(capsys, tmp_path):
     assert np.isfinite(out["final_max_abs_div"])
 
 
+def test_cli_simulate_with_obstacles(capsys, tmp_path):
+    prefix = str(tmp_path / "obst")
+    rc, out = _run(capsys, [
+        "simulate", "--grid", "12x8x8", "--frames", "2",
+        "--steps-per-frame", "2", "--sim-dt", "0.02",
+        "--obstacle", "box:2,2,3:5,5,8",
+        "--obstacle", "sphere:6,6,2:0.08",
+        "--out", prefix,
+    ])
+    assert rc == 0 and out["frames"] == 2
+    assert np.isfinite(out["final_max_abs_div"])
+    series = json.load(open(prefix + ".vtk.series"))
+    assert len(series["files"]) == 2
+
+    # malformed obstacle spec -> usage error, not a traceback
+    with pytest.raises(SystemExit):
+        cli.main([
+            "simulate", "--grid", "12x8x8", "--frames", "1",
+            "--obstacle", "torus:1,2,3", "--out", prefix + "2",
+        ])
+    capsys.readouterr()
+
+
 def test_cli_fit_from_snapshot(capsys, tmp_path):
     g = _tiny_grid()
     z, y, x = np.meshgrid(np.arange(g.nz), np.arange(g.ny), np.arange(g.nx),
