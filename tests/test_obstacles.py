@@ -180,6 +180,47 @@ def test_masked_rollout_is_differentiable():
     assert float(np.abs(ga).max()) > 0.0
 
 
+def test_masked_rollout_gspmd_matches_single_chip():
+    """The obstacle-aware rollout is pure jnp (masks are multiplies, the
+    projection is CG), so the GSPMD partitioner runs it multi-chip
+    unchanged: z-shard the state AND the mask over the 8-device mesh and
+    the rollout must match the single-chip result (fp tolerance — CG dot
+    products psum in a different order)."""
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from phys_autodiff_tpu.parallel.mesh import Z_AXIS, make_mesh
+
+    g = _grid(nx=16, ny=8, nz=16)
+    m = obstacles.box_mask(g, (5, 2, 4), (11, 6, 12))
+    rng = np.random.default_rng(9)
+    sigma0 = jnp.asarray(
+        np.abs(rng.normal(size=g.shape)).astype(np.float32)) * m
+    u0 = obstacles.apply_no_slip(_smooth_u(g, 9), m)
+    cfg = euler.EulerConfig(dt=0.05, steps=3, buoyancy=1.0, cg_maxiter=30)
+
+    single, _ = jax.jit(
+        lambda s, u: euler.rollout(g, euler.EulerState(s, u), cfg, mask=m)
+    )(sigma0, u0)
+
+    mesh = make_mesh(8)
+    sh_s = NamedSharding(mesh, P(Z_AXIS))
+    sh_u = NamedSharding(mesh, P(None, Z_AXIS))
+    m_d = jax.device_put(m, sh_s)
+    multi, _ = jax.jit(
+        lambda s, u, mm: euler.rollout(
+            g, euler.EulerState(s, u), cfg, mask=mm)
+    )(jax.device_put(sigma0, sh_s), jax.device_put(u0, sh_u), m_d)
+
+    np.testing.assert_allclose(
+        np.asarray(multi.sigma), np.asarray(single.sigma),
+        rtol=0, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(multi.u), np.asarray(single.u), rtol=0, atol=2e-5)
+    solid = np.asarray(1.0 - m, bool)
+    assert np.all(np.asarray(multi.u)[:, solid] == 0.0)
+
+
 def test_fluid_divergence_interior_only():
     """fluid_divergence ignores the boundary layer: a velocity whose
     divergence is nonzero ONLY inside the solid + its one-cell ring
