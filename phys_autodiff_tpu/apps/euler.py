@@ -74,6 +74,25 @@ class EulerState(NamedTuple):
     u: jnp.ndarray  # [3, nz, ny, nx]
 
 
+class EulerSource(NamedTuple):
+    """Continuous sources for the smoke solver (the classic
+    emitter + fan): per-step smoke injection d sigma/dt = sigma_rate
+    [nz, ny, nx] and a momentum body force f [3, nz, ny, nx] (both may
+    be zero arrays; build region-shaped fields with the ops.obstacles
+    mask helpers: rate * complement(box_mask(...))). A plain pytree, so
+    it shards, scans, and differentiates like the state itself."""
+
+    sigma_rate: jnp.ndarray  # [nz, ny, nx] smoke injected per unit time
+    force: jnp.ndarray  # [3, nz, ny, nx] momentum force (pre-projection)
+
+    @staticmethod
+    def zeros(g: GridSpec) -> "EulerSource":
+        return EulerSource(
+            jnp.zeros(g.shape, jnp.float32),
+            jnp.zeros((3,) + g.shape, jnp.float32),
+        )
+
+
 def _project(
     g: GridSpec, u: jnp.ndarray, cfg: EulerConfig, mask=None
 ) -> jnp.ndarray:
@@ -147,7 +166,12 @@ def _advect_many(g: GridSpec, cfg: EulerConfig):
 
 
 def euler_step(
-    g: GridSpec, state: EulerState, cfg: EulerConfig, *, mask=None
+    g: GridSpec,
+    state: EulerState,
+    cfg: EulerConfig,
+    *,
+    mask=None,
+    source: EulerSource | None = None,
 ) -> EulerState:
     """One advect/force/project step. Velocity self-advection uses the
     pre-step velocity for the backtrace (standard semi-Lagrangian
@@ -162,7 +186,15 @@ def euler_step(
     splitting), forces act on fluid cells only, and the projection is
     the masked CGNR solve. The smoke density is also zeroed in solids
     (it can never be transported in: the advecting velocity is zero
-    there)."""
+    there).
+
+    `source` (optional EulerSource) adds continuous emitters: the
+    momentum force joins the other body forces (pre-projection, so
+    injected divergence is removed like buoyancy's), and the smoke
+    injection sigma += dt * sigma_rate lands AFTER the density
+    transport (forward-Euler source splitting) — with zero velocity an
+    emitter therefore grows exactly linearly, the oracle the tests pin.
+    Sources in solid cells are ignored (masked)."""
     sigma, u = state
     dt = jnp.float32(cfg.dt)
     advect = _advect(g, cfg)
@@ -192,6 +224,11 @@ def euler_step(
 
             conf = apply_no_slip(conf, mask)
         u_adv = u_adv + dt * conf
+    if source is not None:
+        f = source.force
+        if mask is not None:
+            f = f * mask[None]
+        u_adv = u_adv + dt * f
     # 3. implicit viscosity (Stam order: diffuse, then project so the
     #    field the density sees is solenoidal; on periodic grids the
     #    compact Laplacian commutes with div, so the order is moot there)
@@ -207,6 +244,11 @@ def euler_step(
     #    MacCormack scheme is clamped into the neighbor-ring bounds, so
     #    the principle holds for it too)
     sigma_new = advect(sigma, u_new, cfg.dt)
+    if source is not None:
+        rate = source.sigma_rate
+        if mask is not None:
+            rate = rate * mask
+        sigma_new = sigma_new + dt * rate
     if cfg.diffusivity != 0.0:
         sigma_new = diffusion.diffuse(g, sigma_new, cfg.diffusivity, cfg.dt)
     if mask is not None:
@@ -215,7 +257,12 @@ def euler_step(
 
 
 def rollout(
-    g: GridSpec, state0: EulerState, cfg: EulerConfig, *, mask=None
+    g: GridSpec,
+    state0: EulerState,
+    cfg: EulerConfig,
+    *,
+    mask=None,
+    source: EulerSource | None = None,
 ):
     """cfg.steps Euler steps as one lax.scan (call under jit).
 
@@ -230,8 +277,9 @@ def rollout(
     `mask` adds solid obstacles (see euler_step); the max_abs_div
     diagnostic then reports only INTERIOR fluid cells (the boundary
     layer sees the solid through the wide stencil and is excluded —
-    ops.obstacles.fluid_divergence)."""
-    step_fn = lambda s: euler_step(g, s, cfg, mask=mask)
+    ops.obstacles.fluid_divergence). `source` adds continuous
+    emitters/forces (EulerSource), applied every step."""
+    step_fn = lambda s: euler_step(g, s, cfg, mask=mask, source=source)
     if mask is None:
         div_of = lambda u: projection.projection_residual(g, u)
     else:
@@ -416,6 +464,7 @@ def rollout_loss(
     cfg: EulerConfig,
     *,
     mask=None,
+    source: EulerSource | None = None,
 ) -> jnp.ndarray:
     """MSE between the density after a cfg.steps rollout from (sigma0, u0)
     and target_sigma — THE differentiable-simulation objective: every
@@ -427,9 +476,13 @@ def rollout_loss(
     subspace the dynamics live in (with cfg.projection == "none" the
     rollout itself is unprojected and u0 is taken as-is). With a fluid
     `mask` the whole chain is obstacle-aware (masks are multiplies, so
-    the adjoint passes through them exactly)."""
+    the adjoint passes through them exactly). `source` is a
+    differentiable argument too — close over a parameterized
+    EulerSource and jax.grad w.r.t. the emitter/force field to solve
+    source-control problems."""
     u0 = _project(g, u0, cfg, mask)
-    final, _ = rollout(g, EulerState(sigma0, u0), cfg, mask=mask)
+    final, _ = rollout(g, EulerState(sigma0, u0), cfg, mask=mask,
+                       source=source)
     d = final.sigma - target_sigma
     return jnp.mean(d * d)
 

@@ -247,6 +247,49 @@ def _parse_obstacles(g, specs):
     return obstacles.union(*masks)
 
 
+def _parse_sources(g, emitters, fans):
+    """--emitter/--fan values -> EulerSource (None when absent).
+
+    Syntax (cell indices, z-y-x order):
+      --emitter z0,y0,x0:z1,y1,x1:rate       smoke injection over [lo, hi)
+      --fan     z0,y0,x0:z1,y1,x1:fz,fy,fx   constant momentum force
+    """
+    if not emitters and not fans:
+        return None
+    import jax.numpy as jnp
+    import numpy as np
+
+    from phys_autodiff_tpu.apps.euler import EulerSource
+
+    rate = np.zeros(g.shape, np.float32)
+    force = np.zeros((3,) + g.shape, np.float32)
+
+    def _box(lo_s, hi_s):
+        z0, y0, x0 = (int(v) for v in lo_s.split(","))
+        z1, y1, x1 = (int(v) for v in hi_s.split(","))
+        return (slice(z0, z1), slice(y0, y1), slice(x0, x1))
+
+    for s in emitters:
+        try:
+            lo_s, hi_s, r = s.split(":")
+            rate[_box(lo_s, hi_s)] += float(r)
+        except (ValueError, TypeError):
+            raise SystemExit(
+                f"bad --emitter {s!r}: expected z0,y0,x0:z1,y1,x1:rate")
+    for s in fans:
+        try:
+            lo_s, hi_s, f_s = s.split(":")
+            fz, fy, fx = (float(v) for v in f_s.split(","))
+            box = _box(lo_s, hi_s)
+            force[(2,) + box] += fz
+            force[(1,) + box] += fy
+            force[(0,) + box] += fx
+        except (ValueError, TypeError):
+            raise SystemExit(
+                f"bad --fan {s!r}: expected z0,y0,x0:z1,y1,x1:fz,fy,fx")
+    return EulerSource(jnp.asarray(rate), jnp.asarray(force))
+
+
 def cmd_simulate(args) -> int:
     import jax
     import jax.numpy as jnp
@@ -272,12 +315,14 @@ def cmd_simulate(args) -> int:
         advection=args.advection, confinement=args.confinement,
         projection="fft" if g.periodic else "cg")
     mask = _parse_obstacles(g, args.obstacle)
+    source = _parse_sources(g, args.emitter, args.fan)
     if mask is not None:
         from phys_autodiff_tpu.ops.obstacles import apply_no_slip
 
         state = euler.EulerState(
             state.sigma * mask, apply_no_slip(state.u, mask))
-    roll = jax.jit(lambda s: euler.rollout(g, s, cfg, mask=mask))
+    roll = jax.jit(
+        lambda s: euler.rollout(g, s, cfg, mask=mask, source=source))
     frames = []
     diags = []
     for _ in range(args.frames):
@@ -365,6 +410,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "(cell indices, z-y-x; sphere radius in "
                         "physical units). Projection switches to the "
                         "masked CGNR solve.")
+    p.add_argument("--emitter", action="append", default=[],
+                   help="smoke emitter (repeatable): "
+                        "z0,y0,x0:z1,y1,x1:rate — injects "
+                        "d sigma/dt = rate over the box")
+    p.add_argument("--fan", action="append", default=[],
+                   help="momentum source (repeatable): "
+                        "z0,y0,x0:z1,y1,x1:fz,fy,fx — constant body "
+                        "force over the box (pre-projection)")
     p.add_argument("--out", required=True, help="VTK series prefix")
 
     p = sub.add_parser("export", help="snapshot .npz -> VTK")

@@ -168,6 +168,27 @@ def test_cli_simulate_with_obstacles(capsys, tmp_path):
     capsys.readouterr()
 
 
+def test_cli_simulate_with_sources(capsys, tmp_path):
+    prefix = str(tmp_path / "src")
+    rc, out = _run(capsys, [
+        "simulate", "--grid", "12x8x8", "--frames", "2",
+        "--steps-per-frame", "2", "--sim-dt", "0.02",
+        "--emitter", "2,2,3:4,4,6:5.0",
+        "--fan", "2,2,3:4,4,6:1.0,0,0",
+        "--obstacle", "box:5,5,6:7,7,10",
+        "--out", prefix,
+    ])
+    assert rc == 0 and out["frames"] == 2
+    assert np.isfinite(out["final_max_abs_div"])
+
+    with pytest.raises(SystemExit):
+        cli.main([
+            "simulate", "--grid", "12x8x8", "--frames", "1",
+            "--emitter", "2,2,3:rate", "--out", prefix + "2",
+        ])
+    capsys.readouterr()
+
+
 def test_cli_fit_from_snapshot(capsys, tmp_path):
     g = _tiny_grid()
     z, y, x = np.meshgrid(np.arange(g.nz), np.arange(g.ny), np.arange(g.nx),
