@@ -1,6 +1,18 @@
 # Convenience targets. The Python package needs no build; the native oracle
 # builds itself on first use (phys_autodiff_tpu/ref/native.py), or:
-.PHONY: native test bench parity clean
+.PHONY: native test bench parity clean freeze unfreeze
+
+# End-of-round compile freeze (see phys_autodiff_tpu/utils/freeze.py):
+# experiment scripts refuse to compile new kernel shapes while armed, so
+# the driver's bench capture can't be wedged by an interrupted compile.
+freeze:
+	mkdir -p build
+	date > build/FREEZE
+	@echo "compile freeze ARMED (build/FREEZE); bench/parity stay runnable"
+
+unfreeze:
+	rm -f build/FREEZE
+	@echo "compile freeze lifted"
 
 native:
 	mkdir -p build

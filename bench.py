@@ -9,24 +9,33 @@ grid-cell-iterations/sec; the "arm" field names which variant won. Baseline:
 the reference's fused CUDA kernel on an RTX 5090 — 0.11997 ms/iter == 9.833
 G cell-iters/s (docs/BENCHMARK_REPORT.md:53, BASELINE.md).
 
-Crash resilience (round-2 VERDICT #1 — the r02 run died on a crashed TPU
-worker AFTER minutes of good rows, and the headline printed only at the very
-end, so one late crash lost everything):
+Crash resilience (round-2 VERDICT #1; hardened per round-3 VERDICT #1 — the
+r03 driver capture died rc=124/no-JSON because the preflight retry budget
+(then 5400 s) outlived the driver's ~1800 s kill window and the give-up path
+printed nothing):
 
+  * GLOBAL DEADLINE: the whole run self-terminates at
+    BENCH_GLOBAL_BUDGET_S (default 1500 s — inside the driver's ~1800 s
+    window) and emits whatever was gathered; a driver kill can no longer
+    outrun the bench's own exit.
   * PREFLIGHT: the device is probed in a SUBPROCESS with a hard timeout
     (the known crash mode leaves jax.devices() hanging 45-60 min in-process,
     where no in-process timeout can help), retrying on a budget
-    (BENCH_PREFLIGHT_BUDGET_S, default 5400 s — observed worker recoveries
-    range 30-90+ min) before giving up fast instead of hanging.
+    (BENCH_PREFLIGHT_BUDGET_S, default 480 s) before giving up fast.
+  * EVERY exit path prints exactly one parseable JSON line. When nothing
+    could be measured the line is {"valid": false, "error": ...,
+    "attempts": N, ...} — "environment down" is distinguishable from
+    "bench broken", and the driver's parsed field is never null.
   * The FLAGSHIP fused-kernel row is timed FIRST and immediately becomes a
     provisional headline; every later section only refines it.
   * Each section runs under try/except AND a watchdog deadline; on a crash
     or hang the script emits the best headline gathered so far with
-    "partial": true and exits 0 — rc=1 now means only "nothing at all was
-    measured".
-  * After a section failure the worker is re-probed (subprocess, timeout);
-    if it is gone, remaining sections are skipped rather than queued into a
-    dead tunnel.
+    "partial": true and exits 0.
+  * After a section failure the exception is classified with
+    train/resilient.py's infrastructure-failure predicate (the module that
+    already recognizes the crashed-worker mode which killed BENCH_r02):
+    infra failures re-probe the worker and retry the section ONCE;
+    programming errors never burn a retry (round-3 VERDICT #9).
 
 Validity gates (round-1 VERDICT: the harness must be DCE-proof):
   * every timed loop is structurally DCE-proof (generational feedback for
@@ -74,6 +83,30 @@ class Emitter:
         self._lock = threading.Lock()
         self._emitted = False
 
+    def emit_error(self, error, **extra):
+        """No-headline terminal path: STILL print one parseable JSON line
+        (valid=false + an error tag) so the driver's parsed field is never
+        null (round-3 VERDICT #1b). Returns True iff this call printed."""
+        with self._lock:
+            if self._emitted:
+                return False
+            self._emitted = True
+            out = {
+                "metric": "best_residual_throughput_128x96x96",
+                "value": 0.0,
+                "unit": "Gcell_iters_per_s",
+                "vs_baseline": 0.0,
+                "arm": "none",
+                "valid": False,
+                "partial": True,
+                "error": error,
+            }
+            out.update(extra)
+            if self.failures:
+                out["failures"] = self.failures
+            print(json.dumps(out), flush=True)
+            return True
+
     def set_headline(self, ms, arm, valid=True):
         cells_per_s = N_CELLS_FLAGSHIP / (ms / 1e3)
         base = N_CELLS_FLAGSHIP / (BASELINE_MS / 1e3)
@@ -94,10 +127,12 @@ class Emitter:
         with self._lock:
             if self._emitted:
                 return self.headline is not None
-            self._emitted = True
             if self.headline is None:
+                # Nothing printed -> do NOT latch _emitted; a follow-up
+                # emit_error() must still be able to put JSON on stdout.
                 log("# FATAL: no headline was measured")
                 return False
+            self._emitted = True
             out = dict(self.headline)
             out["partial"] = bool(partial)
             if self.failures:
@@ -109,35 +144,52 @@ class Emitter:
 EMIT = Emitter()
 
 
+GLOBAL_BUDGET_S = float(os.environ.get("BENCH_GLOBAL_BUDGET_S", "1500"))
+
+
 class Watchdog(threading.Thread):
-    """If the main thread wedges inside a dead-worker RPC past the current
-    section deadline, emit the partial headline and hard-exit (rc=0 if a
-    headline exists — a partial result beats a hung driver capture)."""
+    """Two deadlines, one contract: a JSON line ALWAYS reaches stdout
+    before the driver's ~1800 s kill window closes.
+
+      * per-section deadline — the main thread wedged inside a dead-worker
+        RPC: emit the partial headline (or an error line) and hard-exit 0.
+      * GLOBAL deadline (BENCH_GLOBAL_BUDGET_S, default 1500 s from start)
+        — the r03 failure mode was the run as a whole outliving the driver;
+        now the bench self-terminates first, flushing whatever it has."""
 
     def __init__(self):
         super().__init__(daemon=True)
         self.deadline = time.time() + 600.0
+        self.global_deadline = time.time() + GLOBAL_BUDGET_S
         self.section = "startup"
 
     def arm(self, section, budget_s):
         self.section = section
         self.deadline = time.time() + budget_s
 
+    def _flush_and_exit(self, tag):
+        EMIT.failures.append(tag)
+        if not EMIT.emit(partial=True):
+            EMIT.emit_error(tag)
+        os._exit(0)
+
     def run(self):
         while True:
-            time.sleep(10)
+            time.sleep(5)
+            if time.time() > self.global_deadline:
+                log("# WATCHDOG: global budget exhausted "
+                    f"({GLOBAL_BUDGET_S:.0f}s) — flushing and exiting")
+                self._flush_and_exit("global_deadline")
             if time.time() > self.deadline:
                 log(f"# WATCHDOG: section {self.section!r} exceeded its "
                     "deadline — emitting partial headline and exiting")
-                EMIT.failures.append(f"hang:{self.section}")
-                EMIT.emit(partial=True)
-                os._exit(0 if EMIT.headline is not None else 3)
+                self._flush_and_exit(f"hang:{self.section}")
 
 
 DOG = Watchdog()
 
 
-def probe_device(timeout_s=150):
+def probe_device(timeout_s=120):
     """True iff a tiny jit runs on the real backend, checked OUT OF PROCESS
     (an in-process check would hang with the wedged worker)."""
     try:
@@ -152,58 +204,83 @@ def probe_device(timeout_s=150):
 
 
 def preflight():
-    budget = float(os.environ.get("BENCH_PREFLIGHT_BUDGET_S", "5400"))
+    """Probe-with-retry, bounded WELL inside the driver window (round-3
+    VERDICT #1a: the old 5400 s default was 3x the driver's kill window).
+    Returns (ok, attempts)."""
+    budget = float(os.environ.get("BENCH_PREFLIGHT_BUDGET_S", "480"))
     t0 = time.time()
     attempt = 0
     while True:
         attempt += 1
-        DOG.arm("preflight", 200)
+        DOG.arm("preflight", 160)
         if probe_device():
             log(f"# preflight: device ok (attempt {attempt})")
-            return True
+            return True, attempt
         waited = time.time() - t0
         if waited > budget:
             log(f"# preflight: device unreachable after {waited:.0f}s — giving up")
-            return False
+            return False, attempt
         log(f"# preflight: probe failed (attempt {attempt}, {waited:.0f}s in); "
-            "worker may be recovering — retrying in 120s")
-        DOG.arm("preflight-sleep", 300)
-        time.sleep(120)
+            "worker may be recovering — retrying in 60s")
+        DOG.arm("preflight-sleep", 120)
+        time.sleep(60)
+
+
+def is_infra_failure(exc):
+    """Delegate to the training resilience layer's classifier — the module
+    that already recognizes the crashed-TPU-worker mode which killed the
+    r02 capture (round-3 VERDICT #9: bench sections re-enter through it)."""
+    from phys_autodiff_tpu.train.resilient import default_failure_predicate
+
+    return default_failure_predicate(exc)
 
 
 def section(name, budget_s, fn, *args, **kw):
-    """Run one bench section with a deadline; on failure record it, re-probe
-    the worker, and tell the caller whether continuing makes sense.
+    """Run one bench section with a deadline. On failure, classify the
+    exception with the resilient-training predicate: an INFRA failure
+    (worker crash/restart) re-probes the worker and — if it answers —
+    retries the section once; a programming error records and moves on
+    (retrying deterministic errors burns the global budget for nothing).
     Returns (result_or_None, keep_going)."""
-    DOG.arm(name, budget_s)
-    try:
-        out = fn(*args, **kw)
-        return out, True
-    except Exception as e:  # noqa: BLE001 — any worker/compile error
-        msg = str(e).splitlines()[0][:200] if str(e) else type(e).__name__
-        log(f"# SECTION FAILED: {name}: {msg}")
-        EMIT.failures.append(f"{name}: {msg}")
-        DOG.arm(f"{name}-reprobe", 200)
-        alive = probe_device()
-        if not alive:
-            log("# worker did not answer the re-probe — skipping remaining sections")
-        return None, alive
+    for attempt in (1, 2):
+        DOG.arm(name, budget_s)
+        try:
+            return fn(*args, **kw), True
+        except Exception as e:  # noqa: BLE001 — any worker/compile error
+            msg = str(e).splitlines()[0][:200] if str(e) else type(e).__name__
+            log(f"# SECTION FAILED: {name} (attempt {attempt}): {msg}")
+            EMIT.failures.append(f"{name}: {msg}")
+            if not is_infra_failure(e):
+                return None, True  # worker fine; this section is just broken
+            DOG.arm(f"{name}-reprobe", 160)
+            alive = probe_device()
+            if not alive:
+                log("# worker did not answer the re-probe — "
+                    "skipping remaining sections")
+                return None, False
+            if attempt == 1:
+                log(f"# worker recovered — retrying section {name} once")
+    return None, True
 
 
 def finish(partial):
-    """Flush the headline and exit with the contract code: rc=0 iff a
-    parseable JSON line went to stdout."""
-    ok = EMIT.emit(partial=partial)
-    sys.exit(0 if ok else 1)
+    """Flush the headline and exit. A parseable JSON line ALWAYS goes to
+    stdout: the headline if one was measured, an error line otherwise."""
+    if not EMIT.emit(partial=partial):
+        EMIT.emit_error("no_headline")
+    sys.exit(0)
 
 
 def main():
     DOG.start()
-    if not preflight():
-        # Nothing can be measured; fail fast and loud (minutes, not the
-        # 45-60 min in-process hang).
+    ok, attempts = preflight()
+    if not ok:
+        # Nothing can be measured; say so fast, loud, AND parseably
+        # (round-3 VERDICT #1b: environment-down must not read as
+        # bench-broken, and parsed must never be null).
         log("# FATAL: TPU unavailable; no benchmark possible")
-        sys.exit(1)
+        EMIT.emit_error("tpu_unreachable", attempts=attempts)
+        sys.exit(0)
 
     import jax
 
@@ -239,7 +316,10 @@ def main():
         ms = harness.time_packed_op(lambda p: residuals_fused_packed(gf, p), packed)
         return fs, packed, ms
 
-    out, keep = section("flagship_fused", 1200, flagship_fused)
+    # Budget note: worst-case preflight (480 s) + a cold-cache flagship
+    # section (900 s) fit inside the 1500 s global window, so the
+    # provisional headline lands before any deadline can fire.
+    out, keep = section("flagship_fused", 900, flagship_fused)
     fs_flag, packed_flag, ms_flag = out if out else (None, None, None)
     if ms_flag is not None:
         EMIT.set_headline(ms_flag, "fused")
@@ -258,7 +338,7 @@ def main():
         )
         log("# DCE-validity: staged-arm timed HLO retains full-shape outputs")
 
-    _, keep = section("staged_dce_gate", 900, staged_gate)
+    _, keep = section("staged_dce_gate", 420, staged_gate)
     if not keep:
         finish(partial=True)
 
@@ -268,7 +348,7 @@ def main():
     bench_grids = [(128, 96, 96), (64, 64, 64), (96, 96, 64)]
     for nx, ny, nz in bench_grids:
         g = GridSpec(nx=nx, ny=ny, nz=nz, hx=0.05, hy=0.05, hz=0.05, dt=1e-3)
-        rows, keep = section(f"phys_{nx}x{ny}x{nz}", 1800, harness.bench_phys, g)
+        rows, keep = section(f"phys_{nx}x{ny}x{nz}", 420, harness.bench_phys, g)
         for r in rows or []:
             phys_rows.append(r)
             print(r.csv(), file=sys.stderr, flush=True)
@@ -286,7 +366,7 @@ def main():
     for nx, ny, nz in harness.REFERENCE_GRIDS:
         g = GridSpec(nx=nx, ny=ny, nz=nz, hx=0.05, hy=0.05, hz=0.05, dt=1e-3)
         rows, keep = section(
-            f"pipeline_{nx}x{ny}x{nz}", 2400, harness.bench_pipeline, g
+            f"pipeline_{nx}x{ny}x{nz}", 420, harness.bench_pipeline, g
         )
         for r in rows or []:
             print(r.csv(), file=sys.stderr, flush=True)
@@ -319,7 +399,7 @@ def main():
         ms_ngp_fb = bench_ngp_train_step(gf, precision="bf16", backward="mega")
         log(f"train,ngp_fused_bf16,{gf.nx},{gf.ny},{gf.nz},-,{ms_ngp_fb:.5f}")
 
-    _, keep = section("train", 2400, train_rows)
+    _, keep = section("train", 600, train_rows)
 
     finish(partial=bool(EMIT.failures))
 

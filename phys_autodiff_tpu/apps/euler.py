@@ -202,6 +202,12 @@ def euler_step(
         from phys_autodiff_tpu.ops.obstacles import apply_no_slip
 
         u = apply_no_slip(u, mask)
+        # Mask the incoming density too: an initial sigma nonzero inside a
+        # solid would otherwise be advected into adjacent fluid cells on
+        # the first step, breaking the "solid cells stay exactly zero"
+        # invariant for rollout/rollout_loss callers that (unlike the CLI)
+        # did not pre-mask their initial state.
+        sigma = apply_no_slip(sigma, mask)
     # 1. self-advection through the frozen pre-step u — all 3 components
     #    in ONE batched pass (shared offsets; bitwise equal to
     #    component-wise, ~4x faster on TPU)
@@ -497,6 +503,7 @@ def fit_initial_velocity(
     opt_steps: int = 50,
     learning_rate: float = 0.5,
     mask=None,
+    source: EulerSource | None = None,
 ):
     """Inverse problem / control: find the initial velocity whose
     cfg.steps-step rollout carries sigma0 to target_sigma, by Adam on
@@ -512,7 +519,9 @@ def fit_initial_velocity(
     Returns (u0_opt [3, nz, ny, nx], losses [opt_steps]);
     u0_opt passes through cfg's projection, so it is divergence-free under
     any projecting mode — with cfg.projection == "none" it is the raw Adam
-    iterate (the unprojected dynamics the config asked for)."""
+    iterate (the unprojected dynamics the config asked for). `mask` and
+    `source` pass through to rollout_loss, so emitter-past-an-obstacle
+    inverse problems run through this convenience fitter unchanged."""
     import optax
 
     if u0_init is None:
@@ -520,7 +529,7 @@ def fit_initial_velocity(
     opt = optax.adam(learning_rate)
 
     loss_of = lambda u0: rollout_loss(
-        g, u0, sigma0, target_sigma, cfg, mask=mask)
+        g, u0, sigma0, target_sigma, cfg, mask=mask, source=source)
 
     @jax.jit
     def solve(u0):

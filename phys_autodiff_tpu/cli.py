@@ -233,18 +233,23 @@ def _parse_obstacles(g, specs):
     masks = []
     for s in specs:
         parts = s.split(":")
-        if parts[0] == "box" and len(parts) == 3:
-            lo = [int(v) for v in parts[1].split(",")]
-            hi = [int(v) for v in parts[2].split(",")]
-            masks.append(obstacles.box_mask(g, lo, hi))
-        elif parts[0] == "sphere" and len(parts) == 3:
-            c = [float(v) for v in parts[1].split(",")]
-            masks.append(obstacles.sphere_mask(g, c, float(parts[2])))
-        else:
-            raise SystemExit(
-                f"bad --obstacle {s!r}: expected box:z0,y0,x0:z1,y1,x1 "
-                "or sphere:cz,cy,cx:r")
-    return obstacles.union(*masks)
+        try:
+            if parts[0] == "box" and len(parts) == 3:
+                lo = [int(v) for v in parts[1].split(",")]
+                hi = [int(v) for v in parts[2].split(",")]
+                masks.append(obstacles.box_mask(g, lo, hi))
+            elif parts[0] == "sphere" and len(parts) == 3:
+                c = [float(v) for v in parts[1].split(",")]
+                masks.append(obstacles.sphere_mask(g, c, float(parts[2])))
+            else:
+                raise SystemExit(
+                    f"bad --obstacle {s!r}: expected box:z0,y0,x0:z1,y1,x1 "
+                    "or sphere:cz,cy,cx:r")
+        except ValueError:  # non-numeric coordinate -> usage error, not
+            raise SystemExit(  # a raw traceback (same as _parse_sources)
+                f"bad --obstacle {s!r}: coordinates must be numeric "
+                "(box:z0,y0,x0:z1,y1,x1 or sphere:cz,cy,cx:r)")
+    return obstacles.validate_mask(g, obstacles.union(*masks))
 
 
 def _parse_sources(g, emitters, fans):

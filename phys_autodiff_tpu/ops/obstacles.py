@@ -102,13 +102,20 @@ def complement(mask: jnp.ndarray) -> jnp.ndarray:
 
 
 def validate_mask(g: GridSpec, mask: jnp.ndarray) -> jnp.ndarray:
-    """Shape/dtype/value checks (host-side; call once outside jit)."""
-    assert mask.shape == g.shape, (mask.shape, g.shape)
+    """Shape/dtype/value checks (host-side; call once outside jit).
+
+    The CLI validates every --obstacle mask through here; library callers
+    of euler.rollout/euler_step should do the same on any hand-built mask
+    — a non-binary mask (e.g. 0.5) would silently ATTENUATE velocity and
+    density instead of modelling a solid, because no-slip is a multiply.
+    Raises ValueError (not assert: survives python -O)."""
+    if mask.shape != g.shape:
+        raise ValueError(
+            f"mask shape {mask.shape} != grid shape {g.shape}")
     m = jnp.asarray(mask, jnp.float32)
     vals = np.unique(np.asarray(m))
-    assert np.all((vals == 0.0) | (vals == 1.0)), (
-        f"mask must be 0/1, got values {vals[:8]}"
-    )
+    if not np.all((vals == 0.0) | (vals == 1.0)):
+        raise ValueError(f"mask must be 0/1, got values {vals[:8]}")
     return m
 
 

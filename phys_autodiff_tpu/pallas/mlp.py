@@ -77,12 +77,30 @@ def _pick_rb_flat(r: int, h: int, precision: str) -> int:
     """Row-block for the flat fieldgen. bf16 prefers a multiple of 16 (the
     bf16 sublane tile — misaligned blocks pay cast/relayout overhead; at
     R without a 16-multiple divisor the bf16 arm runs but loses its edge,
-    measured on hardware)."""
+    measured on hardware). Callers pad R to a 16-multiple first for bf16
+    (_flat_pad_rows), so the 16-divisor branch is always available there."""
     if precision.startswith("bf16"):
         for d in (32, 16):
             if r % d == 0 and h * d * 128 * 4 * 2 <= 4 * 1024 * 1024:
                 return d
     return _pick_yb(r, h, 128)
+
+
+def _flat_pad_rows(r: int, precision: str) -> int:
+    """Padded flat-row count for the fieldgen kernel (round-3 VERDICT #2).
+
+    The bf16 sublane tile is 16 rows; a flat plane whose R has no
+    16-multiple divisor (the reference's 96x96x64 grid: R = 72 -> rb = 24)
+    makes every f32->bf16 activation cast pay a relayout, measured as the
+    bf16 fieldgen INVERTING below f32 (1.086 vs 0.880 ms total pipeline at
+    96x96x64, r03 report footnote). Padding the AB table to the next
+    16-multiple (72 -> 80, masked junk rows sliced off the output) aligns
+    the cast with the tile — the same trick the mega kernel uses for lane
+    padding. f32 tiles are 8 rows and every benchmark R divides into
+    8-multiples already, so f32 never pads."""
+    if precision.startswith("bf16") and r % 16 != 0:
+        return ((r + 15) // 16) * 16
+    return r
 
 
 def fold_ab_plane(g: GridSpec, cfg: MLPGridConfig, params: mlp.Params):
@@ -117,6 +135,7 @@ def fold_tables(
     ts,
     yb: int,
     flat: bool = False,
+    flat_pad_to: int | None = None,
 ):
     """Fold layer 1 over the separable grid coordinates.
 
@@ -130,6 +149,13 @@ def fold_tables(
     ab = fold_ab_plane(g, cfg, params)
     if flat:
         r = (g.ny * g.nx) // 128
+        if flat_pad_to is not None and flat_pad_to > r:
+            # bf16 sublane-tile alignment: append masked junk rows (zeros;
+            # the kernel computes ReLU(cd) garbage there, sliced off by the
+            # caller) so rb can be a 16-multiple. See _flat_pad_rows.
+            ab = ab.reshape(h, r, 128)
+            ab = jnp.pad(ab, ((0, 0), (0, flat_pad_to - r), (0, 0)))
+            r = flat_pad_to
         ab = ab.reshape(h, r // yb, yb, 128)
         ab = jnp.moveaxis(ab, 0, 1)  # [R//yb, H, yb, 128]
     else:
@@ -453,12 +479,18 @@ def generate_fields_fused_flat(
     dt = jnp.float32(g.dt)
     ts = jnp.stack([t - dt, t, t + dt])
     h = params["W1"].shape[1]
-    rb = _pick_rb_flat(r, h, precision)
-    ab, cd, w2t, b2 = fold_tables(g, cfg, params, ts, rb, flat=True)
-    call = _build_call(
-        g, h, rb, 3, precision, interpret, packed_out=True, plane=(r, 128)
+    r_pad = _flat_pad_rows(r, precision)
+    rb = _pick_rb_flat(r_pad, h, precision)
+    ab, cd, w2t, b2 = fold_tables(
+        g, cfg, params, ts, rb, flat=True, flat_pad_to=r_pad
     )
-    return call(ab, cd, w2t, w2t.T, b2)
+    call = _build_call(
+        g, h, rb, 3, precision, interpret, packed_out=True, plane=(r_pad, 128)
+    )
+    out = call(ab, cd, w2t, w2t.T, b2)
+    if r_pad != r:
+        out = out[:, :, :r, :]  # drop the masked junk rows
+    return out
 
 
 def _gfff_fwd(g, cfg, params, t, precision, interpret):

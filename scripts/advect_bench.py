@@ -90,6 +90,9 @@ def main(n_particles: int = 1_000_000, method: str = "rk2") -> None:
 
 
 if __name__ == "__main__":
+    from phys_autodiff_tpu.utils.freeze import assert_not_frozen
+
+    assert_not_frozen("scripts/advect_bench.py")
     if len(sys.argv) not in (1, 2, 3):
         print(
             "usage: python scripts/advect_bench.py [n_particles] "

@@ -149,6 +149,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
+    from phys_autodiff_tpu.utils.freeze import assert_not_frozen
+
+    assert_not_frozen("scripts/euler_bench.py")
     if "--remat" in sys.argv[1:]:
         remat_probe()
     else:

@@ -136,13 +136,22 @@ def main() -> None:
         "arms": arms,
     }
     print(json.dumps(payload))
-    # persisted for scripts/make_report.py's "Supervised fitting" table
+    # persisted for scripts/make_report.py's "Supervised fitting" table —
+    # build/ for the report run, docs/captures/ as the GIT-COMMITTED copy
+    # (environment resets wipe build/; round-3 VERDICT #5: every claimed
+    # number must live in a committed artifact)
     import os
 
-    os.makedirs("build", exist_ok=True)
-    with open("build/fit_results.json", "w") as f:
-        json.dump(payload, f, indent=1)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for path in (os.path.join(repo, "build", "fit_results.json"),
+                 os.path.join(repo, "docs", "captures", "fit_results.json")):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(payload, f, indent=1)
 
 
 if __name__ == "__main__":
+    from phys_autodiff_tpu.utils.freeze import assert_not_frozen
+
+    assert_not_frozen("scripts/fit_bench.py")
     main()

@@ -128,10 +128,18 @@ def main() -> None:
         "rows": rows,
     }
     print(json.dumps(payload))
-    os.makedirs("build", exist_ok=True)
-    with open("build/fit_ladder.json", "w") as f:
-        json.dump(payload, f, indent=1)
+    # build/ for the report run, docs/captures/ as the GIT-COMMITTED copy
+    # (environment resets wipe build/; round-3 VERDICT #5)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for path in (os.path.join(repo, "build", "fit_ladder.json"),
+                 os.path.join(repo, "docs", "captures", "fit_ladder.json")):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(payload, f, indent=1)
 
 
 if __name__ == "__main__":
+    from phys_autodiff_tpu.utils.freeze import assert_not_frozen
+
+    assert_not_frozen("scripts/fit_ladder.py")
     main()

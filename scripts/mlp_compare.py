@@ -65,4 +65,7 @@ def main(argv):
 
 
 if __name__ == "__main__":
+    from phys_autodiff_tpu.utils.freeze import assert_not_frozen
+
+    assert_not_frozen("scripts/mlp_compare.py")
     sys.exit(main(sys.argv))

@@ -48,6 +48,9 @@ def main(nx=128, ny=96, nz=96):
 
 
 if __name__ == "__main__":
+    from phys_autodiff_tpu.utils.freeze import assert_not_frozen
+
+    assert_not_frozen("scripts/ngp_head_experiments.py")
     if len(sys.argv) not in (1, 4):
         sys.exit("usage: python scripts/ngp_head_experiments.py [nx ny nz]")
     dims = [int(a) for a in sys.argv[1:4]]

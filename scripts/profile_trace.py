@@ -93,4 +93,7 @@ def main():
 
 
 if __name__ == "__main__":
+    from phys_autodiff_tpu.utils.freeze import assert_not_frozen
+
+    assert_not_frozen("scripts/profile_trace.py")
     sys.exit(main())

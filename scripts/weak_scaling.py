@@ -92,4 +92,7 @@ def main():
 
 
 if __name__ == "__main__":
+    from phys_autodiff_tpu.utils.freeze import assert_not_frozen
+
+    assert_not_frozen("scripts/weak_scaling.py")
     sys.exit(main())

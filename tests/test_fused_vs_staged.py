@@ -478,3 +478,40 @@ def test_loss_backward_fused_packed_matches_staged(nx):
     out = np.asarray(loss_backward_fused_packed(g, w, pack_fields(fs), True))
     assert rel_l2_err(out, ref) <= tol.FUSED_VS_STAGED_REL
     assert max_abs_err(out, ref) <= tol.FUSED_VS_STAGED_MAX
+
+
+def test_flat_bf16_pads_rows_to_sublane_tile():
+    """Round-3 VERDICT #2: at flat row counts R with no 16-multiple divisor
+    (the reference's 96x96x64 grid has R=72) the bf16 fieldgen pads the AB
+    table to the next 16-multiple with masked junk rows, so the in-kernel
+    f32->bf16 activation cast rides the (16, 128) bf16 sublane tile. The
+    padded arm must (a) keep the output shape/contract, (b) match the
+    staged pipeline at bf16 tolerance, (c) leave f32 unpadded."""
+    from phys_autodiff_tpu.models import mlp
+    from phys_autodiff_tpu.models.fields import generate_fields
+    from phys_autodiff_tpu.pallas import generate_fields_fused_flat
+    from phys_autodiff_tpu.pallas.mlp import _flat_pad_rows, _pick_rb_flat
+    from phys_autodiff_tpu.pallas.residuals import grid_to_flat, pack_fields
+    from phys_autodiff_tpu.utils.config import MLPDims, MLPGridConfig
+
+    # pad policy itself: the benchmark grids' row counts
+    assert _flat_pad_rows(72, "bf16") == 80  # 96x96x64
+    assert _flat_pad_rows(32, "bf16") == 32  # 64^3: already aligned
+    assert _flat_pad_rows(72, "f32") == 72  # f32 tile is 8 rows
+    assert _pick_rb_flat(80, 128, "bf16") == 16
+
+    # end-to-end on a CPU-sized unaligned grid: ny*nx/128 = 9 -> pad to 16
+    g = GridSpec(nx=64, ny=18, nz=6, dt=1e-3)
+    cfg = MLPGridConfig(dims=MLPDims(H=64))
+    params = mlp.init_params(cfg.dims, seed=123, scale=0.25)
+    r = (g.ny * g.nx) // 128
+    assert r == 9 and _flat_pad_rows(r, "bf16") == 16
+
+    flat_bf16 = generate_fields_fused_flat(g, cfg, params, 0.25, "bf16", True)
+    assert flat_bf16.shape == (12, g.nz, r, 128)  # junk rows sliced off
+    ref = grid_to_flat(g, pack_fields(generate_fields(g, cfg, params, 0.25, g.dt)))
+    scale = float(jnp.max(jnp.abs(ref)))
+    assert float(jnp.max(jnp.abs(flat_bf16 - ref))) <= 1e-2 * scale
+
+    flat_f32 = generate_fields_fused_flat(g, cfg, params, 0.25, "f32", True)
+    assert rel_l2_err(flat_f32, ref) <= tol.MLP_INFER_REL
