@@ -393,13 +393,18 @@ def _build_ngp_fit_call(
     nz = g.nz if nz_local is None else nz_local
     m = g.ny * g.nx
     r = m // 128
-    fwd_mode = _resolve_mode("fwd", precision)
+    # NGP-shaped kernel: use mega_ngp's mode table (round-4 hardware A/B:
+    # h=64 / LF-base contractions favor MXU dots where the coordinate-MLP
+    # kernel's all-VPU optimum does not transfer — see mega_ngp.py).
+    from phys_autodiff_tpu.pallas.mega_ngp import _resolve_ngp_mode
+
+    fwd_mode = _resolve_ngp_mode("fwd", precision)
     if fwd_mode == "vpu" and lf > 24:
         # per-channel FMA chains unroll LF plane-sized temporaries; Mosaic
         # spills them (measured in mega_ngp: LF=39 f32 -> 129 MB OOM)
         fwd_mode = "dot"
-    dw2_mode = _resolve_mode("dw2", precision)
-    da1_mode = _resolve_mode("da1", precision)
+    dw2_mode = _resolve_ngp_mode("dw2", precision)
+    da1_mode = _resolve_ngp_mode("da1", precision)
     dot_prec = (
         jax.lax.Precision.DEFAULT
         if precision == "bf16"
@@ -596,6 +601,14 @@ def _build_ngp_fit_call(
     )
 
 
+def _ngp_dw2_is_dot(precision) -> bool:
+    """The NGP fit kernel's dw2 layout follows mega_ngp's mode table, not
+    the coordinate-MLP kernel's (round-4 A/B; see mega_ngp.py)."""
+    from phys_autodiff_tpu.pallas.mega_ngp import _resolve_ngp_mode
+
+    return _resolve_ngp_mode("dw2", precision) == "dot"
+
+
 def ngp_fit_loss_and_grad(
     g: GridSpec,
     ncfg,
@@ -654,7 +667,7 @@ def ngp_fit_loss_and_grad(
         parts, dw1g, db1x, dw2g, db2x = outs
     ls, lu = ops_loss.sum_partials(g, w, parts)
     db1 = db1x[:, 0]
-    dw2 = dw2g.T if _resolve_mode("dw2", precision) == "dot" else dw2g
+    dw2 = dw2g.T if _ngp_dw2_is_dot(precision) else dw2g
     # single slice: the W1 time row's gradient is t * db1 exactly
     dw1_full = jnp.concatenate([dw1g, (t * db1)[None, :]], axis=0)
     if has_enc_params:
@@ -755,7 +768,7 @@ def ngp_fit_loss_and_grad_sharded(
         dw2g_s = jax.lax.psum(dw2g, Z_AXIS)
         db2 = jax.lax.psum(db2x, Z_AXIS)[:, 0]
         dw2 = (
-            dw2g_s.T if _resolve_mode("dw2", precision) == "dot" else dw2g_s
+            dw2g_s.T if _ngp_dw2_is_dot(precision) else dw2g_s
         )
         grads = {
             "tables": d_tables,

@@ -68,6 +68,37 @@ def _default_interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
+# NGP-kernel contraction modes (round-4 re-ablation). The coordinate-MLP
+# backward kernel's measured optimum (all-VPU for f32, pallas/mega_bwd.py)
+# does NOT transfer to this kernel's shapes: the NGP head is h=64 with an
+# LF=16 base contraction, where the VPU forms pay per-channel sweep chains
+# that the MXU amortizes even at HIGHEST precision. Hardware A/B at the
+# flagship grid (kernel-only ms, f32, 2026-08-20; cells in ROUND4.md):
+#   all-vpu (r03 default)                  8.28
+#   fwd=dot                               7.80
+#   fwd=dot + da1=dot                     8.13   (da1 stays VPU: K=4 dot loses)
+#   fwd=dot + da1=dot + dw2=dot           7.58
+#   fwd=dot + da1=vpu + dw2=dot           6.72
+#   + head_variant=fused2                 6.67   (the shipped default)
+# Numerical class is unchanged: the dots run Precision.HIGHEST like the
+# staged arm's own head matmuls (measured 1.4e-5 global-rel vs the VPU
+# chains — well inside the f32 tier's 8e-4 hardware-parity budget).
+_NGP_FWD_MODE = "auto"
+_NGP_DA1_MODE = "auto"
+_NGP_DW2_MODE = "auto"
+
+
+def _resolve_ngp_mode(which: str, precision) -> str:
+    forced = {
+        "fwd": _NGP_FWD_MODE, "da1": _NGP_DA1_MODE, "dw2": _NGP_DW2_MODE,
+    }[which]
+    if forced != "auto":
+        return forced
+    if precision in ("f32", "f32_high"):
+        return "vpu" if which == "da1" else "dot"
+    return "dot"
+
+
 # Stage-3 head-backward form. The round-3 ablation measured the f32 head
 # backward VMEM-traffic-bound (~6 ms of ~15 [h, M] element passes per row);
 # three algebraically-identical formulations, A/B'd on hardware by
@@ -87,14 +118,15 @@ def _default_interpret() -> bool:
 # ngp_head_ab.csv): f32 base 10.274 / fused 11.228 / fused2 10.310;
 # bf16 base 5.540 / fused 5.895 / fused2 5.560. The per-slice dot tax in
 # "fused" costs ~0.9 ms f32 — more than the passes it saves; "fused2"'s
-# saved z1f pass is below measurement noise (the stage is bounded by the
-# dW2/dz1 pass chain, not the mask recompute). "auto" resolves to the
-# measured winner: base.
+# saved z1f pass was below measurement noise under r03's all-VPU modes.
+# Round-4 re-measure under the dot modes (_resolve_ngp_mode above):
+# fused2 6.67 vs base 6.72 kernel-only — "auto" now resolves to fused2
+# (same f32 summation order as base, so parity surfaces are unchanged).
 _HEAD_VARIANT = "auto"
 
 
 def _resolve_head_variant() -> str:
-    return "base" if _HEAD_VARIANT == "auto" else _HEAD_VARIANT
+    return "fused2" if _HEAD_VARIANT == "auto" else _HEAD_VARIANT
 
 
 def ngp_supported(g: GridSpec) -> bool:
@@ -127,9 +159,9 @@ def _build_ngp_bwd_call(
     if nz_local is None:
         nz_local = nz
     n_prog = nz_local + 4
-    da1_mode = _resolve_mode("da1", precision)
-    dw2_mode = _resolve_mode("dw2", precision)
-    fwd_mode = _resolve_mode("fwd", precision)
+    da1_mode = _resolve_ngp_mode("da1", precision)
+    dw2_mode = _resolve_ngp_mode("dw2", precision)
+    fwd_mode = _resolve_ngp_mode("fwd", precision)
     if fwd_mode == "vpu" and lf > 24:
         # The per-channel FMA chain unrolls LF plane-sized temporaries;
         # Mosaic's register allocator spills them to scoped VMEM (measured:
@@ -544,7 +576,7 @@ def ngp_loss_and_grad(
     ls, lu = ops_loss.sum_partials(g, w, parts)
     db1 = db1x[:, 0]
     dtw1 = dtw1x[:, 0]
-    dw2 = dw2g.T if _resolve_mode("dw2", precision) == "dot" else dw2g
+    dw2 = dw2g.T if _resolve_ngp_mode("dw2", precision) == "dot" else dw2g
     dw1_full = jnp.concatenate([dw1g, dtw1[None, :]], axis=0)  # [LF+1, H]
     if has_enc_params:
         denc_grid = denc.reshape(g.nz, lf, g.ny, g.nx)
@@ -666,7 +698,7 @@ def ngp_loss_and_grad_sharded(
         dw2g_s = jax.lax.psum(dw2g, Z_AXIS)
         db2 = jax.lax.psum(db2x, Z_AXIS)[:, 0]
         dw2 = (
-            dw2g_s.T if _resolve_mode("dw2", precision) == "dot" else dw2g_s
+            dw2g_s.T if _resolve_ngp_mode("dw2", precision) == "dot" else dw2g_s
         )
         grads = {
             "tables": d_tables,
