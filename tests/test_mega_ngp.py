@@ -203,3 +203,27 @@ def test_ngp_mega_fallback_unsupported_plane():
     for a, b in zip(jax.tree_util.tree_leaves(g_ref),
                     jax.tree_util.tree_leaves(grads)):
         assert _leaf_close(a, b, 1e-6)
+
+
+def test_ngp_mode_table_policy():
+    """Round-4 hardware A/B shipped a per-kernel mode table: the NGP
+    kernels run fwd/dw2 on the MXU and da1 on the VPU for the f32 tiers
+    (8.28 -> 6.67 ms kernel-only at the flagship), while the
+    coordinate-MLP kernels keep their own measured optimum. Pin the
+    policy so a refactor can't silently re-unify them."""
+    from phys_autodiff_tpu.pallas.mega_bwd import _resolve_mode
+    from phys_autodiff_tpu.pallas.mega_ngp import (
+        _resolve_head_variant,
+        _resolve_ngp_mode,
+    )
+
+    for prec in ("f32", "f32_high"):
+        assert _resolve_ngp_mode("fwd", prec) == "dot"
+        assert _resolve_ngp_mode("dw2", prec) == "dot"
+        assert _resolve_ngp_mode("da1", prec) == "vpu"
+        # the coordinate-MLP kernel's table is unchanged (all-VPU f32)
+        assert _resolve_mode("fwd", prec) == "vpu"
+        assert _resolve_mode("dw2", prec) == "vpu"
+    for which in ("fwd", "dw2", "da1"):
+        assert _resolve_ngp_mode(which, "bf16") == "dot"
+    assert _resolve_head_variant() == "fused2"
