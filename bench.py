@@ -79,7 +79,8 @@ class Emitter:
 
     def __init__(self):
         self.headline = None
-        self.failures = []
+        self.failures = []  # sections whose data was actually lost
+        self.recovered = []  # infra failures healed by the section retry
         self._lock = threading.Lock()
         self._emitted = False
 
@@ -122,8 +123,9 @@ class Emitter:
 
     def emit(self, partial):
         """Print the headline JSON (once). Returns True iff a headline
-        existed — callers exit nonzero otherwise, keeping the contract
-        that rc=0 implies a parseable JSON line on stdout."""
+        existed; when it did not, nothing is printed here and the caller
+        must follow up with emit_error() so stdout still carries exactly
+        one parseable JSON line (finish() and the watchdog both do)."""
         with self._lock:
             if self._emitted:
                 return self.headline is not None
@@ -137,6 +139,8 @@ class Emitter:
             out["partial"] = bool(partial)
             if self.failures:
                 out["failures"] = self.failures
+            if self.recovered:
+                out["recovered"] = self.recovered
             print(json.dumps(out), flush=True)
             return True
 
@@ -207,7 +211,14 @@ def preflight():
     """Probe-with-retry, bounded WELL inside the driver window (round-3
     VERDICT #1a: the old 5400 s default was 3x the driver's kill window).
     Returns (ok, attempts)."""
-    budget = float(os.environ.get("BENCH_PREFLIGHT_BUDGET_S", "480"))
+    # Worst-case SUCCESS time exceeds the budget by one probe+sleep cycle
+    # (the budget check runs after each failed probe): with 360 s the last
+    # probe can still be running at ~480 s — which, plus the 900 s
+    # cold-cache flagship budget and ~120 s of import slack, fits the
+    # 1500 s global deadline. (The original 480 s default allowed a ~660 s
+    # worst-case success that could overrun the global deadline mid-
+    # flagship — review finding, round 4.)
+    budget = float(os.environ.get("BENCH_PREFLIGHT_BUDGET_S", "360"))
     t0 = time.time()
     attempt = 0
     while True:
@@ -241,25 +252,36 @@ def section(name, budget_s, fn, *args, **kw):
     (worker crash/restart) re-probes the worker and — if it answers —
     retries the section once; a programming error records and moves on
     (retrying deterministic errors burns the global budget for nothing).
-    Returns (result_or_None, keep_going)."""
+    A failure the retry HEALS goes to EMIT.recovered, not EMIT.failures:
+    no data was lost, so the eventual headline stays partial=false
+    (review finding, round 4). Returns (result_or_None, keep_going)."""
+    pending = None  # attempt-1 infra message, resolved by the retry
     for attempt in (1, 2):
         DOG.arm(name, budget_s)
         try:
-            return fn(*args, **kw), True
+            out = fn(*args, **kw)
+            if pending is not None:
+                EMIT.recovered.append(pending)
+            return out, True
         except Exception as e:  # noqa: BLE001 — any worker/compile error
             msg = str(e).splitlines()[0][:200] if str(e) else type(e).__name__
             log(f"# SECTION FAILED: {name} (attempt {attempt}): {msg}")
-            EMIT.failures.append(f"{name}: {msg}")
             if not is_infra_failure(e):
+                EMIT.failures.append(f"{name}: {msg}")
                 return None, True  # worker fine; this section is just broken
+            if pending is not None:  # second infra failure: section is lost
+                EMIT.failures.append(pending)
+            pending = f"{name}: {msg}"
             DOG.arm(f"{name}-reprobe", 160)
             alive = probe_device()
             if not alive:
                 log("# worker did not answer the re-probe — "
                     "skipping remaining sections")
+                EMIT.failures.append(pending)
                 return None, False
             if attempt == 1:
                 log(f"# worker recovered — retrying section {name} once")
+    EMIT.failures.append(pending)
     return None, True
 
 
@@ -281,6 +303,11 @@ def main():
         log("# FATAL: TPU unavailable; no benchmark possible")
         EMIT.emit_error("tpu_unreachable", attempts=attempts)
         sys.exit(0)
+
+    # The in-process jax + package imports below run on a single-CPU host
+    # that may be contended; give them their own watchdog window instead
+    # of whatever remains of the preflight arm (review finding, round 4).
+    DOG.arm("imports", 300)
 
     import jax
 

@@ -56,7 +56,6 @@ from phys_autodiff_tpu.models.encoders import (
 from phys_autodiff_tpu.ops import loss as ops_loss
 from phys_autodiff_tpu.pallas.mega_bwd import (
     _PlaneOps,
-    _resolve_mode,
     mega_flat,
     mega_supported,
 )

@@ -143,8 +143,13 @@ def main() -> None:
     import os
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    for path in (os.path.join(repo, "build", "fit_results.json"),
-                 os.path.join(repo, "docs", "captures", "fit_results.json")):
+    paths = [os.path.join(repo, "build", "fit_results.json")]
+    if jax.default_backend() != "cpu":
+        # only a REAL-hardware run may refresh the committed evidence —
+        # a CPU/interpret run must not clobber it (review finding, round 4)
+        paths.append(
+            os.path.join(repo, "docs", "captures", "fit_results.json"))
+    for path in paths:
         os.makedirs(os.path.dirname(path), exist_ok=True)
         with open(path, "w") as f:
             json.dump(payload, f, indent=1)

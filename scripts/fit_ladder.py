@@ -131,8 +131,13 @@ def main() -> None:
     # build/ for the report run, docs/captures/ as the GIT-COMMITTED copy
     # (environment resets wipe build/; round-3 VERDICT #5)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    for path in (os.path.join(repo, "build", "fit_ladder.json"),
-                 os.path.join(repo, "docs", "captures", "fit_ladder.json")):
+    paths = [os.path.join(repo, "build", "fit_ladder.json")]
+    if jax.default_backend() != "cpu":
+        # only a REAL-hardware run may refresh the committed evidence —
+        # a CPU/interpret run must not clobber it (review finding, round 4)
+        paths.append(
+            os.path.join(repo, "docs", "captures", "fit_ladder.json"))
+    for path in paths:
         os.makedirs(os.path.dirname(path), exist_ok=True)
         with open(path, "w") as f:
             json.dump(payload, f, indent=1)

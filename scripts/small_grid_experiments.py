@@ -71,7 +71,13 @@ def main():
     ap.add_argument("--grids", nargs="*", type=int, default=[64, 96])
     ap.add_argument("--szs", nargs="*", type=int, default=[2, 4, 8, 16])
     ap.add_argument("--budget", type=float, default=64.0,
-                    help="VMEM budget override (MiB) so big-sz cells fit")
+                    help="_VMEM_BUDGET override (MiB) for the kernels' "
+                         "OTHER internal size picks; the sweep FORCES sz "
+                         "directly (pick_packed_slab is monkeypatched), so "
+                         "an infeasible sz fails at Mosaic compile rather "
+                         "than being clamped — the 96x96x64 sz=16 error "
+                         "cell in the r04 matrix is that, working as "
+                         "intended")
     ap.add_argument("--min-call", action="store_true",
                     help="also run the H2 minimal-kernel floor probe")
     args = ap.parse_args()

@@ -117,10 +117,12 @@ def test_emit_error_is_noop_after_real_emit(capsys):
 
 def test_global_budget_fits_driver_window():
     """The r03 failure: bench outlived the driver's ~1800 s kill window.
-    Pin the budget arithmetic that prevents it."""
+    Pin the budget arithmetic that prevents it. Worst-case preflight
+    SUCCESS is budget + one probe timeout (the budget check runs after
+    each failed probe): 360 + 120 = 480 s; add the 900 s cold-cache
+    flagship budget and the 120 s margin left for in-process imports."""
     assert bench.GLOBAL_BUDGET_S <= 1500
-    # worst-case preflight + cold flagship section < global budget
-    assert 480 + 900 <= bench.GLOBAL_BUDGET_S + 60
+    assert 360 + 120 + 900 + 120 <= bench.GLOBAL_BUDGET_S
 
 
 def test_section_infra_failure_dead_worker_stops(monkeypatch):
@@ -155,7 +157,21 @@ def test_section_infra_failure_retries_once_then_succeeds(monkeypatch):
     out, keep = bench.section("phys_64x64x64", 60, flaky)
     assert out == "rows" and keep is True
     assert len(calls) == 2
-    assert len(bench.EMIT.failures) == 1  # the first attempt is on record
+    # the healed failure is on record but does NOT mark the run partial:
+    # no data was lost (review finding, round 4)
+    assert bench.EMIT.failures == []
+    assert len(bench.EMIT.recovered) == 1
+    bench.EMIT.set_headline(0.04, "fused")
+    import json as _json
+
+    import io, contextlib  # noqa: E401
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        bench.EMIT.emit(partial=bool(bench.EMIT.failures))
+    parsed = _json.loads(buf.getvalue().strip())
+    assert parsed["partial"] is False
+    assert len(parsed["recovered"]) == 1
 
 
 def test_section_infra_failure_retry_budget_is_one(monkeypatch):
