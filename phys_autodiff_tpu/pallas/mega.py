@@ -138,22 +138,36 @@ def mlp_rows_into_window(
             for o in range(4):
                 window[slot, s * 4 + o] = accs[o] + b2[0, o]
         else:
+            # bf16 sublane-tile alignment (round 4): on flat planes whose
+            # row count misses the 16-row bf16 tile (96x96x64: R=72) the
+            # rank-3 [hk, ny, nx] cast pays a relayout per chunk x slice x
+            # row — measured as the backward mega-kernel's bf16 tier
+            # collapsing to 1.12x f32 at that grid (vs 1.84x aligned).
+            # Collapsing to rank-2 [hk, ny*nx] puts hk (a 16-multiple) on
+            # the sublane axis; the dot contracts identically, so the
+            # result is bit-equal mod reshape.
+            merge = (
+                precision == "bf16" and ny % 16 != 0 and (ny * nx) % 128 == 0
+            )
             acc = jnp.zeros((4, ny, nx), jnp.float32)
             for c in range(n_chunks):
                 ab = ab_ref[pl.ds(c * hk, hk)]  # [hk, ny, nx]
                 z1 = ab + cdv[c * hk : (c + 1) * hk, s][:, None, None]
                 a1 = jnp.maximum(z1, 0.0)
                 w2c = w2_ref[:, pl.ds(c * hk, hk)]  # [4, hk]
+                if merge:
+                    a1 = a1.reshape(hk, ny * nx)
                 if precision == "bf16":
                     a1 = a1.astype(jnp.bfloat16)
                     w2c = w2c.astype(jnp.bfloat16)
-                acc = acc + jax.lax.dot_general(
+                part = jax.lax.dot_general(
                     w2c,
                     a1,
                     dimension_numbers=dims,
                     preferred_element_type=jnp.float32,
                     precision=dot_prec,
                 )
+                acc = acc + (part.reshape(4, ny, nx) if merge else part)
             for o in range(4):
                 window[slot, s * 4 + o] = acc[o] + b2[0, o]
 
