@@ -5,13 +5,14 @@
 # End-of-round compile freeze (see phys_autodiff_tpu/utils/freeze.py):
 # experiment scripts refuse to compile new kernel shapes while armed, so
 # the driver's bench capture can't be wedged by an interrupted compile.
+# The marker lives at the repo root so `make clean` (rm -rf build) cannot
+# silently disarm an active freeze (round-4 ADVICE).
 freeze:
-	mkdir -p build
-	date > build/FREEZE
-	@echo "compile freeze ARMED (build/FREEZE); bench/parity stay runnable"
+	date > .freeze
+	@echo "compile freeze ARMED (.freeze); bench/parity stay runnable"
 
 unfreeze:
-	rm -f build/FREEZE
+	rm -f .freeze
 	@echo "compile freeze lifted"
 
 native:

@@ -211,13 +211,13 @@ def preflight():
     """Probe-with-retry, bounded WELL inside the driver window (round-3
     VERDICT #1a: the old 5400 s default was 3x the driver's kill window).
     Returns (ok, attempts)."""
-    # Worst-case SUCCESS time exceeds the budget by one probe+sleep cycle
-    # (the budget check runs after each failed probe): with 360 s the last
-    # probe can still be running at ~480 s — which, plus the 900 s
-    # cold-cache flagship budget and ~120 s of import slack, fits the
-    # 1500 s global deadline. (The original 480 s default allowed a ~660 s
-    # worst-case success that could overrun the global deadline mid-
-    # flagship — review finding, round 4.)
+    # The budget is a TRUE cap on total preflight time: before each
+    # sleep+retry cycle we check that the full cycle (60 s sleep + 120 s
+    # probe timeout) still fits, so the worst-case SUCCESS finishes within
+    # `budget` seconds. 360 s preflight + 900 s cold-cache flagship +
+    # ~240 s import/section slack fits the 1500 s global deadline. (The
+    # earlier check ran only AFTER a failed probe and omitted the 60 s
+    # sleep, allowing a ~540 s worst case — round-4 ADVICE.)
     budget = float(os.environ.get("BENCH_PREFLIGHT_BUDGET_S", "360"))
     t0 = time.time()
     attempt = 0
@@ -228,8 +228,9 @@ def preflight():
             log(f"# preflight: device ok (attempt {attempt})")
             return True, attempt
         waited = time.time() - t0
-        if waited > budget:
-            log(f"# preflight: device unreachable after {waited:.0f}s — giving up")
+        if waited + 60 + 120 > budget:
+            log(f"# preflight: device unreachable after {waited:.0f}s — "
+                "giving up (next retry cycle would exceed the budget)")
             return False, attempt
         log(f"# preflight: probe failed (attempt {attempt}, {waited:.0f}s in); "
             "worker may be recovering — retrying in 60s")
@@ -267,6 +268,11 @@ def section(name, budget_s, fn, *args, **kw):
             msg = str(e).splitlines()[0][:200] if str(e) else type(e).__name__
             log(f"# SECTION FAILED: {name} (attempt {attempt}): {msg}")
             if not is_infra_failure(e):
+                if pending is not None:
+                    # attempt-1 infra event must not vanish just because the
+                    # retry died differently (round-4 ADVICE): the section's
+                    # data is lost AND the worker hiccuped — record both.
+                    EMIT.failures.append(pending)
                 EMIT.failures.append(f"{name}: {msg}")
                 return None, True  # worker fine; this section is just broken
             if pending is not None:  # second infra failure: section is lost
@@ -343,9 +349,10 @@ def main():
         ms = harness.time_packed_op(lambda p: residuals_fused_packed(gf, p), packed)
         return fs, packed, ms
 
-    # Budget note: worst-case preflight (480 s) + a cold-cache flagship
-    # section (900 s) fit inside the 1500 s global window, so the
-    # provisional headline lands before any deadline can fire.
+    # Budget note: worst-case preflight (360 s — the budget is a true cap
+    # now) + a cold-cache flagship section (900 s) fit inside the 1500 s
+    # global window, so the provisional headline lands before any deadline
+    # can fire.
     out, keep = section("flagship_fused", 900, flagship_fused)
     fs_flag, packed_flag, ms_flag = out if out else (None, None, None)
     if ms_flag is not None:

@@ -25,8 +25,10 @@ from __future__ import annotations
 import os
 import sys
 
-FREEZE_PATH = os.path.join(os.path.dirname(__file__), "..", "..", "build",
-                           "FREEZE")
+# Marker lives at the REPO ROOT (not build/): `make clean` wipes build/,
+# and silently disarming an active end-of-round freeze is exactly the
+# footgun this module exists to remove (round-4 ADVICE).
+FREEZE_PATH = os.path.join(os.path.dirname(__file__), "..", "..", ".freeze")
 
 
 def freeze_active() -> bool:

@@ -117,12 +117,13 @@ def test_emit_error_is_noop_after_real_emit(capsys):
 
 def test_global_budget_fits_driver_window():
     """The r03 failure: bench outlived the driver's ~1800 s kill window.
-    Pin the budget arithmetic that prevents it. Worst-case preflight
-    SUCCESS is budget + one probe timeout (the budget check runs after
-    each failed probe): 360 + 120 = 480 s; add the 900 s cold-cache
-    flagship budget and the 120 s margin left for in-process imports."""
+    Pin the budget arithmetic that prevents it. The preflight budget is a
+    TRUE cap on worst-case preflight SUCCESS (the retry-cycle check counts
+    the 60 s sleep AND the 120 s probe timeout — round-4 ADVICE): 360 s,
+    plus the 900 s cold-cache flagship budget, plus 240 s margin for
+    in-process imports and section turnover."""
     assert bench.GLOBAL_BUDGET_S <= 1500
-    assert 360 + 120 + 900 + 120 <= bench.GLOBAL_BUDGET_S
+    assert 360 + 900 + 240 <= bench.GLOBAL_BUDGET_S
 
 
 def test_section_infra_failure_dead_worker_stops(monkeypatch):
@@ -186,6 +187,43 @@ def test_section_infra_failure_retry_budget_is_one(monkeypatch):
     out, keep = bench.section("train", 60, always_boom)
     assert out is None and keep is True  # worker alive, section just lost
     assert len(calls) == 2  # one retry, not a loop
+
+
+def test_section_infra_then_programming_failure_records_both(monkeypatch):
+    """Round-4 ADVICE: an attempt-1 infra failure followed by an attempt-2
+    NON-infra failure must not drop the infra event — the section's data is
+    lost and the worker hiccup both belong in `failures`."""
+    monkeypatch.setattr(bench, "probe_device", lambda **kw: True)
+    monkeypatch.setattr(bench, "EMIT", bench.Emitter())
+    calls = []
+
+    def infra_then_bug():
+        calls.append(1)
+        if len(calls) == 1:
+            raise RuntimeError("UNAVAILABLE: socket closed")
+        raise ValueError("shapes (8,128) and (16,128) are incompatible")
+
+    out, keep = bench.section("train", 60, infra_then_bug)
+    assert out is None and keep is True
+    assert len(calls) == 2
+    assert len(bench.EMIT.failures) == 2
+    assert "UNAVAILABLE" in bench.EMIT.failures[0]
+    assert "shapes" in bench.EMIT.failures[1]
+    assert bench.EMIT.recovered == []
+
+
+def test_preflight_budget_is_true_cap(monkeypatch):
+    """Round-4 ADVICE: the budget must cap TOTAL preflight time including
+    the 60 s retry sleep and the 120 s probe timeout — the old check ran
+    after each failed probe and allowed a ~540 s worst case."""
+    monkeypatch.setenv("BENCH_PREFLIGHT_BUDGET_S", "100")
+    monkeypatch.setattr(bench, "probe_device", lambda **kw: False)
+    sleeps = []
+    monkeypatch.setattr(bench.time, "sleep", lambda s: sleeps.append(s))
+    ok, attempts = bench.preflight()
+    # 100 s budget cannot fit even one 60+120 retry cycle: exactly one
+    # probe, zero sleeps.
+    assert ok is False and attempts == 1 and sleeps == []
 
 
 def test_section_programming_error_never_retried(monkeypatch):
