@@ -435,6 +435,50 @@ def main():
 
     _, keep = section("train", 600, train_rows)
 
+    # --- Section 6: big grids — the scale the reference cannot reach ------
+    # (round-4 VERDICT #1.) 12.6 / 16.8 M cells (the second = 256^3 cells),
+    # HBM-streamed regime: these buffers cannot stay VMEM-resident, so the
+    # honest ceiling is the measured 0.657 TB/s big-buffer copy bandwidth
+    # (bench/bigbench.py), not the 2.85 TB/s VMEM-resident probe. Runs
+    # LAST and yields per-row: a cold cache could eat the remaining budget,
+    # and the flagship headline must never be hostage to the scale rows.
+    def big_rows():
+        from phys_autodiff_tpu.bench import bigbench
+
+        rows = []
+        log("# big-grid phys rows (HBM-streamed; ceiling 0.657 TB/s measured)")
+        for i, (nx, ny, nz) in enumerate(bigbench.BIG_GRIDS):
+            remaining = DOG.global_deadline - time.time()
+            if remaining < 240:
+                log(f"# big: skipping {nx}x{ny}x{nz} — only {remaining:.0f}s "
+                    "left in the global budget (not a failure; scale rows "
+                    "are evidence, the headline is already in)")
+                return rows
+            g = GridSpec(nx=nx, ny=ny, nz=nz, hx=0.05, hy=0.05, hz=0.05,
+                         dt=1e-3)
+            for r in bigbench.big_phys_rows(g):
+                bpc = 32 if "bf16" in r.variant else 64
+                roof = bigbench.roofline_pct(r.ms, g.num_cells, bpc)
+                rows.append(r)
+                print(f"{r.csv()},hbm_roofline={roof:.1f}%",
+                      file=sys.stderr, flush=True)
+            if i == len(bigbench.BIG_GRIDS) - 1 and (
+                DOG.global_deadline - time.time() > 300
+            ):
+                for variant, ms in bigbench.big_train_ms(
+                    g, variants=("fused_bf16",)
+                ).items():
+                    log(f"train,{variant},{nx},{ny},{nz},128,{ms:.5f}")
+        return rows
+
+    big, _ = section("big", 500, big_rows)
+    if big:
+        phys_rows.extend(big)
+        # re-evaluate both validity gates over the widened row set (the big
+        # fused rows chain with the flagship in the aligned-packed family)
+        valid2 = check_monotonic(phys_rows) and check_floor(phys_rows)
+        refresh_headline(phys_rows, valid=valid2)
+
     finish(partial=bool(EMIT.failures))
 
 

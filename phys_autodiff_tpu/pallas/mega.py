@@ -172,6 +172,17 @@ def mlp_rows_into_window(
                 window[slot, s * 4 + o] = acc[o] + b2[0, o]
 
 
+def mega_forward_fits(g, h: int = 128) -> bool:
+    """VMEM feasibility of the mega forward at (g, H): the CD table window
+    [nz, H, 3] is VMEM-resident for the whole sweep and Mosaic lane-pads
+    its last dim 3 -> 128, so the footprint is nz * H * 128 * 4 bytes —
+    50 MB fits at nz=768 but 67 MB blows the 64 MB scoped limit at nz=1024
+    (H=128; measured, big-grid campaign 2026-08-20). Deep-z forwards route
+    to the packed fieldgen + loss-kernel pipeline, which blocks CD per z
+    row and scales to any nz."""
+    return g.nz * h * 128 * 4 <= 56 * 1024 * 1024
+
+
 def pick_mega_sz(nz: int, max_sz: int = 8) -> int:
     """z rows per program for the slab-batched mega kernel. Batching SZ rows
     per program lets the MLP stage evaluate many rows in ONE wide VPU/MXU

@@ -117,6 +117,31 @@ def mega_supported(g: GridSpec) -> bool:
     return flat_rows(g) is not None and g.nx >= 3 and g.ny >= 3
 
 
+def mega_fits(g: GridSpec, h: int = 128) -> bool:
+    """VMEM feasibility of the backward mega-kernel at (g, H).
+
+    The kernel keeps its dCD accumulator — one [3, H] reduction per z row,
+    broadcast over the pnx lane dim so row writes stay tiled — VMEM-resident
+    across the WHOLE z sweep: nz * 3 * H * pnx * 4 bytes. That is 19 MB at
+    the 128x96x96 flagship but grows linearly with nz (and with nx on
+    aligned grids): measured 151 MB > the 110 MB limit at nz=384, nx=256,
+    H=128 (big-grid campaign, 2026-08-20). Callers that get False here
+    fall back to the slab-recompute gradient (train/slab_grad.py), whose
+    live memory is bounded by the slab instead of the grid — the designed
+    big-N arm.
+
+    The model mirrors the kernel's actual residents: dCD + the dAB
+    window+output (2 * H * plane) + AB input window (H * plane) + the
+    field/cotangent scratch (~72 planes), against a 100 MB budget (the
+    kernel asks Mosaic for 110 MB; the margin absorbs Mosaic's own
+    padding/double-buffering slack)."""
+    plane = g.ny * g.nx
+    pnx = g.nx if g.nx % 128 == 0 else 128
+    dcd = g.nz * 3 * h * pnx * 4
+    fixed = (3 * h * plane + 72 * plane) * 4
+    return dcd + fixed <= 100 * 1024 * 1024
+
+
 def _flat_xy(v, nx: int):
     """(x, y) true-grid positions of each FLAT [.., R, 128] plane element."""
     rows = jax.lax.broadcasted_iota(jnp.int32, v.shape, v.ndim - 2)

@@ -183,9 +183,15 @@ def _make_step_fn(g, w, mcfg, cfg):
     # Fused step on supported configs: ONE kernel computes the loss AND all
     # parameter gradients (pallas/mega_bwd.py); otherwise value_and_grad of
     # the (possibly fused-forward) loss.
-    from phys_autodiff_tpu.pallas.mega_bwd import mega_supported
+    from phys_autodiff_tpu.pallas.mega_bwd import mega_fits, mega_supported
 
-    use_mega_bwd = cfg.use_fused and mega_supported(g)
+    # mega_fits: the mega backward's dCD accumulator is VMEM-resident across
+    # the z sweep, so deep-z grids overflow VMEM — those route to the
+    # slab-recompute gradient via loss_fn's fused path (make_fused_loss
+    # applies the same gate and picks backward="slab").
+    use_mega_bwd = (
+        cfg.use_fused and mega_supported(g) and mega_fits(g, mcfg.dims.H)
+    )
 
     def step(state: TrainState):
         key, sub = jax.random.split(state.key)

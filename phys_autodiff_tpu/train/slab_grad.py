@@ -214,12 +214,23 @@ def make_fused_loss(
     # fieldgen loses its bf16 edge to sublane-tile misalignment.
     from phys_autodiff_tpu.pallas.residuals import flat_rows
 
+    from phys_autodiff_tpu.pallas.mega import mega_forward_fits
+
     _r = flat_rows(g)
-    if (
+    _flat_fast = (
         g.nx % 128 != 0
         and _r is not None
         and (not precision.startswith("bf16") or _r % 16 == 0)
-    ):
+    )
+    _deep_z = (
+        not mega_forward_fits(g, cfg.dims.H)
+        and (g.nx % 128 == 0 or _r is not None)
+    )
+    if _flat_fast or _deep_z:
+        # Unaligned-nx grids where the flat pipeline measured faster, AND
+        # deep-z grids past the mega forward's VMEM ceiling (its CD window
+        # is nz-resident — pallas/mega.py:mega_forward_fits), take the
+        # two-kernel fieldgen + loss pipeline, which blocks per z row.
         from phys_autodiff_tpu.pallas.mlp import fused_loss_pipeline
 
         def forward_pipeline(params, t):
@@ -230,9 +241,9 @@ def make_fused_loss(
         def forward_pipeline(params, t):
             return mega_loss_pipeline(g, w, cfg, params, t, precision, interpret)
 
-    from phys_autodiff_tpu.pallas.mega_bwd import mega_supported
+    from phys_autodiff_tpu.pallas.mega_bwd import mega_fits, mega_supported
 
-    if backward == "mega" and mega_supported(g):
+    if backward == "mega" and mega_supported(g) and mega_fits(g, cfg.dims.H):
         from phys_autodiff_tpu.pallas.mega_bwd import mega_loss_and_grad
 
         def lg(params, t):

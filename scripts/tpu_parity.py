@@ -363,6 +363,77 @@ def run_fourier_mega(nx, ny, nz):
     check("fourier-mega grads rel", rel_l2_err(cat(g_k), cat(g_ref)), 2e-3)
 
 
+def run_f64_encoded(nx, ny, nz, scheme="central", fourier=False):
+    """Round-5: f64 TRUTH adjudication of the encoded-family gradients on
+    hardware (round-4 VERDICT #3). The ngp-mega/fourier-mega checks above
+    compare two f32 arms against each other — which cannot tell WHICH arm
+    an observed gap belongs to. Here both arms (the kernel and jax.grad of
+    the staged pipeline, both compiled on the TPU) are graded against the
+    independent float64 replica (ref/f64_grad.f64_encoded_loss_and_grad,
+    computed on the host CPU device): the kernel passes if its distance to
+    the truth is no worse than jax.grad's own x 2.5 (the kernel computes
+    dEnc in H-chunks and pulls it back through the encoder VJP separately —
+    a different association; CPU-measured ratios 1.42-1.96), plus an
+    absolute f32-noise-class cap. Tolerance doctrine anchor:
+    /root/reference/REQUIREMENT.md:196-203."""
+    from phys_autodiff_tpu.models import ngp
+    from phys_autodiff_tpu.pallas.mega_ngp import ngp_loss_and_grad
+    from phys_autodiff_tpu.ref.f64_grad import f64_encoded_loss_and_grad
+
+    g = GridSpec(nx=nx, ny=ny, nz=nz, hx=0.05, hy=0.05, hz=0.05, dt=1e-3,
+                 scheme=scheme)
+    tag = "fourier" if fourier else f"ngp-{scheme}"
+    print(f"f64 truth adjudication [{tag}] {nx}x{ny}x{nz}")
+    if fourier:
+        from phys_autodiff_tpu.models.fourier import FourierEncodingConfig
+
+        ncfg = ngp.NGPFieldConfig(encoding=FourierEncodingConfig())
+    else:
+        ncfg = ngp.NGPFieldConfig()
+    params = ngp.init_ngp_params(ncfg, seed=777)
+    rng = np.random.Generator(np.random.MT19937(21))
+    if not fourier:
+        params["tables"] = jax.tree_util.tree_map(
+            lambda a: a * 2000.0, params["tables"]
+        )
+    params["b1"] = jnp.asarray(
+        rng.standard_normal(params["b1"].shape) * 0.3, jnp.float32
+    )
+    params["b2"] = jnp.asarray(
+        rng.standard_normal(params["b2"].shape) * 0.3, jnp.float32
+    )
+    t = jnp.float32(0.25)
+    w = PhysWeights()
+
+    def staged_total(p, tt):
+        fs = ngp.generate_fields(g, ncfg, p, tt, g.dt)
+        ls, lu = ops.loss_forward(g, w, fs)
+        return ls + lu
+
+    l_ref, g_ref = jax.jit(jax.value_and_grad(staged_total))(params, t)
+    l_k, (g_k, _) = jax.jit(
+        lambda p, tt: ngp_loss_and_grad(g, w, ncfg, p, tt)
+    )(params, t)
+    # f64 truth on the host CPU device (the TPU has no f64)
+    with jax.default_device(jax.devices("cpu")[0]):
+        l64, gp64 = f64_encoded_loss_and_grad(g, w, ncfg, params, float(t))
+    cat = lambda gp: np.concatenate(
+        [np.asarray(x, np.float64).ravel()
+         for x in jax.tree_util.tree_leaves(gp)]
+    )
+    truth = cat(gp64)
+    d_jax = rel_l2_err(cat(g_ref), truth)
+    d_kernel = rel_l2_err(cat(g_k), truth)
+    s_err = abs(float(l_ref) - l64) / abs(l64)
+    k_err = abs(float(l_k) - l64) / abs(l64)
+    check(f"{tag} staged loss vs truth", s_err, 1e-4)
+    check(f"{tag} kernel loss vs truth", k_err, max(5.0 * s_err, 1e-6))
+    check(f"{tag} jax.grad dist to truth", d_jax, 1e-2)
+    check(f"{tag} kernel truth-dist <= 2.5x jax.grad's",
+          d_kernel, max(2.5 * d_jax, 1e-6))
+    check(f"{tag} kernel truth-dist absolute", d_kernel, 1e-4)
+
+
 def run_transport(nx, ny, nz, periodic=True):
     """Session-3 transport kernels (pallas/transport.py) vs the XLA
     split step (apps/transport.py) — bit-exactness observed on hardware;
@@ -656,6 +727,9 @@ if __name__ == "__main__":
     run_ngp_dense(32, 16, 16)
     run_ngp_mega(128, 96, 96)
     run_fourier_mega(128, 96, 96)
+    run_f64_encoded(64, 64, 64, scheme="central")
+    run_f64_encoded(64, 64, 64, scheme="upwind")
+    run_f64_encoded(64, 64, 64, fourier=True)
     run_transport(128, 96, 96, True)
     run_transport(128, 96, 96, False)
     run_projection(128, 96, 96)
