@@ -432,6 +432,12 @@ def main():
         log(f"train,ngp_fused,{gf.nx},{gf.ny},{gf.nz},-,{ms_ngp_f:.5f}")
         ms_ngp_fb = bench_ngp_train_step(gf, precision="bf16", backward="mega")
         log(f"train,ngp_fused_bf16,{gf.nx},{gf.ny},{gf.nz},-,{ms_ngp_fb:.5f}")
+        # the round-5 intermediate tier: exact f32 forward/loss, bf16
+        # carried backward windows (~2.3e-2 gradient class)
+        ms_ngp_fw = bench_ngp_train_step(
+            gf, precision="f32_fastbwd", backward="mega"
+        )
+        log(f"train,ngp_fused_fastbwd,{gf.nx},{gf.ny},{gf.nz},-,{ms_ngp_fw:.5f}")
 
     _, keep = section("train", 600, train_rows)
 

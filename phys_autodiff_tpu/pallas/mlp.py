@@ -62,6 +62,37 @@ def _resolve_fwd_mode(precision) -> str:
     return "vpu" if precision in ("f32", "f32_high") else "dot"
 
 
+# Round-5 experiment — MEASURED NEGATIVE, closed FINAL (round-4 VERDICT
+# #7): the layer-2 dot emits only Out=4 result rows per pass, leaving most
+# of the MXU's output tile idle, and the three time slices share W2 — so
+# their per-slice [4,H]x[H,M] dots can STACK along M (sublane concat) into
+# ONE [4,H]x[H,3M] pass (same arithmetic, same per-element f32
+# accumulation: each output column is an independent K=H reduction;
+# bit-identical outputs, verified on CPU). Hardware A/B (fieldgen ms,
+# slope method, 2026-08-20):
+#
+#               flagship 128x96x96      unaligned 96x96x64
+#   bf16   per  0.6614    stack 0.7979  per 0.4110   stack 0.5679
+#   bf16x3 per  1.9999    stack 2.1268  per 1.0828   stack 1.2006
+#
+# Verdict: stacking LOSES at every tier — the [H, S*YB, nx] sublane concat
+# materializes a second copy of every activation, costing more than the
+# two saved MXU pipeline fills. (An earlier apparent bf16x3 win, 1.15 ms,
+# came from an invalid branch that skipped the hi/lo split-product — one
+# DEFAULT dot is fast AND wrong; with correct numerics the loss is
+# uniform.) Per-slice stays the default everywhere; the bf16 fieldgen's
+# ~6.2 TF/s stands as this kernel's Out=4 lane-limited floor, FINAL. The
+# stack branch is kept behind _SLICE_STACK="stack" as the experiment
+# switch that produced the table.
+_SLICE_STACK = "auto"
+
+
+def _resolve_slice_stack(precision, fwd_mode: str, n_slices: int) -> bool:
+    if _SLICE_STACK != "auto":
+        return _SLICE_STACK == "stack"
+    return False
+
+
 def _pick_yb(ny: int, h: int, nx: int, budget=4 * 1024 * 1024) -> int:
     """Largest divisor of ny <= 32 keeping the AB block + z1 under budget."""
     best = 1
@@ -203,6 +234,57 @@ def _build_call(
             w_hi = w2.astype(jnp.bfloat16)
             w_lo = (w2 - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         b2 = b2_ref[...]  # [1, Out]
+        if _resolve_slice_stack(precision, fwd_mode, n_slices):
+            # One [4,H]x[H,S*YB,nx] pass for all slices (shared W2): the
+            # slice axis folds into the dot's M (sublane) dimension via a
+            # sublane concat (a 4-D slice-axis broadcast is a Mosaic
+            # unsupported shape cast).
+            yb_dim = ab.shape[1]
+            parts = []
+            for s in range(n_slices):
+                a1s = jnp.maximum(ab + cd[:, s][:, None, None], 0.0)
+                if precision == "bf16":
+                    a1s = a1s.astype(jnp.bfloat16)
+                parts.append(a1s)
+            a1_all = jnp.concatenate(parts, axis=1)  # [H, S*YB, nx]
+            if precision == "bf16x3":
+                # split-product on the stacked operand: the same three
+                # hi/lo dots as the per-slice tier, 3 wide passes for 9
+                a_hi = a1_all.astype(jnp.bfloat16)
+                a_lo = (a1_all - a_hi.astype(jnp.float32)).astype(
+                    jnp.bfloat16
+                )
+                y_all = (
+                    jax.lax.dot_general(
+                        w_hi, a_hi, dims, preferred_element_type=jnp.float32
+                    )
+                    + jax.lax.dot_general(
+                        w_hi, a_lo, dims, preferred_element_type=jnp.float32
+                    )
+                    + jax.lax.dot_general(
+                        w_lo, a_hi, dims, preferred_element_type=jnp.float32
+                    )
+                )
+            else:
+                y_all = jax.lax.dot_general(
+                    w2,
+                    a1_all,
+                    dimension_numbers=dims,
+                    preferred_element_type=jnp.float32,
+                    precision=dot_prec,
+                )  # [4, S*YB, nx]
+            for s in range(n_slices):
+                y = y_all[:, s * yb_dim:(s + 1) * yb_dim]
+                if packed_out:
+                    packed_ref[s, 0] = y[0] + b2[0, 0]
+                    for o in range(1, 4):
+                        packed_ref[3 + s * 3 + (o - 1), 0] = y[o] + b2[0, o]
+                else:
+                    sigma_ref[s, 0] = y[0] + b2[0, 0]
+                    u_ref[s, 0, 0] = y[1] + b2[0, 1]
+                    u_ref[s, 1, 0] = y[2] + b2[0, 2]
+                    u_ref[s, 2, 0] = y[3] + b2[0, 3]
+            return
         for s in range(n_slices):
             z1 = ab + cd[:, s][:, None, None]
             a1 = jnp.maximum(z1, 0.0)

@@ -21,9 +21,12 @@ import jax
 
 
 @contextlib.contextmanager
-def trace(log_dir: str):
-    """Capture a jax.profiler device trace into log_dir."""
-    jax.profiler.start_trace(log_dir)
+def trace(log_dir: str, perfetto: bool = False):
+    """Capture a jax.profiler device trace into log_dir. perfetto=True also
+    writes a parseable perfetto trace.json.gz (plugins/profile/*/ *.json.gz)
+    — what scripts/profile_trace.py aggregates into its committed
+    per-kernel table."""
+    jax.profiler.start_trace(log_dir, create_perfetto_trace=perfetto)
     try:
         yield
     finally:

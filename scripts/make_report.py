@@ -39,11 +39,15 @@ REF_TOTAL = {
 # Residual-op traffic: 12 field planes read + 4 residual planes written,
 # f32 (reference kernel profile, src/phys_cuda_fused.cu:33-100).
 BYTES_PER_CELL_F32 = 64
-# Device HBM copy-probe rate measured on this chip (docs/DESIGN.md): the
-# roofline every fused row is scored against. The in-KERNEL DMA rate tops
-# out lower (~2.25 TB/s, same source) — % of 2.85 TB/s is the honest,
-# conservative denominator.
+# Copy-probe rate measured on this chip at the benchmark working sets
+# (docs/DESIGN.md): the roofline every fused row at the REFERENCE grids is
+# scored against. Round-5 established this is the VMEM-RESIDENT regime
+# (the <= 75 MB working sets stay in the 128 MB VMEM, S(1) layouts — like
+# the reference's own grids vs its GPU's 96 MB L2, so the comparison is
+# like-for-like); big-grid rows are HBM-streamed and score against the
+# measured 0.657 TB/s big-buffer copy rate instead (bench/bigbench.py).
 ROOF_GBS = 2850.0
+HBM_ROOF_GBS = 657.0
 
 # ---- MXU-utilization context for compute-bound rows (round-3 VERDICT #6).
 # The stencil rows are bandwidth-bound and carry the GB/s (% roof) column;
@@ -292,6 +296,9 @@ def main():
         train_ms["ngp_fused_bf16"] = bench_ngp_train_step(
             gf, precision="bf16", backward="mega"
         )
+        train_ms["ngp_fused_fastbwd"] = bench_ngp_train_step(
+            gf, precision="f32_fastbwd", backward="mega"
+        )
     except Exception as e:  # extension row must not sink the report
         print(f"ngp bench skipped: {type(e).__name__}: {e}", file=sys.stderr)
 
@@ -501,6 +508,10 @@ def main():
         "ngp_fused_bf16": "same kernel, bf16 matmul tier (the head "
                           "backward is VMEM-bandwidth-bound; bf16 halves "
                           "it)",
+        "ngp_fused_fastbwd": "round-5 intermediate tier: exact f32 "
+                             "forward/loss, bf16 carried backward windows "
+                             "(~2.3e-2 gradient class; mega_ngp.py "
+                             "ablation)",
     }
     for k in sorted(train_by_grid, key=n_cells):
         for k2, v in train_by_grid[k].items():
@@ -664,6 +675,139 @@ def main():
         a("The schedule is the quality/size dial: pick the smallest row")
         a("meeting the PSNR target. Dense rows keep the NGP step's")
         a("scatter-free backward at every point on the ladder.")
+        a("")
+    big_path = _artifact("big_grid_r5.json")
+    if big_path:
+        with open(big_path) as f:
+            big = json.load(f)
+        a("## Big grids: the scale the reference cannot reach (round 5)")
+        a("")
+        a("The reference's 12*N-float storage plan caps its grids at 1.18 M")
+        a("cells (PLAN_MLP_SMOKE_INTEGRATION.md:55); these rows run the SAME")
+        a("kernels at 12.6 / 16.8 M cells (the second = 256^3, shaped")
+        a("128x128x1024 — flagship-class planes, scale in the streamed /")
+        a("sharded z dimension). This is the HBM-STREAMED regime: working")
+        a("sets no longer fit the 128 MB VMEM, so rows score against the")
+        a("measured 0.657 TB/s big-buffer copy rate, not the 2.85 TB/s")
+        a("VMEM-resident probe (docs/DESIGN.md 'Big grids: the two")
+        a("bandwidth regimes'). Source capture: docs/captures/")
+        a("big_grid_r5.json (scripts/big_grid_bench.py).")
+        a("")
+        a("| grid (cells) | arm | ms/iter | Gcell/s | % HBM roof | parity |")
+        a("|---|---|---|---|---|---|")
+        for e in big.get("grids", []):
+            gtag = f"{e['nx']}x{e['ny']}x{e['nz']} ({e['cells'] / 1e6:.1f} M)"
+            par = "PASS (1e-7/1e-6)" if e.get("parity_pass") else "FAIL"
+            for p in e.get("phys", []):
+                a(f"| {gtag} | {p['variant']} | {p['ms']:.4f} | "
+                  f"{p['gcell_per_s']:.1f} | {p['roofline_pct']:.1f}% | "
+                  f"{par} |")
+            if "loss_fused_ms" in e:
+                a(f"| {gtag} | fused loss fwd | {e['loss_fused_ms']:.4f} "
+                  f"| | | {par} |")
+            for k2 in ("train_fused_ms", "train_fused_bf16_ms"):
+                if k2 in e:
+                    lbl = ("train step (slab bwd, bf16)" if "bf16" in k2
+                           else "train step (slab bwd, f32)")
+                    a(f"| {gtag} | {lbl} | {e[k2]:.2f} | | | |")
+        a("")
+        a("Training at these sizes routes automatically to the slab-")
+        a("recompute gradient and the two-kernel forward (the backward")
+        a("mega-kernel's dCD accumulator and the mega forward's CD window")
+        a("are nz-resident in VMEM — mega_bwd.mega_fits /")
+        a("mega.mega_forward_fits, measured thresholds in their")
+        a("docstrings); the staged jax.grad arm would need a ~25.8 GB")
+        a("activation residual at 256^3 and is structurally excluded —")
+        a("the same class of wall the reference's plan hits at 100x")
+        a("smaller grids.")
+        a("")
+    m6_path = _artifact("train_m6_r5.json")
+    if m6_path:
+        with open(m6_path) as f:
+            m6 = json.load(f)
+        a("## M6 convergence on hardware (round 5)")
+        a("")
+        gtag = "x".join(str(x) for x in m6.get("grid", []))
+        a(f"The reference's never-built M6 acceptance criterion "
+          f"(REQUIREMENT.md:164-169, loss drop >= 90%) demonstrated on the "
+          f"real chip at the flagship benchmark grid: {gtag}, H={m6['H']}, "
+          f"fully-fused training step — loss {m6['loss_first']:.4e} -> "
+          f"{m6['loss_last']:.4e} (**{m6['drop_pct']:.1f}% drop**) in "
+          f"{m6['steps']} steps / {m6['wall_s_incl_compile']:.1f} s wall "
+          f"including compile: "
+          f"{'PASS' if m6.get('pass') else 'FAIL'}. Loss curve: "
+          f"docs/captures/train_m6_r5.json. The mesh-trajectory twin (300 "
+          f"sharded steps, 99.8% drop) runs in dryrun_multichip phase 13 "
+          f"and tests/test_sharded_convergence.py.")
+        a("")
+    ws_path = _artifact("weak_scaling_r5.json")
+    if ws_path:
+        with open(ws_path) as f:
+            ws = json.load(f)
+        a("## Weak scaling structure (8-device mesh, round 5)")
+        a("")
+        a("Virtual 8-device CPU mesh on one host core (the standard JAX")
+        a("multi-chip stand-in): per-device work constant, z-extent grows")
+        a("with the mesh. Wall time cannot show parallel speedup here; what")
+        a("the capture pins is the SCALING STRUCTURE a real ICI mesh")
+        a("inherits — flat per-device-work time and flat per-device temp")
+        a("memory (XLA memory_analysis of the compiled per-device program)")
+        a("as devices double. docs/captures/weak_scaling_r5.json:")
+        a("")
+        a("| backward arm | n_dev | cells/dev | ms/dev-work (x vs 1-dev) | "
+          "temp MB/dev |")
+        a("|---|---|---|---|---|")
+        for arm, rows in ws.get("arms", {}).items():
+            for r in rows:
+                mem = r.get("memory") or {}
+                tmb = (f"{mem['temp_bytes'] / 1e6:.1f}"
+                       if "temp_bytes" in mem else "-")
+                a(f"| {arm} | {r['n_dev']} | {r['cells_per_dev']} | "
+                  f"{r['ms_per_dev_work']:.2f} (x{r['ratio_vs_1dev']:.2f}) "
+                  f"| {tmb} |")
+        a("")
+    cli_path = _artifact("cli_roundtrip_r5.json")
+    if cli_path:
+        with open(cli_path) as f:
+            cli = json.load(f)
+        a("## CLI round-trip on hardware (round 5)")
+        a("")
+        a("One scripted run through the public CLI "
+          "(`python -m phys_autodiff_tpu`, scripts/cli_roundtrip.py) — "
+          "the train()/serve() surface SURVEY §3 notes the reference "
+          "lacks. docs/captures/cli_roundtrip_r5.json:")
+        a("")
+        a("| stage | wall s |")
+        a("|---|---|")
+        for s in cli.get("stages", []):
+            a(f"| {s['stage']} | {s['wall_s']:.1f} |")
+        a(f"| **total** | **{cli.get('total_wall_s', 0):.1f}** |")
+        if "fit_vs_trained_point_rel" in cli:
+            a("")
+            a(f"The fitted field reproduces the trained field's point "
+              f"evaluations to {cli['fit_vs_trained_point_rel']:.3f} "
+              f"relative.")
+        a("")
+    pt_path = _artifact("profile_trace_r5.json")
+    if pt_path:
+        with open(pt_path) as f:
+            pt = json.load(f)
+        a("## Device-trace kernel table (round 5 — the Nsight analogue)")
+        a("")
+        a("Per-kernel device-timeline durations from a jax.profiler")
+        a("perfetto trace on the real chip (scripts/profile_trace.py; the")
+        a("reference aspired to the same evidence from Nsight,")
+        a("REQUIREMENT.md:207-209). Top device kernels by total time:")
+        a("")
+        a("| device kernel | calls | mean us |")
+        a("|---|---|---|")
+        for r in pt.get("device_kernels_top", [])[:10]:
+            a(f"| `{r['kernel'][:70]}` | {r['calls']} | {r['mean_us']:.1f} |")
+        a("")
+        a("Full table: docs/captures/profile_trace_r5.json. These are")
+        a("measured timeline slices, not analytic models — the MXU column")
+        a("elsewhere in this report stays analytic-FLOPs/measured-ms and")
+        a("this table is its hardware cross-check.")
         a("")
     a("## Correctness gates accompanying these numbers")
     a("")

@@ -81,7 +81,7 @@ def main():
         jax.block_until_ready(fn(args_for[name]))
 
     os.makedirs(args.out, exist_ok=True)
-    with timing.trace(args.out):
+    with timing.trace(args.out, perfetto=True):
         for name, fn in scopes.items():
             with timing.annotate(name):
                 for _ in range(args.iters):
@@ -89,7 +89,89 @@ def main():
                 jax.block_until_ready(out)
     print(f"trace written to {args.out} (open with TensorBoard/Perfetto); "
           f"scopes: {', '.join(scopes)}")
+    table = aggregate_perfetto(args.out, args.iters)
+    if table is not None:
+        import json
+
+        blob = json.dumps(table, indent=1)
+        for path in ("build/profile_trace_r5.json",
+                     "docs/captures/profile_trace_r5.json"):
+            with open(path, "w") as f:
+                f.write(blob + "\n")
+            print(f"wrote {path}")
     return 0
+
+
+def aggregate_perfetto(out_dir: str, iters: int):
+    """Parse the perfetto trace and emit the per-kernel device-time table —
+    the committed trace-derived evidence the reference aspired to get from
+    Nsight (/root/reference/REQUIREMENT.md:207-209): actual device-timeline
+    durations per compiled kernel/fusion, not analytic models. Returns None
+    (with a note) if no perfetto trace was produced."""
+    import glob
+    import gzip
+    import json
+    from collections import defaultdict
+
+    paths = glob.glob(
+        os.path.join(out_dir, "plugins", "profile", "*", "*.json.gz")
+    )
+    if not paths:
+        print("# no perfetto trace found — table skipped")
+        return None
+    with gzip.open(sorted(paths)[-1], "rt") as f:
+        events = json.load(f).get("traceEvents", [])
+    # device-track slices: complete events ("X") on TPU pids; host python
+    # annotation slices share names with `scopes` and live on host threads.
+    durs = defaultdict(lambda: [0.0, 0])
+    ann = defaultdict(lambda: [0.0, 0])
+    pid_names = {
+        e.get("pid"): e.get("args", {}).get("name", "")
+        for e in events
+        if e.get("ph") == "M" and e.get("name") == "process_name"
+    }
+    for e in events:
+        if e.get("ph") != "X":
+            continue
+        name = e.get("name", "")
+        pid = e.get("pid")
+        on_device = "TPU" in pid_names.get(pid, "")
+        if on_device:
+            durs[name][0] += float(e.get("dur", 0.0))
+            durs[name][1] += 1
+        elif name in (
+            "residual_kernel", "loss_kernel", "staged_residuals",
+            "mlp_fieldgen", "mega_pipeline", "mega_loss_and_grad",
+        ):
+            ann[name][0] += float(e.get("dur", 0.0))
+            ann[name][1] += 1
+    top = sorted(durs.items(), key=lambda kv: -kv[1][0])[:20]
+    print("\n# per-kernel device time (perfetto trace), top 20:")
+    print(f"# {'total_us':>10} {'calls':>6} {'mean_us':>9}  kernel")
+    rows = []
+    for name, (tot, n) in top:
+        print(f"  {tot:10.1f} {n:6d} {tot / max(n, 1):9.2f}  {name[:90]}")
+        rows.append({
+            "kernel": name, "total_us": round(tot, 1), "calls": n,
+            "mean_us": round(tot / max(n, 1), 2),
+        })
+    scope_rows = {
+        name: {"total_us": round(tot, 1), "calls": n,
+               "mean_us_per_iter": round(tot / max(n, 1) / iters, 2)}
+        for name, (tot, n) in ann.items()
+    }
+    return {
+        "note": (
+            "device-timeline durations from a jax.profiler perfetto trace "
+            "on the real chip; the Nsight-metrics analogue "
+            "(reference REQUIREMENT.md:207-209). Host annotation scopes "
+            "include dispatch/tunnel overhead; per-kernel device rows do "
+            "not."
+        ),
+        "iters_per_scope": iters,
+        "device_kernels_top": rows,
+        "annotation_scopes_host_us": scope_rows,
+    }
 
 
 if __name__ == "__main__":
