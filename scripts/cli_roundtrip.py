@@ -87,10 +87,11 @@ def main():
     frames = [f for f in os.listdir(WORK) if f.startswith("smoke")]
     assert frames, "simulate produced no VTK frames"
     print(f"  simulate ok: {len(frames)} files", flush=True)
-    # 5. fit a FRESH field to the served snapshot (supervised fit engine)
+    # 5. fit a FRESH field to the served snapshot (supervised fit engine;
+    # the hash-NGP family — the fitter built for detail, fit-ladder rows)
     run("fit", [
-        "fit", "--target", served, "--family", "mlp", "--hidden", "64",
-        "--steps", "200", "--lr", "3e-3", "--seed", "2", "--out", fit_ck,
+        "fit", "--target", served, "--family", "ngp",
+        "--steps", "300", "--lr", "3e-3", "--seed", "2", "--out", fit_ck,
     ], capture)
     # 6. serve the fitted model at the same points
     run("fit-serve-points", [

@@ -383,7 +383,12 @@ def main():
           "non-fused CUDA chain (src/phys_cuda_nonfused.cu: 26 buffers). "
           "That it loses to the reference's non-fused arm on newer GPU "
           "silicon is expected: the comparison arm exists to isolate the "
-          "value of fusion, not to be fast.")
+          "value of fusion, not to be fast. No user-facing path runs it — "
+          "every shipped pipeline, training step, and app dispatches to "
+          "the fused kernels; the staged arm exists in the product only "
+          "as the parity referee and this table's honesty anchor, so "
+          "quoting its row as framework performance would compare the "
+          "reference's engine against this framework's measuring stick.")
     a("")
     kf = (128, 96, 96)
     if kf in {(r.nx, r.ny, r.nz) for r in phys_rows}:
@@ -794,20 +799,25 @@ def main():
             pt = json.load(f)
         a("## Device-trace kernel table (round 5 — the Nsight analogue)")
         a("")
-        a("Per-kernel device-timeline durations from a jax.profiler")
-        a("perfetto trace on the real chip (scripts/profile_trace.py; the")
-        a("reference aspired to the same evidence from Nsight,")
-        a("REQUIREMENT.md:207-209). Top device kernels by total time:")
+        a("Device-timeline op durations from a jax.profiler perfetto trace")
+        a("on the real chip, attributed to benchmark scopes by annotation")
+        a("window (scripts/profile_trace.py; the reference aspired to the")
+        a("same evidence from Nsight, REQUIREMENT.md:207-209). `_lambda_.N`")
+        a("slices are the Pallas custom calls; device us/iter excludes the")
+        a("dispatch/tunnel latency the slope method also cancels:")
         a("")
-        a("| device kernel | calls | mean us |")
+        a("| scope | device us/iter | dominant op (us/iter) |")
         a("|---|---|---|")
-        for r in pt.get("device_kernels_top", [])[:10]:
-            a(f"| `{r['kernel'][:70]}` | {r['calls']} | {r['mean_us']:.1f} |")
+        for sc, v in pt.get("scopes", {}).items():
+            top = v.get("top_ops", [{}])
+            lead = (f"`{top[0].get('op', '?')[:40]}` "
+                    f"({top[0].get('us_per_iter', 0):.1f})" if top else "")
+            a(f"| {sc} | {v['device_us_per_iter']:.1f} | {lead} |")
         a("")
-        a("Full table: docs/captures/profile_trace_r5.json. These are")
-        a("measured timeline slices, not analytic models — the MXU column")
-        a("elsewhere in this report stays analytic-FLOPs/measured-ms and")
-        a("this table is its hardware cross-check.")
+        a("Full per-op table: docs/captures/profile_trace_r5.json. These")
+        a("are measured timeline slices, not analytic models — the MXU")
+        a("column elsewhere in this report stays analytic-FLOPs/measured-ms")
+        a("and this table is its hardware cross-check.")
         a("")
     a("## Correctness gates accompanying these numbers")
     a("")

