@@ -431,7 +431,13 @@ def run_f64_encoded(nx, ny, nz, scheme="central", fourier=False):
     check(f"{tag} jax.grad dist to truth", d_jax, 1e-2)
     check(f"{tag} kernel truth-dist <= 2.5x jax.grad's",
           d_kernel, max(2.5 * d_jax, 1e-6))
-    check(f"{tag} kernel truth-dist absolute", d_kernel, 1e-4)
+    # absolute CLASS cap only: the f32 noise floor depends on grid size and
+    # conditioning (measured 2026-08-20 at 64^3: ngp-central 8.2e-6 — 25x
+    # CLOSER to truth than jax.grad's 2.1e-4; fourier 1.298e-4 vs
+    # jax.grad's 1.305e-4, i.e. marginally closer), so the floor-tracking
+    # bound is the 2.5x criterion above and this one only rejects a
+    # wrong-gradient class.
+    check(f"{tag} kernel truth-dist absolute", d_kernel, 1e-3)
 
 
 def run_transport(nx, ny, nz, periodic=True):
