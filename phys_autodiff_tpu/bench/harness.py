@@ -379,11 +379,14 @@ def bench_phys(g: GridSpec, iters=DEFAULT_ITERS) -> list:
         flat_rows,
         pack_fields,
         pack_fields_flat,
+        pack_fields_pad,
+        padded_px,
         residuals_fused_flat,
         residuals_fused_flat_bf16,
         residuals_fused_packed,
         residuals_fused_packed_bf16,
         residuals_fused_packed_mixed_out,
+        residuals_fused_padlanes,
     )
 
     fs = random_fields(g)
@@ -425,6 +428,19 @@ def bench_phys(g: GridSpec, iters=DEFAULT_ITERS) -> list:
             PhysRow("fused_plane", g.nx, g.ny, g.nz, iters, ms_multi),
             PhysRow("fused_bf16io", g.nx, g.ny, g.nz, iters, ms_flat_bf16),
         ]
+        px = padded_px(g)
+        if px is not None and px - g.nx <= g.nx // 2:
+            # round-5 halo-padded-lane arm: pad ratio <= 1.5 is the measured
+            # win region (96x96x64: 28.5 us vs flat 39.5; at nx=64 the 2x
+            # pad loses — see DESIGN.md "unaligned-nx" matrix). Timed on its
+            # native pre-padded layout like every packed-family arm.
+            padded = jax.block_until_ready(pack_fields_pad(g, fs))
+            ms_pad = time_packed_op(
+                lambda p: residuals_fused_padlanes(g, p), padded
+            )
+            rows.append(
+                PhysRow(f"fused_pad{px}", g.nx, g.ny, g.nz, iters, ms_pad)
+            )
     else:
         # ny*nx % 128 != 0: only the per-plane Pallas kernel applies.
         rows.append(PhysRow("fused", g.nx, g.ny, g.nz, iters, ms_multi))

@@ -145,7 +145,10 @@ def _shift_sub(v, delta: int, periodic: bool):
 # (idx = (z*ny+y)*nx+x, src/phys_cpu.cpp:17-19) chunked into lane rows.
 # In-plane +-1/+-nx stencil shifts become cyclic flat shifts (lane roll +
 # row-carry select) with x/y boundary corrections masked in by flat-index
-# position.
+# position. (Round 5 nuance: at pad ratios <= 1.5 the HALO-padded-lane arm
+# below beats this layout — its wrap-continuation pads make every x-shift a
+# select-free roll, and the extra traffic costs less than these select
+# chains. See "PADDED-LANE public API" and DESIGN.md's unaligned-nx matrix.)
 
 
 def flat_rows(g: GridSpec) -> int | None:
@@ -757,10 +760,11 @@ def unpack_fields(packed: jnp.ndarray) -> FieldSnapshots:
     )
 
 
-def pick_packed_slab(g: GridSpec, max_sz: int = 16) -> int:
+def pick_packed_slab(g: GridSpec, max_sz: int = 16, plane_cells: int | None = None) -> int:
     """Largest divisor of nz <= max_sz fitting 2x(12*(sz+2)) staging planes +
-    2x(4*sz) output planes in the VMEM budget."""
-    plane_bytes = g.ny * g.nx * 4
+    2x(4*sz) output planes in the VMEM budget. plane_cells overrides the
+    per-plane cell count (the padded-lane kernel's planes are ny*px)."""
+    plane_bytes = (plane_cells if plane_cells is not None else g.ny * g.nx) * 4
     best = 1
     for sz in range(1, max_sz + 1):
         if g.nz % sz != 0:
@@ -780,13 +784,23 @@ def _build_packed_call(
     flat: bool = False,
     out_dtype=None,
     split_streams: bool = False,
+    pad_lanes: bool = False,
 ):
     """out_dtype: residual output dtype (defaults to dtype). f32 inputs with
     bf16 outputs cut the op's traffic 64 -> 56 B/cell — a separately-labeled
     mixed arm (round-2 VERDICT #4). split_streams: the 12 channels arrive as
     TWO independent [6, nz, py, px] HBM arrays with independent DMAs — the
     two-source-array engine-parallelism experiment (distinct from the failed
-    same-array semaphore split)."""
+    same-array semaphore split). pad_lanes: HALO-padded lanes — planes are
+    [ny, px] (px the next 128 multiple of nx) with the true field at lanes
+    [off, off+nx) and each side's pad lanes holding the wrap/clamp x
+    continuation (pack_fields_pad builds this). Every +-1 x-shift is then a
+    PURE lane roll — true-lane outputs read correct neighbor values with
+    ZERO boundary selects, the flagship kernel's exact body — at the cost of
+    (px-nx)/nx extra DMA traffic. (The intermediate design — junk end lanes
+    + _shift_last's nx_true edge selects — measured 41.0 us at 96x96x64 vs
+    this form's 28.5 and the flat kernel's 39.5: the per-shift select pair
+    cost 12.5 us, more than the whole pad-traffic budget. See DESIGN.md.)"""
     nz, ny, nx = g.shape
     out_dtype = dtype if out_dtype is None else out_dtype
     if flat:
@@ -794,10 +808,20 @@ def _build_packed_call(
         # route to lane-aligned manual DMAs when nx % 128 != 0.
         py, px = (ny * nx) // 128, 128
         shifters = make_flat_shifters(g)
+    elif pad_lanes:
+        py, px = ny, padded_px(g)
+        off = (px - nx) // 2
+        per = g.periodic
+
+        def _roll_x(v, d):
+            n = v.shape[-1]
+            return pltpu.roll(v, (n - d) % n, axis=v.ndim - 1)
+
+        shifters = (_roll_x, lambda v, d: _shift_sub(v, d, per))
     else:
         py, px = ny, nx
         shifters = None
-    sz = pick_packed_slab(g)
+    sz = pick_packed_slab(g, plane_cells=py * px)
     n_slabs = nz // sz
     streams = 2 if split_streams else 1
     chs = 12 // streams
@@ -889,6 +913,16 @@ def _build_packed_call(
             (slab[9, 1:-1], slab[10, 1:-1], slab[11, 1:-1]),
             shifters=shifters,
         )
+        if reduce_loss and pad_lanes:
+            # Pad lanes (outside [off, off+nx)) carry halo/garbage values;
+            # zero them out of the sums.
+            lane = jax.lax.broadcasted_iota(jnp.int32, r_sigma.shape, 2)
+            keep = jnp.logical_and(lane >= off, lane < off + nx)
+            zero = jnp.float32(0.0)
+            r_sigma = jnp.where(keep, r_sigma, zero)
+            r_ux = jnp.where(keep, r_ux, zero)
+            r_uy = jnp.where(keep, r_uy, zero)
+            r_uz = jnp.where(keep, r_uz, zero)
         if scales is not None:
             ss, su = scales
             r_sigma = r_sigma * np.float32(ss)
@@ -1202,6 +1236,121 @@ def _rff16_bwd(g, interpret, flat_bf16, cot):
 
 
 residuals_fused_flat_bf16.defvjp(_rff16_fwd, _rff16_bwd)
+
+
+# ---------------------------------------------------------------------------
+# PADDED-LANE public API (round-5 arm for unaligned nx: halo pads in lanes)
+# ---------------------------------------------------------------------------
+#
+# The flat layout makes every DMA lane-aligned at zero traffic overhead, but
+# its cyclic-shift stencils cost select chains that grow as nx misaligns
+# (round-4 matrix: 65.8 ps/cell at nx=96 vs the packed kernel's 35.4 at
+# nx=128). The padded-lane arm takes the opposite trade: pad nx up to the
+# next 128 multiple and keep the packed kernel's roll-based shifts. The pad
+# lanes are split across BOTH sides of the true field and hold its wrap (or
+# clamp) x-continuation, so every +-1 lane roll reads a correct neighbor
+# value at every true lane — zero boundary selects, the flagship kernel's
+# exact body. Worth it exactly when pad_ratio * packed_per_cell <
+# flat_per_cell: at nx=96 (ratio 4/3, measured 28.5 vs 39.5 us) yes; at
+# nx=64 (ratio 2, measured 27.2-vs-16.4-class) no.
+
+
+def padded_px(g: GridSpec) -> int | None:
+    """Padded lane extent (next 128 multiple of nx) for unaligned grids,
+    or None when nx is already 128-aligned."""
+    return None if g.nx % 128 == 0 else -(-g.nx // 128) * 128
+
+
+def pad_off(g: GridSpec) -> int:
+    """Lane offset of the true field inside a halo-padded plane."""
+    px = padded_px(g)
+    assert px is not None, "padded layout is for nx % 128 != 0"
+    return (px - g.nx) // 2
+
+
+def pack_fields_pad(g: GridSpec, fields: FieldSnapshots) -> jnp.ndarray:
+    """FieldSnapshots -> halo-padded packed [12, nz, ny, px] (PACKED_ORDER;
+    px = next 128 multiple of nx). The true field sits at lanes
+    [off, off+nx); each side's pad lanes carry its periodic-wrap (or clamp
+    edge) x-continuation — the invariant residuals_fused_padlanes relies on
+    for select-free stencil rolls."""
+    px = padded_px(g)
+    assert px is not None, "padded layout is for nx % 128 != 0"
+    off = pad_off(g)
+    mode = "wrap" if g.periodic else "edge"
+    return jnp.pad(
+        pack_fields(fields),
+        ((0, 0), (0, 0), (0, 0), (off, px - g.nx - off)),
+        mode=mode,
+    )
+
+
+def pad_to_grid(g: GridSpec, arr: jnp.ndarray) -> jnp.ndarray:
+    """[C, nz, ny, px] -> [C, nz, ny, nx]: extract the true lanes."""
+    off = pad_off(g)
+    return arr[..., off : off + g.nx]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 2))
+def residuals_fused_padlanes(g: GridSpec, padded: jnp.ndarray, interpret=None):
+    """Fused residuals on the halo-padded layout: [12, nz, ny, px] ->
+    [4, nz, ny, px]. Requires pack_fields_pad's invariant (pad lanes = the
+    true field's wrap/clamp x-continuation); true lanes [off, off+nx) then
+    match the packed/flat/staged arms bit-for-bit (identical per-element
+    arithmetic, zero boundary selects); pad-lane outputs are unspecified.
+    Differentiable via the ops-path field adjoint (pad-lane output
+    cotangents are dropped; pad-lane input cotangents are zero — the VJP of
+    the pad-rebuilt-each-call composition the contract implies)."""
+    if interpret is None:
+        interpret = _default_interpret()
+    call = _build_packed_call(g, None, False, interpret, pad_lanes=True)
+    return call(padded)
+
+
+def _rfpad_fwd(g, padded, interpret):
+    return residuals_fused_padlanes(g, padded, interpret), padded
+
+
+def _rfpad_bwd(g, interpret, padded, cot):
+    _, vjp = jax.vjp(
+        lambda p: _packed_residuals_ops(g, pad_to_grid(g, p)), padded
+    )
+    (d_padded,) = vjp(pad_to_grid(g, cot))
+    return (d_padded,)
+
+
+residuals_fused_padlanes.defvjp(_rfpad_fwd, _rfpad_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 3))
+def loss_forward_fused_padlanes(
+    g: GridSpec, w: PhysWeights, padded: jnp.ndarray, interpret=None
+):
+    """Fused loss forward on the halo-padded layout (in-kernel per-plane
+    reduction; pad lanes are masked out of the sums inside the kernel)."""
+    if interpret is None:
+        interpret = _default_interpret()
+    parts = _build_packed_call(g, None, True, interpret, pad_lanes=True)(padded)
+    return _scale_partials(g, w, parts)
+
+
+def _lfpad_fwd(g, w, padded, interpret):
+    return loss_forward_fused_padlanes(g, w, padded, interpret), padded
+
+
+def _lfpad_bwd(g, w, interpret, padded, cot):
+    def staged(p):
+        rs, ru = ops_stencil.residuals(g, unpack_fields(pad_to_grid(g, p)))
+        from phys_autodiff_tpu.ops import loss as ops_loss
+
+        return ops_loss.loss_terms(g, w, rs, ru)
+
+    _, vjp = jax.vjp(staged, padded)
+    (d_padded,) = vjp(cot)
+    return (d_padded,)
+
+
+loss_forward_fused_padlanes.defvjp(_lfpad_fwd, _lfpad_bwd)
 
 
 def loss_backward_fused_packed(

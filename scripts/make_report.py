@@ -350,16 +350,22 @@ def main():
     a("")
     a("## Physics residuals (per iteration, f32, residual-writing kernels)")
     a("")
-    a("| grid | reference nonfused / fused (RTX 5090, kernel-only) | staged XLA (honest) | fused Pallas | Gcell/s | GB/s (% roof) | vs ref fused |")
+    a("| grid | reference nonfused / fused (RTX 5090, kernel-only) | staged XLA (honest) | fused Pallas (best f32 kernel) | Gcell/s | GB/s (% roof) | vs ref fused |")
     a("|---|---|---|---|---|---|---|")
     for k in grids:
         ref = REF_KERNEL[k]
         st = by(phys_rows, "nonfused", k)
-        fu = by(phys_rows, "fused", k)
+        cands = [
+            r for r in phys_rows
+            if (r.nx, r.ny, r.nz) == k
+            and (r.variant == "fused" or r.variant.startswith("fused_pad"))
+        ]
+        fu = min(cands, key=lambda r: r.ms)
+        tag = "" if fu.variant == "fused" else f" ({fu.variant})"
         gps = n_cells(k) / fu.ms / 1e6
         gbs = n_cells(k) * BYTES_PER_CELL_F32 / (fu.ms * 1e-3) / 1e9
         a(f"| {k[0]}x{k[1]}x{k[2]} | {ref[0]:.5f} / {ref[1]:.5f} ms | "
-          f"{st.ms:.5f} ms | **{fu.ms:.5f} ms** | {gps:.1f} | "
+          f"{st.ms:.5f} ms | **{fu.ms:.5f} ms**{tag} | {gps:.1f} | "
           f"{gbs:.0f} ({100 * gbs / ROOF_GBS:.0f}%) | "
           f"{ref[1] / fu.ms:.2f}x |")
     a("")
@@ -374,21 +380,28 @@ def main():
     # like the reference's non-fused CUDA chain.
     stf = by(phys_rows, "nonfused", (128, 96, 96))
     if stf is not None:
-        implied = stf.ms * 1e-3 * ROOF_GBS * 1e9 / n_cells((128, 96, 96))
-        a(f"The staged arm moves ~{implied:.0f} B/cell of implied traffic at "
-          f"the flagship grid ({implied / BYTES_PER_CELL_F32:.0f}x the fused "
-          "kernel's 64 B/cell) if it were bandwidth-saturated — the cost of "
-          "materializing the 16 derivative intermediates through HBM plus "
-          "fusion-boundary re-reads, the same behavior as the reference's "
-          "non-fused CUDA chain (src/phys_cuda_nonfused.cu: 26 buffers). "
-          "That it loses to the reference's non-fused arm on newer GPU "
-          "silicon is expected: the comparison arm exists to isolate the "
-          "value of fusion, not to be fast. No user-facing path runs it — "
-          "every shipped pipeline, training step, and app dispatches to "
-          "the fused kernels; the staged arm exists in the product only "
-          "as the parity referee and this table's honesty anchor, so "
-          "quoting its row as framework performance would compare the "
-          "reference's engine against this framework's measuring stick.")
+        a("The staged arm's flagship time is BANDWIDTH-OPTIMAL for what it "
+          "is, adjudicated by the compiler's own buffer accounting "
+          "(scripts/staged_traffic.py, round 5): XLA materializes 58.6 MB "
+          "of derivative intermediates for the timed loop "
+          "(memory_analysis temp bytes — the same staging as the "
+          "reference's non-fused CUDA chain, src/phys_cuda_nonfused.cu: "
+          "26 buffers), giving a >= 230 MB traffic floor (2x temp + args "
+          "+ outputs) ~ the reference-equivalent 245 MB (52 N-array "
+          "passes, 208 B/cell). That working set cannot stay VMEM-"
+          "resident, so it streams at the measured 0.657 TB/s big-buffer "
+          "HBM ceiling (docs/captures/big_grid_r5.json): 245 MB / 0.657 "
+          f"TB/s = 0.373 ms predicted vs {stf.ms:.3f} measured. The "
+          "reference's nonfused 0.183 ms is the same 245 MB at the RTX "
+          "5090's ~1.34 TB/s effective (HBM + its 96 MB L2): the deficit "
+          "is chip bandwidth, not staging quality — and the comparison "
+          "arm exists to isolate the value of fusion, not to be fast. No "
+          "user-facing path runs it: every shipped pipeline, training "
+          "step, and app dispatches to the fused kernels; the staged arm "
+          "exists in the product only as the parity referee and this "
+          "table's honesty anchor, so quoting its row as framework "
+          "performance would compare the reference's engine against this "
+          "framework's measuring stick.")
     a("")
     kf = (128, 96, 96)
     if kf in {(r.nx, r.ny, r.nz) for r in phys_rows}:
@@ -398,10 +411,22 @@ def main():
           f"arm {st.ms / fu.ms:.1f}x at the flagship grid (round 1's opposite "
           "conclusion came from a dead-code-eliminated staged measurement). "
           "On 128-aligned nx the fused arm is the packed one-DMA kernel; "
-          "elsewhere it is the FLAT-layout one-DMA kernel (planes as "
-          "ny*nx/128 lane rows — the reference's own flat x-fastest layout — "
-          "with cyclic-shift stencils), which keeps every manual DMA "
-          "lane-aligned without padding.")
+          "elsewhere the pipeline's arm is the FLAT-layout one-DMA kernel "
+          "(planes as ny*nx/128 lane rows — the reference's own flat "
+          "x-fastest layout — with cyclic-shift stencils), which keeps "
+          "every manual DMA lane-aligned without padding. At pad ratios "
+          "<= 1.5 (the 96x96x64 grid: 96 -> 128 lanes) the round-5 "
+          "HALO-PADDED arm is faster still: the pad lanes carry the "
+          "wrap/clamp x-continuation on both sides of the true field, so "
+          "every stencil shift is a pure lane roll with zero boundary "
+          "selects — the flagship kernel's exact body — and the 4/3 extra "
+          "DMA traffic costs less than the flat layout's select chains "
+          "(28.5 vs 39.5 us measured; parity with the flat/staged arms is "
+          "exact-bitwise). Its producer contract (pad lanes rebuilt by the "
+          "field producer; ~1.33x output-store traffic, negligible for the "
+          "MXU-bound fieldgen) is documented in pallas/residuals.py; the "
+          "MLP pipeline keeps the flat arm because padding the fieldgen's "
+          "compute sweep would cost more than the loss kernel saves.")
     a("")
     a("## MLP + physics pipeline, H=128 (3 time slices per step)")
     a("")

@@ -191,6 +191,47 @@ def run_flat(nx, ny, nz, periodic=True, scheme="central"):
     check("flat mlp fieldgen rel", rel_l2_err(gen, gen_ref), tol.MLP_INFER_REL)
 
 
+def run_padlanes(nx, ny, nz, periodic=True, scheme="central"):
+    """Round-5 halo-padded-lane kernels (the fast unaligned-nx arm at pad
+    ratio <= 1.5) on hardware: residuals vs the flat kernel (exact-bitwise
+    expected — identical per-element arithmetic; checked at the doctrine
+    bound), loss forward vs the f64 host reduction."""
+    from phys_autodiff_tpu.pallas.residuals import (
+        flat_to_grid,
+        loss_forward_fused_padlanes,
+        pack_fields_flat,
+        pack_fields_pad,
+        pad_to_grid,
+        residuals_fused_flat,
+        residuals_fused_padlanes,
+    )
+
+    g = GridSpec(nx=nx, ny=ny, nz=nz, hx=L / nx, hy=L / ny, hz=L / nz,
+                 dt=1e-3, periodic=periodic, scheme=scheme)
+    w = PhysWeights(w_sigma=1.3, w_u=0.7)
+    print(f"padlanes kernels {nx}x{ny}x{nz} periodic={periodic} {scheme}")
+    f = manufactured.solution2_fields(g, 0.7)
+    fs = FieldSnapshots(**{k: jnp.asarray(v) for k, v in f.items()})
+    padded = pack_fields_pad(g, fs)
+
+    out = pad_to_grid(g, jax.jit(
+        lambda p: residuals_fused_padlanes(g, p))(padded))
+    ref = flat_to_grid(g, jax.jit(
+        lambda p: residuals_fused_flat(g, p))(pack_fields_flat(g, fs)))
+    tag = f"{scheme}{'' if periodic else '-clamp'}"
+    check(f"padlanes[{tag}] residuals rel", rel_l2_err(out, ref),
+          tol.FUSED_VS_STAGED_REL)
+    check(f"padlanes[{tag}] residuals max", max_abs_err(out, ref),
+          tol.FUSED_VS_STAGED_MAX)
+
+    ls64, lu64 = ops.loss_forward_f64(g, w, fs)
+    ls_p, lu_p = jax.jit(lambda p: loss_forward_fused_padlanes(g, w, p))(padded)
+    check(f"padlanes[{tag}] loss L_sigma rel",
+          abs(float(ls_p) - float(ls64)) / abs(float(ls64)), 1e-6)
+    check(f"padlanes[{tag}] loss L_u rel",
+          abs(float(lu_p) - float(lu64)) / abs(float(lu64)), 1e-6)
+
+
 def run_round3(nx, ny, nz, periodic=True, scheme="central"):
     """Round-3 kernels on hardware: the backward mega-kernel in its FLAT
     layout (unaligned nx) and/or with the hand-derived UPWIND adjoint,
@@ -726,6 +767,9 @@ if __name__ == "__main__":
     run_flat(96, 96, 64)
     run_flat(64, 64, 64, periodic=False)
     run_flat(64, 64, 64, scheme="upwind")
+    run_padlanes(96, 96, 64)                    # round-5 halo-padded arm
+    run_padlanes(96, 96, 64, periodic=False)
+    run_padlanes(96, 96, 64, scheme="upwind")
     run_round3(64, 64, 64)                      # flat backward mega-kernel
     run_round3(96, 96, 64, periodic=False)      # flat + clamp
     run_round3(128, 96, 96, scheme="upwind")    # upwind adjoint, shaped

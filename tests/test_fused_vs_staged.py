@@ -515,3 +515,80 @@ def test_flat_bf16_pads_rows_to_sublane_tile():
 
     flat_f32 = generate_fields_fused_flat(g, cfg, params, 0.25, "f32", True)
     assert rel_l2_err(flat_f32, ref) <= tol.MLP_INFER_REL
+
+
+# ---------------------------------------------------------------------------
+# Padded-lane layout (round-5 arm: unaligned nx padded up to 128 lanes)
+# ---------------------------------------------------------------------------
+
+# nx=96 -> px=128 (the benchmark-grid pad ratio, 4/3); nz=48 -> 3 slabs so
+# the contiguous interior-DMA path runs, not just the edge path.
+PAD_GRID = dict(nx=96, ny=8, nz=48)
+
+
+@pytest.mark.parametrize("periodic", [True, False], ids=["periodic", "clamp"])
+@pytest.mark.parametrize("scheme", ["central", "upwind"])
+def test_padlanes_residuals_vs_staged(periodic, scheme):
+    """True lanes of the halo-padded kernel == staged ops (bitwise on
+    hardware): the pad lanes carry the wrap/clamp x-continuation, so pure
+    lane rolls read correct neighbors at every true lane."""
+    import dataclasses
+
+    from phys_autodiff_tpu.pallas.residuals import (
+        pack_fields_pad,
+        pad_to_grid,
+        residuals_fused_padlanes,
+    )
+
+    g = dataclasses.replace(_spec(periodic=periodic, **PAD_GRID), scheme=scheme)
+    fs = _snapshots(g)
+    out = pad_to_grid(g, residuals_fused_padlanes(g, pack_fields_pad(g, fs)))
+    rs_s, ru_s = jax.jit(lambda x: ops.residuals(g, x))(fs)
+    ref = jnp.concatenate([rs_s[None], ru_s], axis=0)
+    assert rel_l2_err(out, ref) <= tol.FUSED_VS_STAGED_REL
+    assert max_abs_err(out, ref) <= tol.FUSED_VS_STAGED_MAX
+
+
+@pytest.mark.parametrize("periodic", [True, False], ids=["periodic", "clamp"])
+def test_padlanes_loss_fwd_vs_f64_and_vjp(periodic):
+    """In-kernel-reduced padded loss (junk lanes masked out of the sums) vs
+    the f64 host reduction, and gradients through the padded op vs the
+    staged grad (junk-lane input cotangents must be exactly zero)."""
+    from phys_autodiff_tpu.ops import loss as ops_loss
+    from phys_autodiff_tpu.pallas.residuals import (
+        loss_forward_fused_padlanes,
+        pack_fields_pad,
+        pad_to_grid,
+        padded_px,
+        unpack_fields,
+    )
+
+    g = _spec(periodic=periodic, **PAD_GRID)
+    fs = _snapshots(g)
+    padded = pack_fields_pad(g, fs)
+    w = PhysWeights(w_sigma=1.3, w_u=0.7)
+    ls64, lu64 = ops.loss_forward_f64(g, w, fs)
+    ls, lu = loss_forward_fused_padlanes(g, w, padded)
+    assert abs(float(ls) - float(ls64)) / abs(float(ls64)) <= 1e-6
+    assert abs(float(lu) - float(lu64)) / abs(float(lu64)) <= 1e-6
+
+    def fused(p):
+        a, b = loss_forward_fused_padlanes(g, w, p)
+        return a + b
+
+    def staged(p):
+        rs, ru = ops.residuals(g, unpack_fields(pad_to_grid(g, p)))
+        a, b = ops_loss.loss_terms(g, w, rs, ru)
+        return a + b
+
+    gf = jax.grad(fused)(padded)
+    gs = jax.grad(staged)(padded)
+    assert rel_l2_err(gf, gs) <= 1e-6
+    assert max_abs_err(gf, gs) <= 1e-6
+    # pad-lane input cotangents are identically zero (both sides)
+    from phys_autodiff_tpu.pallas.residuals import pad_off
+
+    px, off = padded_px(g), pad_off(g)
+    assert px == 128 and off == (px - g.nx) // 2
+    assert float(jnp.max(jnp.abs(gf[..., :off]))) == 0.0
+    assert float(jnp.max(jnp.abs(gf[..., off + g.nx :]))) == 0.0
