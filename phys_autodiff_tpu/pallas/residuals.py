@@ -1322,6 +1322,39 @@ def _rfpad_bwd(g, interpret, padded, cot):
 residuals_fused_padlanes.defvjp(_rfpad_fwd, _rfpad_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 2))
+def residuals_fused_padlanes_bf16(g: GridSpec, padded_bf16, interpret=None):
+    """bf16-I/O variant of residuals_fused_padlanes (f32 in-kernel
+    arithmetic, 1e-3 tolerance class; same halo-pad invariant — build the
+    input as pack_fields_pad(...).astype(bfloat16) so the pad lanes are the
+    ROUNDED continuation of the true lanes). Differentiable with the same
+    upcast-adjoint-recast VJP as the other bf16 tiers."""
+    if interpret is None:
+        interpret = _default_interpret()
+    call = _build_packed_call(
+        g, None, False, interpret, dtype=jnp.bfloat16, pad_lanes=True
+    )
+    return call(padded_bf16)
+
+
+def _rfpad16_fwd(g, padded_bf16, interpret):
+    return residuals_fused_padlanes_bf16(g, padded_bf16, interpret), padded_bf16
+
+
+def _rfpad16_bwd(g, interpret, padded_bf16, cot):
+    _, vjp = jax.vjp(
+        lambda p: _packed_residuals_ops(
+            g, pad_to_grid(g, p).astype(jnp.float32)
+        ).astype(jnp.bfloat16),
+        padded_bf16,
+    )
+    (d_padded,) = vjp(pad_to_grid(g, cot))
+    return (d_padded,)
+
+
+residuals_fused_padlanes_bf16.defvjp(_rfpad16_fwd, _rfpad16_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 3))
 def loss_forward_fused_padlanes(
     g: GridSpec, w: PhysWeights, padded: jnp.ndarray, interpret=None

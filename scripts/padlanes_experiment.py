@@ -55,7 +55,9 @@ def main():
         pack_fields_pad,
         pad_to_grid,
         residuals_fused_flat,
+        residuals_fused_flat_bf16,
         residuals_fused_padlanes,
+        residuals_fused_padlanes_bf16,
     )
     from phys_autodiff_tpu.utils.config import GridSpec, PhysWeights
     from phys_autodiff_tpu.utils.metrics import max_abs_err, rel_l2_err
@@ -90,6 +92,15 @@ def main():
         ms_loss_pad = harness.time_packed_op(
             lambda p: loss_forward_fused_padlanes(g, w, p)[0], padded
         )
+        # bf16-I/O tier (1e-3 class): halo invariant carried in bf16
+        flat16 = jax.block_until_ready(flat.astype(jnp.bfloat16))
+        pad16 = jax.block_until_ready(padded.astype(jnp.bfloat16))
+        ms_flat16 = harness.time_packed_op(
+            lambda p: residuals_fused_flat_bf16(g, p), flat16
+        )
+        ms_pad16 = harness.time_packed_op(
+            lambda p: residuals_fused_padlanes_bf16(g, p), pad16
+        )
         print(
             json.dumps(
                 {
@@ -99,6 +110,8 @@ def main():
                     "speedup": round(ms_flat / ms_pad, 3),
                     "ms_loss_flat": round(ms_loss_flat, 5),
                     "ms_loss_padlanes": round(ms_loss_pad, 5),
+                    "ms_flat_bf16io": round(ms_flat16, 5),
+                    "ms_padlanes_bf16io": round(ms_pad16, 5),
                     "parity_rel": rel,
                     "parity_max": mx,
                     "loss_rel": loss_rel,

@@ -592,3 +592,47 @@ def test_padlanes_loss_fwd_vs_f64_and_vjp(periodic):
     assert px == 128 and off == (px - g.nx) // 2
     assert float(jnp.max(jnp.abs(gf[..., :off]))) == 0.0
     assert float(jnp.max(jnp.abs(gf[..., off + g.nx :]))) == 0.0
+
+
+def test_padlanes_bf16io_matches_flat_bf16():
+    """bf16-I/O halo-padded kernel == bf16-I/O flat kernel bitwise (same
+    bf16 inputs upcast to identical f32 arithmetic), and its class vs the
+    f32 staged arm is the usual bf16 1e-3 window."""
+    from phys_autodiff_tpu.pallas.residuals import (
+        flat_to_grid,
+        pack_fields_flat,
+        pack_fields_pad,
+        pad_to_grid,
+        residuals_fused_flat_bf16,
+        residuals_fused_padlanes_bf16,
+    )
+
+    g = _spec(**PAD_GRID)
+    fs = _snapshots(g)
+    pad16 = pack_fields_pad(g, fs).astype(jnp.bfloat16)
+    flat16 = pack_fields_flat(g, fs).astype(jnp.bfloat16)
+    out_pad = pad_to_grid(g, residuals_fused_padlanes_bf16(g, pad16))
+    out_flat = flat_to_grid(g, residuals_fused_flat_bf16(g, flat16))
+    assert max_abs_err(out_pad, out_flat) == 0.0
+
+    # identical math on identical bf16-rounded inputs vs the staged f32 op
+    # on the same inputs; only the output rounding differs (the class bound
+    # test_packed_bf16io_mixed_precision_class uses)
+    fs16_as_f32 = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16).astype(jnp.float32), fs
+    )
+    rs_ref, ru_ref = ops.residuals(g, fs16_as_f32)
+    ref = jnp.concatenate([rs_ref[None], ru_ref], axis=0)
+    assert rel_l2_err(out_pad.astype(jnp.float32), ref) <= 4e-3
+
+    # differentiable: the bf16 VJP runs and pad-lane cotangents are zero
+    def s(p):
+        o = residuals_fused_padlanes_bf16(g, p)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    gk = jax.grad(s)(pad16)
+    from phys_autodiff_tpu.pallas.residuals import pad_off
+
+    off = pad_off(g)
+    assert float(jnp.max(jnp.abs(gk[..., :off].astype(jnp.float32)))) == 0.0
+    assert jnp.all(jnp.isfinite(gk.astype(jnp.float32)))
